@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the configuration the engine assumes everywhere.
+  *
+  * Tuned for the driver's local[N] harness but with settings that hold on a
+  * real cluster: AQE on (runtime partition coalescing, skew-join splitting,
+  * broadcast demotion), small dims auto-broadcast, UTC session time so
+  * timestamp results are oracle-comparable, micros parquet timestamps so
+  * downstream engines (DuckDB/Arrow) read identical values.
+  */
+object GraftSession {
+  def builder(cores: Int): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      // One shuffle partition per core locally; on a cluster this would be
+      // ~2-3x total executor cores. AQE coalesces the tail either way.
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type, so
+      // read as long and convert to micros in Tables (truncation matches
+      // DuckDB's nanos→micros cast).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(): SparkSession = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    builder(cores).getOrCreate()
+  }
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * Each table is a single parquet file; `spark.read.parquet` gives a scan
+  * with full predicate-pushdown / column-pruning support, so queries built
+  * on these only read the columns and row groups they touch.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // TIMESTAMP(NANOS) columns arrive as long (see GraftSession nanosAsLong);
+    // integer-divide to micros — same truncation DuckDB applies on its
+    // nanos→micros casts, so derived values stay oracle-comparable.
+    if (name == "events"
+        && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Register every table as a temp view so `spark.sql` text matches the
+    * DuckDB oracle SQL verbatim where we choose to share it. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

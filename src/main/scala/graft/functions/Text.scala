@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline operators:
+  * tokenization, document fingerprinting, language-ID, quality scoring,
+  * shingling for MinHash/Jaccard dedup.
+  *
+  * All pure built-in-function trees (codegen'd); the per-document cost is
+  * O(len(text)), embarrassingly parallel — scales linearly with input
+  * partitions, no shuffle.
+  */
+object Text {
+
+  /** Whitespace tokenizer. `\s+` on trimmed text = no empty tokens. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Canonical text: lowercase, whitespace collapsed. */
+  def normalized(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  /** Deterministic document fingerprint = md5 of normalized text.
+    * Used for exact dedup keys and cheap equality pre-filter. */
+  def fingerprint(c: Column): Column = md5(normalized(c))
+
+  /** Word n-gram shingles: array of n-token windows joined by a space.
+    * For token arrays shorter than n, a single shingle = whole text. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(normalized(c))
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+  }
+
+  /** Distinct shingle set (for Jaccard / MinHash). */
+  def shingleSet(c: Column, n: Int): Column = array_distinct(wordShingles(c, n))
+
+  // ---- language ID -------------------------------------------------------
+  // Marker-word heuristic: count distinct marker hits per language over the
+  // token set, argmax with a fixed priority order on ties. Deterministic and
+  // expressible identically in the DuckDB oracle.
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "de"),
+    "fr" -> Seq("le", "les", "et", "est", "un", "une", "dans", "pour"))
+
+  def langScore(c: Column, lang: String): Column = {
+    val words = markers.toMap.apply(lang)
+    size(array_intersect(array_distinct(tokens(normalized(c))),
+      array(words.map(lit): _*)))
+  }
+
+  /** Predicted language code; ties resolve in declaration order (en first). */
+  def langId(c: Column): Column = {
+    val scores = markers.map { case (l, _) => l -> langScore(c, l) }
+    val Seq(en, de, es, fr) = scores.map(_._2)
+    when(en >= de && en >= es && en >= fr, lit("en"))
+      .when(de >= es && de >= fr, lit("de"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  // ---- quality scoring ---------------------------------------------------
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def charCount(c: Column): Column = length(c)
+
+  /** Count of punctuation characters. */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[.,!?;:]", ""))
+
+  def stopwordCount(c: Column): Column =
+    size(filter(tokens(normalized(c)),
+      t => array_contains(array(stopwords.map(lit): _*), t)))
+
+  /** Mean token length (double; identical IEEE ops on both engines). */
+  def avgTokenLen(c: Column): Column = {
+    val toks = tokens(normalized(c))
+    (length(array_join(toks, "")).cast("double")) / size(toks).cast("double")
+  }
+}

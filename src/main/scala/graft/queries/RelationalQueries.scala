@@ -1,0 +1,520 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.F
+import graft.operators.{DedupLatest, Upsert}
+
+/** Relational operator pack — one query per operator family in SURVEY.md §2,
+  * re-expressed over the driver's TPC-H-ish tables. Each query has a DuckDB
+  * oracle in [[oracle]] with identical column names and ORDER BY.
+  *
+  * Determinism rules used throughout:
+  *  - money doubles go through DECIMAL(18,2) before SUM (exact, portable);
+  *  - explicit AVG = CAST(exact-decimal-SUM AS DOUBLE) / COUNT;
+  *  - every window / top-k has a total tiebreak order;
+  *  - results carry an ORDER BY on their key columns.
+  */
+object RelationalQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "j1_left_join" -> j1LeftJoin,
+    "j9_double_role_join" -> j9DoubleRole,
+    "j10_star_revenue" -> j10StarRevenue,
+    "j7_semi_join" -> j7Semi,
+    "j13_anti_join" -> j13Anti,
+    "p5_case_when" -> p5CaseWhen,
+    "p6_conditional_agg" -> p6ConditionalAgg,
+    "p8_dedup_latest" -> p8DedupLatest,
+    "w1_first_value_latest" -> w1FirstValue,
+    "a7_bool_or" -> a7BoolOr,
+    "a8_listagg" -> a8Listagg,
+    "a9_customer_orders" -> a9CustomerOrders,
+    "a11_distinct" -> a11Distinct,
+    "u1_union_distinct" -> u1UnionDistinct,
+    "u3_union_schema_drift" -> u3UnionAlign,
+    "o2_topk" -> o2TopK,
+    "sk_surrogate_key" -> skSurrogateKey,
+    "s_datetime_pack" -> sDatetimePack,
+    "s_string_pack" -> sStringPack,
+    "m_upsert_keyed" -> mUpsertKeyed
+  )
+
+  // ---------------------------------------------------------------- q1 ----
+  /** A1/A4/A5/A10 + P2 + pushdown filter (ref: fct_sales_by_date.sql:6-17
+    * aggregate shapes). */
+  private val q1PricingSummary: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+    li.filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(F.money($"l_quantity")).cast("decimal(38,2)").as("sum_qty"),
+        sum(F.money($"l_extendedprice")).cast("decimal(38,2)").as("sum_base_price"),
+        sum(F.money($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - F.money($"l_discount")))
+          .cast("decimal(38,4)").as("sum_disc_price"),
+        (sum(F.money($"l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  // -------------------------------------------------------------- joins ---
+  /** J1: left join dim, USING-style single key (ref: categories_enriched.sql:7-11). */
+  private val j1LeftJoin: Q = (s, dir) => {
+    import s.implicits._
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    n.join(r, n("n_regionkey") === r("r_regionkey"), "left")
+      .select($"n_nationkey", $"n_name", $"r_name")
+      .orderBy($"n_nationkey")
+  }
+
+  /** J9: the same dim joined twice under two roles (ref: transactions/orders.sql:21-24
+    * shipping vs billing address) — here nation as supplier-nation and customer-nation. */
+  private val j9DoubleRole: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+    val sup = Tables(s, dir, "supplier")
+    val ord = Tables(s, dir, "orders")
+    val cust = Tables(s, dir, "customer")
+    val n1 = Tables(s, dir, "nation").select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    val n2 = Tables(s, dir, "nation").select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(n1, sup("s_nationkey") === n1("sn_key"))
+      .join(n2, cust("c_nationkey") === n2("cn_key"))
+      .groupBy($"supp_nation", $"cust_nation")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(F.money($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - F.money($"l_discount")))
+          .cast("decimal(38,4)").as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation")
+  }
+
+  /** J10: star join over the full dimension chain with mixed aggregates
+    * (ref: fct_order_details.sql:39-62). Small dims broadcast automatically. */
+  private val j10StarRevenue: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+    val ord = Tables(s, dir, "orders")
+    val cust = Tables(s, dir, "customer")
+    val nat = Tables(s, dir, "nation")
+    val reg = Tables(s, dir, "region")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        sum(F.money($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - F.money($"l_discount")))
+          .cast("decimal(38,4)").as("revenue"),
+        countDistinct($"o_orderkey").as("n_orders"),
+        countDistinct($"c_custkey").as("n_customers"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** J7: existence filter as semi join (ref: order_items.sql:20-25). */
+  private val j7Semi: Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer")
+    val ord = Tables(s, dir, "orders").select($"o_custkey".as("c_custkey"))
+    cust.join(ord, Seq("c_custkey"), "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** J13: anti join — the upsert delete path (ref: ingest_latest:554-572).
+    * Filtered right side so the result is non-empty at every SF. */
+  private val j13Anti: Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer")
+    val ord = Tables(s, dir, "orders")
+      .filter($"o_orderstatus" === "F")
+      .select($"o_custkey".as("c_custkey"))
+    cust.join(ord, Seq("c_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  // ---------------------------------------------------- filters / cases ---
+  /** P5: 3-arm CASE WHEN (ref: dim_customers.sql:29-33 customer_status). */
+  private val p5CaseWhen: Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer")
+    cust.select(
+        when($"c_acctbal" < 0, lit("negative"))
+          .when($"c_acctbal" < 5000, lit("low"))
+          .otherwise(lit("high")).as("balance_band"),
+        $"c_nationkey")
+      .groupBy($"balance_band")
+      .agg(count(lit(1)).as("n_customers"),
+        countDistinct($"c_nationkey").as("n_nations"))
+      .orderBy($"balance_band")
+  }
+
+  /** P6/A3: conditional aggregates incl. COUNT(DISTINCT CASE WHEN)
+    * (ref: fct_customer_activity.sql:12-25). */
+  private val p6ConditionalAgg: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    ev.groupBy($"user_id")
+      .agg(
+        count(when($"event_type" === "view", 1)).as("n_views"),
+        count(when($"event_type" === "click", 1)).as("n_clicks"),
+        countDistinct(when($"event_type" === "purchase", $"event_id")).as("n_purchase_events"),
+        sum(when($"event_type" === "purchase", F.money($"value"))).cast("decimal(38,2)").as("purchase_value"))
+      .orderBy($"user_id")
+  }
+
+  /** P8: keep-latest-per-key dedup with a deterministic tiebreak
+    * (ref: ingest_latest_synthetic_data.py:163-194). */
+  private val p8DedupLatest: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    DedupLatest(ev, Seq("user_id"), Seq($"ts", $"event_id"))
+      .select($"user_id", $"event_id", $"event_type", $"value")
+      .orderBy($"user_id")
+  }
+
+  /** W1: FIRST_VALUE window + DISTINCT — latest value per (user, event_type)
+    * (ref: transactions/order_items.sql:28-37). */
+  private val w1FirstValue: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".desc, $"event_id".desc)
+    ev.select($"user_id", $"event_type",
+        first($"value").over(w).as("latest_value"))
+      .distinct()
+      .orderBy($"user_id", $"event_type")
+  }
+
+  // --------------------------------------------------------- aggregates ---
+  /** A7: BOOL_OR (ref: transactions/orders.sql:13 has_review). */
+  private val a7BoolOr: Q = (s, dir) => {
+    import s.implicits._
+    val ord = Tables(s, dir, "orders")
+    ord.groupBy($"o_custkey")
+      .agg(
+        bool_or($"o_orderstatus" === "F").as("has_finished"),
+        bool_or($"o_orderpriority" === "1-URGENT").as("has_urgent"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_custkey")
+  }
+
+  /** A8: ordered distinct string agg — LISTAGG/STRING_AGG port
+    * (ref: dim_categories.sql:11). collect_set + array_sort + array_join is
+    * the deterministic Spark form. */
+  private val a8Listagg: Q = (s, dir) => {
+    import s.implicits._
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    n.join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name")
+      .agg(array_join(array_sort(collect_set($"n_name")), ", ").as("nations"),
+        countDistinct($"n_nationkey").as("n_nations"))
+      .orderBy($"r_name")
+  }
+
+  /** A2/A4/A5/A6/A9: the customers_enriched order-aggregate shape
+    * (ref: entities/customers_enriched.sql:3-8; dim_customers.sql:23-25). */
+  private val a9CustomerOrders: Q = (s, dir) => {
+    import s.implicits._
+    val ord = Tables(s, dir, "orders")
+    ord.groupBy($"o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min($"o_orderdate").as("first_order"),
+        max($"o_orderdate").as("last_order"),
+        sum(F.money($"o_totalprice")).cast("decimal(38,2)").as("total_spent"),
+        (sum(F.money($"o_totalprice")).cast("double") / count(lit(1))).as("avg_order_value"))
+      .orderBy($"o_custkey")
+  }
+
+  /** A11: GROUP BY all selected = DISTINCT (ref: dim_locations.sql:11-14). */
+  private val a11Distinct: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "customer")
+      .select($"c_mktsegment", $"c_nationkey")
+      .distinct()
+      .orderBy($"c_mktsegment", $"c_nationkey")
+  }
+
+  // ----------------------------------------------------------- set ops ----
+  /** U1: UNION DISTINCT (ref: entities/locations.sql:30-36). */
+  private val u1UnionDistinct: Q = (s, dir) => {
+    import s.implicits._
+    val c = Tables(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+    val sup = Tables(s, dir, "supplier").select($"s_nationkey".as("nationkey"))
+    c.unionByName(sup).distinct().orderBy($"nationkey")
+  }
+
+  /** U3: UNION ALL with schema drift, missing columns null-filled
+    * (ref: pandas concat at ingest_latest:811-821). */
+  private val u3UnionAlign: Q = (s, dir) => {
+    import s.implicits._
+    val c = Tables(s, dir, "customer")
+      .select($"c_custkey".as("id"), $"c_name".as("name"), $"c_acctbal".as("acctbal"),
+        lit("customer").as("src"))
+    val sup = Tables(s, dir, "supplier")
+      .select($"s_suppkey".as("id"), $"s_name".as("name"), lit("supplier").as("src"))
+    c.unionByName(sup, allowMissingColumns = true)
+      .orderBy($"src", $"id")
+  }
+
+  // ------------------------------------------------------- sort / top-k ---
+  /** O-family: deterministic top-k (ORDER BY + LIMIT with tiebreak). */
+  private val o2TopK: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  // ------------------------------------------------------------ scalars ---
+  /** dbt_utils.generate_surrogate_key parity (ref: locations.sql:53 et al.). */
+  private val skSurrogateKey: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .select($"o_orderkey",
+        F.surrogateKey($"o_orderkey", $"o_orderstatus", $"o_orderpriority").as("order_sk"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Date/time function pack: date_trunc, extract, dow alignment, last_day,
+    * add_months, datediff, date_format (SURVEY §2.8 date table). */
+  private val sDatetimePack: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders").select(
+      $"o_orderkey",
+      // Spark date_trunc yields TIMESTAMP even for DATE input; cast back so
+      // the result type matches DATE-typed engines (DuckDB returns DATE here).
+      date_trunc("month", $"o_orderdate").cast("date").as("month_start"),
+      year($"o_orderdate").as("order_year"),
+      month($"o_orderdate").as("order_month"),
+      F.dowSundayZero($"o_orderdate").as("order_dow"),
+      last_day($"o_orderdate").as("month_end"),
+      add_months($"o_orderdate".cast("date"), 3).as("plus_3m"),
+      datediff(lit("2002-01-01").cast("date"), $"o_orderdate".cast("date")).as("days_to_2002"),
+      date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("order_ts_str"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** String function pack: split_part incl. negative index, trim/upper/lower,
+    * concat_ws, coalesce/nullif (SURVEY §2.8 string table; the negative-index
+    * split_part is the addresses.sql:4-8 pattern). */
+  private val sStringPack: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders").select(
+      $"o_orderkey",
+      split_part($"o_orderpriority", lit("-"), lit(1)).as("prio_code"),
+      split_part($"o_orderpriority", lit("-"), lit(-1)).as("prio_name"),
+      split_part($"o_orderpriority", lit(","), lit(-3)).as("prio_missing"),
+      upper(trim($"o_orderstatus")).as("status_uc"),
+      concat_ws("|", $"o_orderstatus", $"o_orderpriority").as("status_prio"),
+      coalesce(F.nullIf($"o_orderstatus", lit("O")), lit("OPEN")).as("status_nf"))
+      .orderBy($"o_orderkey")
+  }
+
+  // ------------------------------------------------------------- upsert ---
+  /** §2.10 upsert semantics as a pure query: target = latest 'view' row per
+    * user, updates = latest 'purchase' row per user; updates replace target
+    * rows on the user_id key (left_anti ∪ updates). */
+  private val mUpsertKeyed: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    def latestOf(tpe: String): DataFrame =
+      DedupLatest(ev.filter($"event_type" === tpe), Seq("user_id"), Seq($"ts", $"event_id"))
+        .select($"user_id", $"event_id", $"event_type", $"value")
+    val target = latestOf("view")
+    val updates = latestOf("purchase")
+    Upsert.merge(target, updates, Seq("user_id"))
+      .orderBy($"user_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles — identical column names + ORDER BY as the Spark side.
+  // ---------------------------------------------------------------------
+  def oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "j1_left_join" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "j9_double_role_join" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "j10_star_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        | COUNT(DISTINCT o_orderkey) AS n_orders,
+        | COUNT(DISTINCT c_custkey) AS n_customers
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "j7_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j13_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "p5_case_when" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+        |            WHEN c_acctbal < 5000 THEN 'low'
+        |            ELSE 'high' END AS balance_band,
+        | COUNT(*) AS n_customers,
+        | COUNT(DISTINCT c_nationkey) AS n_nations
+        |FROM customer
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p6_conditional_agg" ->
+      """SELECT user_id,
+        | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+        | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+        | COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN event_id END) AS n_purchase_events,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS purchase_value
+        |FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "p8_dedup_latest" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        | SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "w1_first_value_latest" ->
+      """SELECT DISTINCT user_id, event_type,
+        | FIRST_VALUE(value) OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS latest_value
+        |FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "a7_bool_or" ->
+      """SELECT o_custkey,
+        | BOOL_OR(o_orderstatus = 'F') AS has_finished,
+        | BOOL_OR(o_orderpriority = '1-URGENT') AS has_urgent,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "a8_listagg" ->
+      """SELECT r_name,
+        | STRING_AGG(DISTINCT n_name, ', ' ORDER BY n_name) AS nations,
+        | COUNT(DISTINCT n_nationkey) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "a9_customer_orders" ->
+      """SELECT o_custkey,
+        | COUNT(*) AS n_orders,
+        | MIN(o_orderdate) AS first_order,
+        | MAX(o_orderdate) AS last_order,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spent,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_order_value
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "a11_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    "u1_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "u3_union_schema_drift" ->
+      """SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal, 'customer' AS src FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, s_name AS name, NULL AS acctbal, 'supplier' AS src FROM supplier
+        |ORDER BY src, id""".stripMargin,
+
+    "o2_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "sk_surrogate_key" ->
+      """SELECT o_orderkey,
+        | md5(concat_ws('-',
+        |   COALESCE(CAST(o_orderkey AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+        |   COALESCE(CAST(o_orderstatus AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+        |   COALESCE(CAST(o_orderpriority AS VARCHAR), '_dbt_utils_surrogate_key_null_'))) AS order_sk
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "s_datetime_pack" ->
+      """SELECT o_orderkey,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        | CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+        | CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+        | CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS order_dow,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+        | date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts_str
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "s_string_pack" ->
+      """SELECT o_orderkey,
+        | split_part(o_orderpriority, '-', 1) AS prio_code,
+        | split_part(o_orderpriority, '-', -1) AS prio_name,
+        | split_part(o_orderpriority, ',', -3) AS prio_missing,
+        | upper(trim(o_orderstatus)) AS status_uc,
+        | concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
+        | COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_nf
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "m_upsert_keyed" ->
+      """WITH latest_view AS (
+        | SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'view') WHERE rn = 1),
+        |latest_purchase AS (
+        | SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+        |SELECT * FROM (
+        | SELECT t.* FROM latest_view t
+        | WHERE NOT EXISTS (SELECT 1 FROM latest_purchase u WHERE u.user_id = t.user_id)
+        | UNION ALL
+        | SELECT * FROM latest_purchase)
+        |ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.Text
+
+/** Text-analysis pack over the `documents` table — the training-data-pipeline
+  * operators (token counting, fingerprinting, exact dedup, language ID,
+  * quality scoring). All are single-pass, shuffle-free scans except the dedup
+  * (one shuffle on the fingerprint key) — linear scale-out.
+  */
+object TextQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "text_tokens" -> textTokens,
+    "text_fingerprint" -> textFingerprint,
+    "text_langid" -> textLangId,
+    "text_quality" -> textQuality,
+    "dedup_exact" -> dedupExact
+  )
+
+  /** Token + char counting (whitespace tokenizer). */
+  private val textTokens: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "documents").select(
+        $"doc_id",
+        Text.tokenCount($"text").as("n_tokens"),
+        Text.charCount($"text").as("n_chars_actual"),
+        $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic md5 fingerprint of normalized text. */
+  private val textFingerprint: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "documents").select(
+        $"doc_id",
+        Text.fingerprint($"text").as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  /** Marker-word language ID with fixed tie order; compared to the labeled
+    * lang column. */
+  private val textLangId: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "documents").select(
+        $"doc_id",
+        $"lang",
+        Text.langId($"text").as("predicted_lang"),
+        Text.langScore($"text", "en").as("en_score"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality features: token stats, punctuation/stopword ratios, band. */
+  private val textQuality: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    docs.select(
+        $"doc_id",
+        Text.tokenCount($"text").as("n_tokens"),
+        round(Text.avgTokenLen($"text"), 6).as("avg_token_len"),
+        Text.punctCount($"text").as("n_punct"),
+        Text.stopwordCount($"text").as("n_stopwords"),
+        round(Text.stopwordCount($"text").cast("double") / Text.tokenCount($"text"), 6)
+          .as("stopword_ratio"))
+      .withColumn("quality_band",
+        when($"n_tokens" < 20, lit("short"))
+          .when($"stopword_ratio" > 0.2, lit("boilerplate"))
+          .otherwise(lit("ok")))
+      .orderBy($"doc_id")
+  }
+
+  /** Exact dedup: keep the lowest doc_id per normalized-text fingerprint
+    * (deterministic representative). One shuffle on the md5 key; at 100 TB
+    * this is the canonical hash-partition dedup. */
+  private val dedupExact: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val w = Window.partitionBy(Text.fingerprint($"text")).orderBy($"doc_id")
+    docs.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  private val normSql =
+    "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+  private val tokensSql =
+    s"regexp_split_to_array(trim(text), '\\s+')"
+  private val normTokensSql =
+    s"regexp_split_to_array(trim($normSql), '\\s+')"
+
+  private def markerList(lang: String): String =
+    Text.markers.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def langScoreSql(lang: String): String =
+    s"len(list_intersect(list_distinct($normTokensSql), ${markerList(lang)}))"
+
+  private val stopwordsSql: String =
+    Text.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def oracle: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         | len($tokensSql) AS n_tokens,
+         | length(text) AS n_chars_actual,
+         | n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5($normSql) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      val en = langScoreSql("en"); val de = langScoreSql("de")
+      val es = langScoreSql("es"); val fr = langScoreSql("fr")
+      s"""SELECT doc_id, lang,
+         | CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+         |      WHEN $de >= $es AND $de >= $fr THEN 'de'
+         |      WHEN $es >= $fr THEN 'es'
+         |      ELSE 'fr' END AS predicted_lang,
+         | $en AS en_score
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "text_quality" ->
+      s"""WITH feat AS (
+         | SELECT doc_id,
+         |  len($normTokensSql) AS n_tokens,
+         |  round(CAST(length(list_aggregate($normTokensSql, 'string_agg', '')) AS DOUBLE)
+         |        / len($normTokensSql), 6) AS avg_token_len,
+         |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         |  len(list_filter($normTokensSql, t -> list_contains($stopwordsSql, t))) AS n_stopwords
+         | FROM documents)
+         |SELECT doc_id, n_tokens, avg_token_len, n_punct, n_stopwords,
+         | round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+         | CASE WHEN n_tokens < 20 THEN 'short'
+         |      WHEN round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) > 0.2 THEN 'boilerplate'
+         |      ELSE 'ok' END AS quality_band
+         |FROM feat ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      s"""SELECT doc_id, lang, source FROM (
+         | SELECT doc_id, lang, source,
+         |  ROW_NUMBER() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) AS rn
+         | FROM documents) WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin
+  )
+}

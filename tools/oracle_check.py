@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir>
+
+Reads each <out>/<name> parquet (written by graft.Verify) plus
+<out>/oracle_sql.json, runs each oracle in DuckDB over the sf parquet
+tables, and compares: column names (sorted), row count, and exact cell
+values on rows sorted by all columns. Reports near-misses for floats.
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
+    problems = []
+    if sorted(spark_cols) != sorted(duck_cols):
+        problems.append(f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        return problems
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"row count differs: spark={len(spark_rows)} duck={len(duck_rows)}")
+        return problems
+    # align column order by name
+    s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
+    d_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
+    key = lambda r: tuple((x is None, str(x)) for x in r)
+    s_sorted = sorted([tuple(norm_cell(r[i]) for i in s_idx) for r in spark_rows], key=key)
+    d_sorted = sorted([tuple(norm_cell(r[i]) for i in d_idx) for r in duck_rows], key=key)
+    n_bad = 0
+    max_float_diff = 0.0
+    for i, (a, b) in enumerate(zip(s_sorted, d_sorted)):
+        if a != b:
+            for x, y in zip(a, b):
+                if x != y:
+                    if isinstance(x, float) and isinstance(y, float):
+                        max_float_diff = max(max_float_diff, abs(x - y))
+                    n_bad += 1
+                    if n_bad <= 3:
+                        problems.append(f"row {i}: {a} != {b}")
+    if n_bad > 3:
+        problems.append(f"... {n_bad} mismatched cells total, max float diff {max_float_diff}")
+    return problems
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        try:
+            sp = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')")
+            spark_cols = [c[0] for c in sp.description]
+            spark_rows = sp.fetchall()
+        except Exception as e:
+            results[name] = [f"failed reading spark output: {e}"]
+            continue
+        if name not in oracles:
+            results[name] = [] if len(spark_rows) > 0 else ["rows-only check: EMPTY RESULT"]
+            if not results[name]:
+                results[name] = ["(rows-only, no oracle) OK rows=%d" % len(spark_rows)]
+            continue
+        try:
+            dk = con.execute(oracles[name])
+            duck_cols = [c[0] for c in dk.description]
+            duck_rows = dk.fetchall()
+        except Exception as e:
+            results[name] = [f"oracle SQL failed in DuckDB: {e}"]
+            continue
+        results[name] = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+
+    n_fail = 0
+    for name, problems in sorted(results.items()):
+        ok = not problems or (len(problems) == 1 and problems[0].startswith("(rows-only"))
+        status = "OK  " if ok else "FAIL"
+        if not ok:
+            n_fail += 1
+        print(f"{status} {name}" + ("" if ok else ""))
+        for p in problems:
+            if not ok or p.startswith("(rows-only"):
+                print(f"      {p}")
+    # queries that produced no output dir at all
+    for name in oracles:
+        if name not in results:
+            n_fail += 1
+            print(f"FAIL {name}\n      no spark output written")
+    print(f"\n{len(results)} checked, {n_fail} failing")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
