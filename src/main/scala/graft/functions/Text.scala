@@ -40,6 +40,45 @@ object Text {
   /** Distinct shingle set (for Jaccard / MinHash). */
   def shingleSet(c: Column, n: Int): Column = array_distinct(wordShingles(c, n))
 
+  // ---- minhash / simhash -------------------------------------------------
+
+  /** MinHash value for one permutation: min over the shingle set of a
+    * 60-bit md5-derived hash salted with the permutation index. The salt is
+    * `"<perm>|<shingle>"`, replayable in any engine with md5. */
+  def minhash(shingles: Column, perm: Int): Column =
+    array_min(transform(shingles,
+      s => Vectors.hash60(concat(lit(perm.toString), lit("|"), s))))
+
+  /** Full signature as `perms` separate columns (caller arranges banding). */
+  def minhashSig(shingles: Column, perms: Int): Seq[Column] =
+    (0 until perms).map(p => minhash(shingles, p))
+
+  /** LSH band keys: `bands` strings, each `"<band>:<sig_i>_..._<sig_j>"`.
+    * Docs sharing any band key become candidate pairs — the classic
+    * shingle→minhash→band→bucket-join dedup at any scale. */
+  def minhashBands(shingles: Column, perms: Int, bands: Int): Column = {
+    val sig = minhashSig(shingles, perms)
+    val rowsPerBand = perms / bands
+    array((0 until bands).map { b =>
+      concat(lit(b.toString), lit(":"),
+        concat_ws("_", sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+          .map(_.cast("string")): _*))
+    }: _*)
+  }
+
+  /** Frequency-weighted 32-bit SimHash over whitespace tokens. Each token
+    * hashes to 60 bits; bit j of the result is the sign of
+    * sum over tokens of (bit j of hash ? +1 : -1). */
+  def simhash32(c: Column): Column = {
+    val hashed = transform(tokens(normalized(c)),
+      t => Vectors.hash60(concat(lit("simhash|"), t)))
+    (0 until 32).map { j =>
+      val weight = aggregate(hashed, lit(0),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
+      when(weight >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   // ---- language ID -------------------------------------------------------
   // Marker-word heuristic: count distinct marker hits per language over the
   // token set, argmax with a fixed priority order on ties. Deterministic and

@@ -22,15 +22,23 @@ object Vectors {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** 60-bit deterministic hash of a string column: first 15 hex digits of
+    * md5 as a long. md5 (unlike xxhash64) exists in every engine, so
+    * LSH/minhash built on it is replayable bit-for-bit by the DuckDB oracle:
+    * `CAST(CONCAT('0x', SUBSTR(md5(x),1,15)) AS BIGINT)`. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Random-hyperplane LSH bit: sign of dot(v, plane) for a deterministic
     * pseudo-random plane derived from (seed, index). Used to bucket vectors
     * so near-duplicate search joins within buckets instead of n². */
   def hyperplaneBit(v: Column, dim: Int, seed: Int): Column = {
-    // Deterministic plane: component i = hash(seed, i) mapped to [-1, 1].
-    // xxhash64 is a built-in, stable across runs and cluster nodes.
+    // Deterministic plane: component i = hash60(seed || '_' || i) mapped to
+    // [-1, 1]. Stable across runs, cluster nodes, and engines.
     val plane = transform(
       sequence(lit(0), lit(dim - 1)),
-      i => (pmod(xxhash64(lit(seed), i), lit(2000001L)).cast("double") / lit(1000000.0)) - lit(1.0))
+      i => (pmod(hash60(concat(lit(seed.toString), lit("_"), i.cast("string"))),
+        lit(2000001L)).cast("double") / lit(1000000.0)) - lit(1.0))
     (aggregate(zip_with(d(v), plane, (x, p) => x * p), lit(0.0), (acc, x) => acc + x) >= 0).cast("int")
   }
 

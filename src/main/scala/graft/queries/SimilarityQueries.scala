@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.{Text, Vectors}
+
+/** Near-duplicate detection + similarity search — the training-data-pipeline
+  * operators: n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine
+  * near-dup, and ANN top-k (brute-force baseline + LSH-bucketed scale path).
+  *
+  * Every hash is md5-derived ([[Vectors.hash60]]), so the DuckDB oracles
+  * replay the exact algorithm bit-for-bit — including the LSH banding — and
+  * results hash-match despite the operators being "approximate" in recall.
+  *
+  * Scale notes (100 TB design):
+  *  - the inverted-index Jaccard join is exact but its candidate set grows
+  *    with shingle collisions; MinHash+LSH bounds work at
+  *    O(docs × bands) join keys and is the path at scale;
+  *  - SimHash's 4×8-bit banding is pigeonhole-exact for hamming ≤ 3: any
+  *    pair within distance 3 shares at least one intact band, so the
+  *    band-join loses nothing while avoiding the n² compare;
+  *  - ANN brute force is the correctness baseline; the hyperplane-LSH
+  *    variant shrinks the candidate set to one bucket (tunable bits).
+  */
+object SimilarityQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val ShingleN = 3
+  private val Perms = 32
+  private val Bands = 8
+  private val JaccardT = 0.5
+  private val SimhashBands = 4 // 8 bits each over the 32-bit simhash
+  private val HammingT = 3
+  private val CosineT = 0.45
+  private val EmbDim = 64
+  private val AnnK = 5
+  private val LshBits = 4
+  private val LshSeed = 7
+
+  def queries: Map[String, Q] = Map(
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "emb_neardup_cosine" -> embNeardup,
+    "ann_cosine_topk" -> annTopK,
+    "ann_lsh_bucket" -> annLshBucket
+  )
+
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", Text.shingleSet($"text", ShingleN).as("sh"))
+  }
+
+  /** Exact n-gram Jaccard dedup via inverted shingle index: a pair with
+    * jaccard ≥ t shares ≥ 1 shingle, so the shingle self-join finds every
+    * qualifying pair without the n² compare. */
+  private val dedupNgramJaccard: Q = (s, dir) => {
+    import s.implicits._
+    val shd = shingled(s, dir)
+    val inv = shd.select($"doc_id", explode($"sh").as("shingle"))
+    val inter = inv.as("a")
+      .join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = shd.select($"doc_id", size($"sh").as("sz"))
+    inter
+      .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sza")), Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("szb")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        ($"inter" / ($"sza" + $"szb" - $"inter")).as("jaccard"))
+      .filter($"jaccard" >= JaccardT)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** MinHash + LSH banding: 32 md5-permutations, 8 bands × 4 rows; band
+    * bucket-join yields candidates, exact Jaccard verifies. */
+  private val dedupMinhashLsh: Q = (s, dir) => {
+    import s.implicits._
+    val shd = shingled(s, dir)
+    val bands = shd.select($"doc_id",
+      explode(Text.minhashBands($"sh", Perms, Bands)).as("band"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(shd.select($"doc_id".as("doc_a"), $"sh".as("sha")), Seq("doc_a"))
+      .join(shd.select($"doc_id".as("doc_b"), $"sh".as("shb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect($"sha", $"shb")))
+      .select($"doc_a", $"doc_b",
+        ($"inter" / (size($"sha") + size($"shb") - $"inter")).as("jaccard"))
+      .filter($"jaccard" >= JaccardT)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** SimHash near-dup pairs within hamming ≤ 3, candidates via 4×8-bit
+    * band join (pigeonhole-complete for that radius). */
+  private val dedupSimhash: Q = (s, dir) => {
+    import s.implicits._
+    val sh = Tables(s, dir, "documents")
+      .select($"doc_id", Text.simhash32($"text").as("simhash"))
+    val banded = sh.select($"doc_id", $"simhash",
+      explode(array((0 until SimhashBands).map { b =>
+        struct(lit(b).as("band_id"),
+          shiftright($"simhash", 8 * b).bitwiseAND(lit(255L)).as("band_val"))
+      }: _*)).as("band"))
+      .select($"doc_id", $"simhash",
+        $"band.band_id".as("band_id"), $"band.band_val".as("band_val"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= HammingT)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Embedding near-dup: all pairs with cosine ≥ t (brute-force exact). */
+  private val embNeardup: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+    a.join(b, $"vec_a" < $"vec_b")
+      .filter(Vectors.cosine($"ea", $"eb") >= CosineT)
+      .select($"vec_a", $"vec_b")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Brute-force cosine top-k for the first 10 vectors as queries — the
+    * exact ANN baseline. Output is rank-only (ints) so the compare is
+    * float-free; ties broken by neighbor_id. */
+  private val annTopK: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val q = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    broadcast(q).join(n, $"query_id" =!= $"neighbor_id")
+      .withColumn("cos", Vectors.cosine($"qe", $"ne"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= AnnK)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** LSH-bucketed ANN — the scale path: 4 hyperplane bits → 16 buckets;
+    * neighbors are ranked only within the query's bucket. */
+  private val annLshBucket: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding",
+      Vectors.hyperplaneBucket($"embedding", EmbDim, LshBits, LshSeed).as("bucket"))
+    val q = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket")
+    val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"bucket")
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    broadcast(q).join(n, Seq("bucket"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cos", Vectors.cosine($"qe", $"ne"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .orderBy($"query_id", $"rank")
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles — each replays the SAME md5-based algorithm in SQL.
+  // ---------------------------------------------------------------------
+
+  /** doc_id + distinct 3-gram shingle list, as a DuckDB CTE body. */
+  private val shinglesCte =
+    raw"""toks AS (SELECT doc_id,
+         |  regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') t
+         |  FROM documents),
+         |shd AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < $ShingleN
+         |  THEN [array_to_string(t, ' ')]
+         |  ELSE [array_to_string(t[i:i+${ShingleN - 1}], ' ') FOR i IN range(1, len(t) - ${ShingleN - 2})] END) sh
+         |  FROM toks)""".stripMargin
+
+  /** 60-bit md5 hash — DuckDB twin of Vectors.hash60. */
+  private def hash60Sql(x: String): String =
+    s"CAST(CONCAT('0x', SUBSTR(md5($x), 1, 15)) AS BIGINT)"
+
+  private val jaccardVerifySql =
+    """SELECT doc_a, doc_b, jaccard FROM (
+      | SELECT c.doc_a, c.doc_b,
+      |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      |    / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) jaccard
+      | FROM cand c JOIN shd x ON c.doc_a = x.doc_id JOIN shd y ON c.doc_b = y.doc_id)
+      |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  private def planeSql(seed: String, i: String): String =
+    s"((${hash60Sql(s"CONCAT($seed, '_', $i)")} % 2000001) / 1000000.0 - 1.0)"
+
+  /** Sequential-fold dot product of a double[] with the seed-derived plane. */
+  private def planeDotSql(vec: String, seed: String): String =
+    s"list_sum([$vec[i + 1] * ${planeSql(seed, "i")} FOR i IN range(0, $EmbDim)])"
+
+  private def bucketSql(vec: String): String =
+    (0 until LshBits).map { b =>
+      s"(CASE WHEN ${planeDotSql(vec, (LshSeed * 1000 + b).toString)} >= 0 THEN '1' ELSE '0' END)"
+    }.mkString("CONCAT(", ", ", ")")
+
+  private val cosineSql =
+    s"""list_sum([ea[i + 1] * eb[i + 1] FOR i IN range(0, $EmbDim)])
+       | / (sqrt(list_sum([ea[i + 1] * ea[i + 1] FOR i IN range(0, $EmbDim)]))
+       |    * sqrt(list_sum([eb[i + 1] * eb[i + 1] FOR i IN range(0, $EmbDim)])))""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |cand AS (SELECT x.doc_id doc_a, y.doc_id doc_b FROM shd x JOIN shd y ON x.doc_id < y.doc_id)
+         |$jaccardVerifySql""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+         |sig AS (SELECT doc_id,
+         |  [list_min([${hash60Sql("CONCAT(p, '|', s)")} FOR s IN sh]) FOR p IN range(0, $Perms)] sig
+         |  FROM shd),
+         |bands AS (SELECT doc_id,
+         |  unnest([CONCAT(b, ':', array_to_string(sig[4*b+1 : 4*b+4], '_')) FOR b IN range(0, $Bands)]) band
+         |  FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+         |$jaccardVerifySql""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') t
+         |  FROM documents),
+         |th AS (SELECT doc_id, [${hash60Sql("CONCAT('simhash|', x)")} FOR x IN t] th FROM toks),
+         |sh AS (SELECT doc_id, CAST(list_sum([CASE WHEN
+         |    list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END FOR h IN th]) >= 0
+         |    THEN (1::BIGINT << j) ELSE 0 END FOR j IN range(0, 32)]) AS BIGINT) simhash
+         |  FROM th),
+         |banded AS (SELECT doc_id, simhash, b.range band_id,
+         |    (simhash >> (8 * b.range)) & 255 band_val
+         |  FROM sh CROSS JOIN range(0, $SimhashBands) b)
+         |SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) hamming
+         |FROM banded a JOIN banded b
+         |  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingT
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "emb_neardup_cosine" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings)
+         |SELECT a.vec_id vec_a, b.vec_id vec_b
+         |FROM (SELECT vec_id, emb ea FROM e) a JOIN (SELECT vec_id, emb eb FROM e) b
+         |  ON a.vec_id < b.vec_id
+         |WHERE $cosineSql >= $CosineT
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "ann_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+         |scored AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
+         |   (SELECT $cosineSql FROM (SELECT q.emb ea, n.emb eb)) cos
+         |  FROM e q JOIN e n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= $AnnK
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_lsh_bucket" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
+         |   ${bucketSql("CAST(embedding AS DOUBLE[])")} bucket FROM embeddings),
+         |scored AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
+         |   (SELECT $cosineSql FROM (SELECT q.emb ea, n.emb eb)) cos
+         |  FROM e q JOIN e n ON q.bucket = n.bucket AND q.vec_id < 50 AND q.vec_id <> n.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin
+  )
+}
