@@ -43,7 +43,13 @@ object RelationalQueries {
     "sk_surrogate_key" -> skSurrogateKey,
     "s_datetime_pack" -> sDatetimePack,
     "s_string_pack" -> sStringPack,
-    "m_upsert_keyed" -> mUpsertKeyed
+    "m_upsert_keyed" -> mUpsertKeyed,
+    "p3_try_cast" -> p3TryCast,
+    "j4_expr_join" -> j4ExprJoin,
+    "u2_union_dates" -> u2UnionDates,
+    "inc_high_watermark" -> incHighWatermark,
+    "st_tumbling_window" -> stTumblingWindow,
+    "s9_catalog_counts" -> s9CatalogCounts
   )
 
   // ---------------------------------------------------------------- q1 ----
@@ -340,6 +346,92 @@ object RelationalQueries {
       .orderBy($"user_id")
   }
 
+  // ------------------------------------------------------------ extras ---
+  /** P3: TRY_CAST semantics — NULL on failure, never an error
+    * (ref: stg_orders.sql:8,15-16,19). */
+  private val p3TryCast: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders").select(
+      $"o_orderkey",
+      expr("try_cast(o_orderpriority AS INT)").as("prio_as_int"),
+      expr("try_cast(split_part(o_orderpriority, '-', 1) AS INT)").as("prio_code_int"),
+      expr("try_cast(o_orderstatus AS DATE)").as("status_as_date"),
+      expr("try_cast(o_totalprice AS DECIMAL(18,2))").as("price_dec"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** J4: join on an expression, not a raw column — the derived-dim lookup
+    * (ref: products_enriched.sql:48 TRIM(p.brand) = b.brand_name). */
+  private val j4ExprJoin: Q = (s, dir) => {
+    import s.implicits._
+    val ord = Tables(s, dir, "orders")
+    val dim = ord
+      .select(split_part($"o_orderpriority", lit("-"), lit(1)).as("prio_code"),
+        split_part($"o_orderpriority", lit("-"), lit(2)).as("prio_name"))
+      .distinct()
+    ord.join(dim, split_part(ord("o_orderpriority"), lit("-"), lit(1)) === dim("prio_code"), "left")
+      .groupBy($"prio_code", $"prio_name")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"prio_code")
+  }
+
+  /** U2: UNION DISTINCT of derived date sets from two tables
+    * (ref: dim_dates.sql:13-19). */
+  private val u2UnionDates: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders").select($"o_orderdate".cast("date").as("d"))
+    val e = Tables(s, dir, "events").select($"ts".cast("date").as("d"))
+    o.union(e).distinct().orderBy($"d")
+  }
+
+  /** §2.9 incremental high-watermark: rows newer than MAX(date) of the
+    * already-materialized subset (ref: fct_customer_orders.sql:18-20).
+    * The watermark is a 1-row aggregate cross-joined in (stays distributed,
+    * broadcast by Catalyst) — no collect() on the driver. */
+  private val incHighWatermark: Q = (s, dir) => {
+    import s.implicits._
+    val ord = Tables(s, dir, "orders")
+    val watermark = ord.filter($"o_orderstatus" === "F")
+      .agg(max($"o_orderdate").as("wm"))
+    ord.crossJoin(broadcast(watermark))
+      .filter($"o_orderdate" > $"wm")
+      .groupBy($"o_orderdate".cast("date").as("order_day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(F.money($"o_totalprice")).cast("decimal(38,2)").as("day_total"))
+      .orderBy($"order_day")
+  }
+
+  /** Tumbling-window aggregate over the event stream — the batch twin of
+    * the Structured Streaming windowed agg (§2.9; streaming variant in
+    * graft.streaming). 1-day windows are epoch-aligned in UTC, so
+    * window.start == date_trunc('day'). */
+  private val stTumblingWindow: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy(window($"ts", "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        sum(F.money($"value")).cast("decimal(38,2)").as("total_value"))
+      // window() yields TIMESTAMP_LTZ; the source column is NTZ. Cast so the
+      // parquet output is not UTC-adjusted (isAdjustedToUTC=false) and
+      // engines read back the same naive value (session is UTC).
+      .select($"w.start".cast("timestamp_ntz").as("day"),
+        $"n_events", $"n_users", $"total_value")
+      .orderBy($"day")
+  }
+
+  /** S9: catalog probes — per-table row counts as one result set
+    * (ref: sample_ecom_raw_query_duckdb.py:8-43). */
+  private val s9CatalogCounts: Q = (s, dir) => {
+    import s.implicits._
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    names.map { n =>
+      Tables(s, dir, n).agg(count(lit(1)).as("n_rows"))
+        .select(lit(n).as("table_name"), $"n_rows")
+    }.reduce(_.unionByName(_)).orderBy($"table_name")
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles — identical column names + ORDER BY as the Spark side.
   // ---------------------------------------------------------------------
@@ -500,6 +592,49 @@ object RelationalQueries {
         | concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
         | COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_nf
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "p3_try_cast" ->
+      """SELECT o_orderkey,
+        | TRY_CAST(o_orderpriority AS INT) AS prio_as_int,
+        | TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS prio_code_int,
+        | TRY_CAST(o_orderstatus AS DATE) AS status_as_date,
+        | TRY_CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "j4_expr_join" ->
+      """WITH dim AS (SELECT DISTINCT split_part(o_orderpriority, '-', 1) AS prio_code,
+        |                    split_part(o_orderpriority, '-', 2) AS prio_name FROM orders)
+        |SELECT prio_code, prio_name, COUNT(*) AS n_orders
+        |FROM orders LEFT JOIN dim ON split_part(o_orderpriority, '-', 1) = dim.prio_code
+        |GROUP BY 1, 2 ORDER BY prio_code""".stripMargin,
+
+    "u2_union_dates" ->
+      """SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+        |UNION
+        |SELECT CAST(ts AS DATE) AS d FROM events
+        |ORDER BY d""".stripMargin,
+
+    "inc_high_watermark" ->
+      """SELECT CAST(o_orderdate AS DATE) AS order_day,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS day_total
+        |FROM orders
+        |WHERE o_orderdate > (SELECT MAX(o_orderdate) FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY 1 ORDER BY order_day""".stripMargin,
+
+    "st_tumbling_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        | COUNT(*) AS n_events,
+        | COUNT(DISTINCT user_id) AS n_users,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "s9_catalog_counts" -> {
+      val names = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      names.map(n => s"SELECT '$n' AS table_name, COUNT(*) AS n_rows FROM $n")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    },
 
     "m_upsert_keyed" ->
       """WITH latest_view AS (
