@@ -16,9 +16,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Upsert {
 
-  /** Pure merge of two DataFrames (no IO) — unit-testable core. */
+  /** Pure merge of two DataFrames (no IO) — unit-testable core.
+    * allowMissingColumns: updates may carry new columns (schema evolution);
+    * surviving target rows get NULL there — pandas concat alignment parity
+    * (ingest_latest:811-821). */
   def merge(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
-    target.join(updates, keys, "left_anti").unionByName(updates)
+    target.join(updates, keys, "left_anti")
+      .unionByName(updates, allowMissingColumns = true)
 
   /** Merge into a parquet path with atomic swap semantics. */
   def intoParquet(path: String, updates: DataFrame, keys: Seq[String]): Unit = {

@@ -1,0 +1,98 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The layered-transform runner — the reference's dbt DAG re-expressed as
+  * plain function composition (SURVEY §2.1 S10, §3 entry point 1).
+  *
+  * A model is a named `Map[name, DataFrame] => DataFrame`; `ref()` becomes
+  * a map lookup. Materialization mirrors dbt_project.yml:19-30:
+  *  - [[View]]: lazily composed (the DataFrame IS the view — Catalyst
+  *    inlines it into downstream plans, enabling cross-model pushdown the
+  *    reference only gets from DuckDB's view inlining);
+  *  - [[Table]]: written to parquet and re-read, cutting the plan like a
+  *    dbt table (reused intermediates computed once);
+  *  - [[Incremental]]: high-watermark append — only source rows newer than
+  *    `MAX(watermarkCol)` of the existing output are computed and appended
+  *    (ref: fct_customer_orders.sql:18-20 is_incremental pattern).
+  */
+object ModelGraph {
+
+  sealed trait Materialization
+  case object View extends Materialization
+  case object Table extends Materialization
+  final case class Incremental(watermarkCol: String) extends Materialization
+
+  final case class Model(
+      name: String,
+      deps: Seq[String],
+      build: Map[String, DataFrame] => DataFrame,
+      materialization: Materialization = View)
+
+  /** Kahn topological order; fails on cycles or missing deps. */
+  def topoOrder(models: Seq[Model], sources: Set[String]): Seq[Model] = {
+    val byName = models.map(m => m.name -> m).toMap
+    val resolved = mutable.LinkedHashSet.empty[String] ++ sources
+    val remaining = mutable.Queue.empty[Model] ++ models
+    val out = mutable.ArrayBuffer.empty[Model]
+    var stuckFor = 0
+    while (remaining.nonEmpty) {
+      val m = remaining.dequeue()
+      m.deps.find(d => !resolved.contains(d)) match {
+        case Some(d) if !byName.contains(d) && !sources.contains(d) =>
+          throw new IllegalArgumentException(s"model ${m.name}: unknown dep $d")
+        case Some(_) =>
+          remaining.enqueue(m); stuckFor += 1
+          if (stuckFor > remaining.size)
+            throw new IllegalArgumentException(
+              s"dependency cycle involving ${remaining.map(_.name).mkString(", ")}")
+        case None =>
+          resolved += m.name; out += m; stuckFor = 0
+      }
+    }
+    out.toSeq
+  }
+
+  /** Compose the graph lazily over in-memory sources; returns every model's
+    * DataFrame. Views stay unmaterialized — one Catalyst plan end-to-end. */
+  def compose(models: Seq[Model], sources: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val acc = mutable.Map.empty[String, DataFrame] ++ sources
+    topoOrder(models, sources.keySet).foreach { m =>
+      acc(m.name) = m.build(acc.toMap)
+    }
+    acc.toMap -- sources.keys
+  }
+
+  /** Materialize the graph under `baseDir` honoring each model's
+    * materialization — the `dbt run` analog. */
+  def run(spark: SparkSession, models: Seq[Model],
+      sources: Map[String, DataFrame], baseDir: String): Map[String, DataFrame] = {
+    val acc = mutable.Map.empty[String, DataFrame] ++ sources
+    topoOrder(models, sources.keySet).foreach { m =>
+      val path = s"$baseDir/${m.name}"
+      val built = m.build(acc.toMap)
+      acc(m.name) = m.materialization match {
+        case View => built
+        case Table =>
+          built.write.mode(SaveMode.Overwrite).parquet(path)
+          spark.read.parquet(path)
+        case Incremental(wm) =>
+          val exists = try { spark.read.parquet(path).limit(1).count() >= 0 }
+            catch { case _: Throwable => false }
+          if (!exists) { // first run bootstraps the full build (SURVEY §7.4 #5)
+            built.write.mode(SaveMode.Overwrite).parquet(path)
+          } else {
+            val watermark = spark.read.parquet(path).agg(max(col(wm)).as("wm"))
+            built.crossJoin(broadcast(watermark))
+              .filter(col(wm) > col("wm")).drop("wm")
+              .write.mode(SaveMode.Append).parquet(path)
+          }
+          spark.read.parquet(path)
+      }
+    }
+    acc.toMap -- sources.keys
+  }
+}

@@ -391,7 +391,11 @@ object RelationalQueries {
   private val incHighWatermark: Q = (s, dir) => {
     import s.implicits._
     val ord = Tables(s, dir, "orders")
-    val watermark = ord.filter($"o_orderstatus" === "F")
+    // "Materialized so far" = everything before the final calendar month;
+    // the increment is what a daily run would append past that watermark.
+    val monthStart = ord.agg(date_trunc("month", max($"o_orderdate")).as("m"))
+    val watermark = ord.crossJoin(broadcast(monthStart))
+      .filter($"o_orderdate" < $"m")
       .agg(max($"o_orderdate").as("wm"))
     ord.crossJoin(broadcast(watermark))
       .filter($"o_orderdate" > $"wm")
@@ -619,7 +623,8 @@ object RelationalQueries {
         | COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS day_total
         |FROM orders
-        |WHERE o_orderdate > (SELECT MAX(o_orderdate) FROM orders WHERE o_orderstatus = 'F')
+        |WHERE o_orderdate > (SELECT MAX(o_orderdate) FROM orders
+        |                     WHERE o_orderdate < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders))
         |GROUP BY 1 ORDER BY order_day""".stripMargin,
 
     "st_tumbling_window" ->

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators — the streaming face of the engine.
+  *
+  * The reference's only "stream" is a daily micro-batch append (SURVEY
+  * §2.9); these transforms generalize it: the same event-table schema run
+  * through `readStream` gives watermarked tumbling aggregates and stateful
+  * sessionization, and `Trigger.AvailableNow` turns any of them back into
+  * an incremental batch job. Transform logic is shared with the batch
+  * queries (st_tumbling_window) — one definition, two execution modes.
+  */
+object Streams {
+
+  /** Watermarked tumbling-window aggregate over an event stream with
+    * columns (ts: timestamp, user_id, event_type, value). Late rows beyond
+    * the watermark are dropped deterministically by the engine. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 day",
+      watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  final case class Event(ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Stateful sessionization: events for one user belong to one session
+    * until `gapMs` of inactivity; emits a [[Session]] row when the state
+    * times out. The canonical mapGroupsWithState shape — state is one
+    * small case class per key, scales with live keys, not history. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Keyed dedup on a stream: first occurrence per key wins inside the
+    * watermark horizon — the streaming twin of DedupLatest. */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(keys :+ "ts")
+
+  /** Incremental batch over a stream source: process-everything-available,
+    * then stop — the high-watermark daily job without hand-written
+    * bookkeeping. */
+  def runAvailableNow(out: DataFrame, checkpoint: String, target: String): Unit =
+    out.writeStream
+      .format("parquet")
+      .option("path", target)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode(OutputMode.Append)
+      .start()
+      .awaitTermination()
+}

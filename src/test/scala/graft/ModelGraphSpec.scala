@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.plans.ModelGraph
+import graft.plans.ModelGraph.{Incremental, Model, Table, View}
+
+class ModelGraphSpec extends SparkSpec {
+
+  private def sources = {
+    import spark.implicits._
+    Map("orders" -> Seq(
+      (1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0), (3L, "2024-01-02", 5.0))
+      .toDF("order_id", "order_date", "total"))
+  }
+
+  private val staging = Model("stg_orders", Seq("orders"),
+    deps => deps("orders").select(col("order_id"),
+      col("order_date").cast("date").as("order_date"), col("total")))
+
+  private val mart = Model("fct_daily", Seq("stg_orders"),
+    deps => deps("stg_orders").groupBy("order_date")
+      .agg(count(lit(1)).as("n"), sum("total").as("day_total")),
+    Table)
+
+  test("topoOrder resolves deps and rejects cycles") {
+    val ordered = ModelGraph.topoOrder(Seq(mart, staging), Set("orders"))
+    assert(ordered.map(_.name) == Seq("stg_orders", "fct_daily"))
+    val cyc = Seq(
+      Model("a", Seq("b"), _ => sources("orders")),
+      Model("b", Seq("a"), _ => sources("orders")))
+    intercept[IllegalArgumentException](ModelGraph.topoOrder(cyc, Set.empty))
+  }
+
+  test("compose builds the lazy DAG; run materializes tables") {
+    val composed = ModelGraph.compose(Seq(staging, mart), sources)
+    assert(composed("fct_daily").count() == 2)
+
+    val dir = Files.createTempDirectory("mg").toString
+    val out = ModelGraph.run(spark, Seq(staging, mart), sources, dir)
+    assert(out("fct_daily").count() == 2)
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/fct_daily")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/stg_orders"))) // view
+  }
+
+  test("incremental materialization appends only rows past the watermark") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mginc").toString
+    val inc = Model("fct_inc", Seq("stg_orders"),
+      deps => deps("stg_orders"), Incremental("order_date"))
+
+    ModelGraph.run(spark, Seq(staging, inc), sources, dir)
+    assert(spark.read.parquet(s"$dir/fct_inc").count() == 3) // bootstrap full build
+
+    val more = Map("orders" -> (sources("orders") unionByName Seq(
+      (4L, "2024-01-03", 7.0), (0L, "2023-12-31", 1.0)) // one new, one late
+      .toDF("order_id", "order_date", "total")))
+    ModelGraph.run(spark, Seq(staging, inc), more, dir)
+    val ids = spark.read.parquet(s"$dir/fct_inc")
+      .select("order_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L)) // late row 0 filtered, no re-appends
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+import graft.sources.Sources
+
+class SourcesSpec extends SparkSpec {
+
+  test("readJsonEnvelope explodes the data array with the declared schema") {
+    val dir = Files.createTempDirectory("env").toString
+    val json =
+      """{"metadata": {"table": "customers", "recordCount": 2,
+        |              "generatedAt": "2024-01-01T00:00:00", "version": "1.0"},
+        | "data": [
+        |  {"customer_id": "C1", "name": "Ann", "address": {"city": "Berlin", "zip": "10115"},
+        |   "tags": ["a", "b"]},
+        |  {"customer_id": "C2", "name": "Bo", "address": {"city": "Paris", "zip": "75001"},
+        |   "tags": []}
+        | ]}""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$dir/customers.json"), json)
+    val record = StructType(Seq(
+      StructField("customer_id", StringType),
+      StructField("name", StringType),
+      StructField("address", StructType(Seq(
+        StructField("city", StringType), StructField("zip", StringType)))),
+      StructField("tags", ArrayType(StringType))))
+    val df = Sources.readJsonEnvelope(spark, s"$dir/customers.json", record)
+    assert(df.count() == 2)
+    assert(df.columns.toSeq == Seq("customer_id", "name", "address", "tags"))
+
+    val flat = Sources.flatten(df)
+    assert(flat.columns.toSeq == Seq("customer_id", "name", "address_city", "address_zip", "tags"))
+    val r = flat.orderBy("customer_id").collect()
+    assert(r(0).getAs[String]("address_city") == "Berlin")
+    assert(r(0).getAs[String]("tags") == """["a","b"]""") // array → JSON string
+  }
+
+  test("readCsv applies the declared schema without inference") {
+    val dir = Files.createTempDirectory("csv").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"),
+      "id,qty,price\n1,2,3.5\n2,notanum,4.25\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", IntegerType),
+      StructField("price", DoubleType)))
+    val df = Sources.readCsv(spark, s"$dir/t.csv", schema)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(1).isNullAt(1)) // malformed int → null (non-ANSI)
+    assert(rows(0).getDouble(2) == 3.5)
+  }
+
+  test("upperColumns uppercases every column name") {
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("order_id", "status")
+    assert(Sources.upperColumns(df).columns.toSeq == Seq("ORDER_ID", "STATUS"))
+  }
+}

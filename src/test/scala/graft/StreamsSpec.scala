@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+class StreamsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumblingCounts aggregates a micro-batched stream by window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.tumblingCounts(in.toDF(), "1 day", "2 days")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Update).start()
+    in.addData(
+      Event(ts("2024-01-01 01:00:00"), 1, "view", 1.0),
+      Event(ts("2024-01-01 02:00:00"), 2, "view", 2.0),
+      Event(ts("2024-01-02 01:00:00"), 1, "click", 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("tumbling")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set(
+      (ts("2024-01-01 00:00:00"), "view", 2L, 3.0),
+      (ts("2024-01-02 00:00:00"), "click", 1L, 4.0)))
+  }
+
+  test("sessionize closes a session after the inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.sessionize(in.toDS(), gapMs = 30 * 60 * 1000).writeStream
+      .format("memory").queryName("sessions").outputMode(OutputMode.Append).start()
+    // session 1: two events 10 min apart; then 2h silence ends it
+    in.addData(
+      Event(ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+      Event(ts("2024-01-01 10:10:00"), 7, "click", 2.0))
+    q.processAllAvailable()
+    in.addData(Event(ts("2024-01-01 12:00:00"), 7, "view", 5.0))
+    q.processAllAvailable()
+    // push the event-time watermark far enough to time out session 2 as well
+    in.addData(Event(ts("2024-01-02 00:00:00"), 8, "view", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(ts("2024-01-03 00:00:00"), 8, "view", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("sessions")
+      .select("user_id", "session_start", "n_events", "total_value")
+      .as[(Long, Timestamp, Long, Double)].collect().toSet
+    q.stop()
+    assert(got.contains((7L, ts("2024-01-01 10:00:00"), 2L, 3.0)))
+    assert(got.contains((7L, ts("2024-01-01 12:00:00"), 1L, 5.0)))
+  }
+
+  test("streamingDedup drops repeated keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.streamingDedup(in.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Event(ts("2024-01-01 01:00:00"), 1, "view", 1.0),
+      Event(ts("2024-01-01 01:00:00"), 1, "view", 9.0),
+      Event(ts("2024-01-01 01:00:00"), 2, "view", 2.0))
+    q.processAllAvailable()
+    val n = spark.table("dedup").count()
+    q.stop()
+    assert(n == 2)
+  }
+}
