@@ -18,6 +18,23 @@ object Text {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** BPE-ish subword chunk count: letter runs, digit runs, punctuation runs
+    * — the pre-tokenizer split pattern BPE vocabularies are trained over.
+    * Same RE2-compatible pattern evaluates identically in other engines. */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit(bpePattern), lit(0)))
+
+  /** Order-sensitive polynomial rolling hash over the token stream
+    * (Rabin–Karp): h ← (h·31 + hash60(token) mod 10^6) mod p. Unlike the
+    * set-based [[fingerprint]], token ORDER changes the value. Sequential
+    * fold — bit-identical in any engine with a left fold. */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      transform(tokens(normalized(c)), t => Vectors.hash60(t) % lit(1000000L)),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % lit(1073741789L))
+
   /** Canonical text: lowercase, whitespace collapsed. */
   def normalized(c: Column): Column =
     lower(regexp_replace(trim(c), "\\s+", " "))

@@ -49,7 +49,9 @@ object RelationalQueries {
     "u2_union_dates" -> u2UnionDates,
     "inc_high_watermark" -> incHighWatermark,
     "st_tumbling_window" -> stTumblingWindow,
-    "s9_catalog_counts" -> s9CatalogCounts
+    "s9_catalog_counts" -> s9CatalogCounts,
+    "qa_unique_violations" -> qaUniqueViolations,
+    "runner_daily_sales" -> runnerDailySales
   )
 
   // ---------------------------------------------------------------- q1 ----
@@ -436,6 +438,44 @@ object RelationalQueries {
     }.reduce(_.unionByName(_)).orderBy($"table_name")
   }
 
+  /** §5 quality gate as a query: dbt `unique` violations — key combinations
+    * appearing more than once (store_failures shape: the failing rows). */
+  private val qaUniqueViolations: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Quality
+      .unique(Tables(s, dir, "events"), Seq("user_id", "event_type"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** S10/§3: the layered dbt-run analog — a staging→intermediate→mart DAG
+    * composed through [[graft.plans.ModelGraph]]; views inline into ONE
+    * Catalyst plan, so filters/pruning cross model boundaries. */
+  private val runnerDailySales: Q = (s, dir) => {
+    import s.implicits._
+    import graft.plans.ModelGraph
+    val models = Seq(
+      ModelGraph.Model("stg_orders", Seq("orders"), deps =>
+        deps("orders").select(
+          $"o_orderkey".as("order_id"),
+          $"o_custkey".as("customer_id"),
+          $"o_orderdate".cast("date").as("order_date"),
+          F.money($"o_totalprice").as("order_total"))),
+      ModelGraph.Model("int_orders_customers", Seq("stg_orders", "customer"), deps =>
+        deps("stg_orders").join(
+          deps("customer").select($"c_custkey".as("customer_id"), $"c_mktsegment"),
+          Seq("customer_id"), "left")),
+      ModelGraph.Model("fct_daily_sales", Seq("int_orders_customers"), deps =>
+        deps("int_orders_customers")
+          .groupBy($"order_date", $"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            countDistinct($"customer_id").as("n_customers"),
+            sum($"order_total").cast("decimal(38,2)").as("total_sales"))))
+    ModelGraph.compose(models,
+      Map("orders" -> Tables(s, dir, "orders"), "customer" -> Tables(s, dir, "customer")))
+      .apply("fct_daily_sales")
+      .orderBy($"order_date", $"c_mktsegment")
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles — identical column names + ORDER BY as the Spark side.
   // ---------------------------------------------------------------------
@@ -640,6 +680,27 @@ object RelationalQueries {
       names.map(n => s"SELECT '$n' AS table_name, COUNT(*) AS n_rows FROM $n")
         .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
     },
+
+    "qa_unique_violations" ->
+      """SELECT user_id, event_type, COUNT(*) AS n_rows
+        |FROM events GROUP BY 1, 2 HAVING COUNT(*) > 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "runner_daily_sales" ->
+      """WITH stg_orders AS (
+        | SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS order_total
+        | FROM orders),
+        |int_orders_customers AS (
+        | SELECT s.*, c.c_mktsegment
+        | FROM stg_orders s LEFT JOIN customer c ON s.customer_id = c.c_custkey)
+        |SELECT order_date, c_mktsegment,
+        | COUNT(*) AS n_orders,
+        | COUNT(DISTINCT customer_id) AS n_customers,
+        | CAST(SUM(order_total) AS DECIMAL(38,2)) AS total_sales
+        |FROM int_orders_customers
+        |GROUP BY 1, 2 ORDER BY order_date, c_mktsegment""".stripMargin,
 
     "m_upsert_keyed" ->
       """WITH latest_view AS (

@@ -24,23 +24,26 @@ object TextQueries {
     "dedup_exact" -> dedupExact
   )
 
-  /** Token + char counting (whitespace tokenizer). */
+  /** Token + char counting: whitespace tokens and BPE-ish subword chunks. */
   private val textTokens: Q = (s, dir) => {
     import s.implicits._
     Tables(s, dir, "documents").select(
         $"doc_id",
         Text.tokenCount($"text").as("n_tokens"),
+        Text.bpeTokenCount($"text").as("n_bpe_chunks"),
         Text.charCount($"text").as("n_chars_actual"),
         $"n_chars")
       .orderBy($"doc_id")
   }
 
-  /** Deterministic md5 fingerprint of normalized text. */
+  /** Deterministic fingerprints: order-insensitive md5 of normalized text
+    * plus the order-sensitive polynomial rolling hash. */
   private val textFingerprint: Q = (s, dir) => {
     import s.implicits._
     Tables(s, dir, "documents").select(
         $"doc_id",
-        Text.fingerprint($"text").as("fingerprint"))
+        Text.fingerprint($"text").as("fingerprint"),
+        Text.rollingHash($"text").as("rolling_hash"))
       .orderBy($"doc_id")
   }
 
@@ -109,12 +112,16 @@ object TextQueries {
     "text_tokens" ->
       s"""SELECT doc_id,
          | len($tokensSql) AS n_tokens,
+         | CAST(len(regexp_extract_all(lower(text), '${Text.bpePattern}')) AS INT) AS n_bpe_chunks,
          | length(text) AS n_chars_actual,
          | n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
-      s"""SELECT doc_id, md5($normSql) AS fingerprint
+      s"""SELECT doc_id, md5($normSql) AS fingerprint,
+         | list_reduce(list_prepend(0::BIGINT,
+         |   [CAST(CONCAT('0x', SUBSTR(md5(t), 1, 15)) AS BIGINT) % 1000000 FOR t IN $normTokensSql]),
+         |   (a, b) -> (a * 31 + b) % 1073741789) AS rolling_hash
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_langid" -> {
