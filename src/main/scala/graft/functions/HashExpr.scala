@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass hash-sketch expressions.
+  *
+  * Why custom expressions: the composable forms re-evaluate shared
+  * subtrees. 32 `aggregate(...)` calls over the same `transform(split(...))`
+  * array get the split/md5 pipeline INLINED 32× by CollapseProject, and
+  * higher-order functions run interpreted — measured minutes per 5k docs.
+  * Each expression here consumes the token/shingle hash array ONCE and
+  * computes the whole sketch in one compiled loop.
+  *
+  * Evaluation is plain compiled Scala behind [[CodegenFallback]] — the
+  * hot loop is already JVM-compiled; fallback only costs a virtual call
+  * per row.
+  */
+object HashSketch {
+  /** The 60-bit md5 hash used everywhere, computed driver-side (for
+    * constants like LSH planes and permutation coefficients). Matches
+    * [[Vectors.hash60]] / `CAST(CONCAT('0x', SUBSTR(md5(x),1,15)) AS
+    * BIGINT)` exactly. */
+  def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  val MinHashPrime = 1073741789L
+
+  /** Universal-hash permutation coefficients, derived from md5 so any
+    * engine can re-derive them: a_p = 1 + h60("a<p>") % (P-1),
+    * b_p = h60("b<p>") % P. */
+  def permCoefficients(perms: Int): (Array[Long], Array[Long]) = (
+    Array.tabulate(perms)(p => 1L + hash60(s"a$p") % (MinHashPrime - 1)),
+    Array.tabulate(perms)(p => hash60(s"b$p") % MinHashPrime))
+
+  /** Deterministic hyperplane for LSH: component i = h60("<seed>_<i>")
+    * mapped to [-1, 1]. */
+  def plane(dim: Int, seed: Int): Array[Double] =
+    Array.tabulate(dim)(i => (hash60(s"${seed}_$i") % 2000001L).toDouble / 1000000.0 - 1.0)
+}
+
+/** 32-bit frequency-weighted SimHash from an `array<long>` of token hashes:
+  * bit j = sign of Σ_tokens (bit j of hash ? +1 : -1). One pass. */
+case class SimHash32Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val weights = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < 32) {
+          weights(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      if (weights(j) >= 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash32Expr = copy(c)
+}
+
+/** MinHash LSH band keys from an `array<long>` of shingle hashes.
+  *
+  * Universal-hash family instead of per-permutation md5 re-hashing: each
+  * shingle is md5-hashed ONCE upstream; permutation p maps it through
+  * (a_p · (h mod P) + b_p) mod P. One pass computes all `perms` minima,
+  * then emits `bands` keys "b:min_min_min_min". */
+case class MinHashBandKeysExpr(child: Expression, perms: Int, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(perms % bands == 0, "perms must divide into bands")
+  private val rowsPerBand = perms / bands
+  @transient private lazy val (as, bs) = HashSketch.permCoefficients(perms)
+  private val P = HashSketch.MinHashPrime
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val mins = Array.fill(perms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val base = hs.getLong(i) % P
+        var p = 0
+        while (p < perms) {
+          val v = (as(p) * base + bs(p)) % P
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder
+      sb.append(b).append(':')
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append('_')
+        sb.append(mins(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashBandKeysExpr =
+    copy(child = c)
+}
+
+/** Fused dot product of an `array<float>` column with a CONSTANT double[]
+  * (LSH hyperplanes): (double)vec[i] · w[i], summed left-to-right — the
+  * same arithmetic an engine computing from the md5-derived plane gets. */
+case class FloatDotWeightsExpr(child: Expression, weights: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_dot_weights"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), weights.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) s += v.getFloat(i).toDouble * weights(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildInternal(c: Expression): FloatDotWeightsExpr =
+    copy(child = c)
+}
+
+object HashExpr {
+  def simhash32(tokenHashes: Column): Column =
+    org.apache.spark.sql.GraftExprBridge.column(SimHash32Expr(org.apache.spark.sql.GraftExprBridge.expression(tokenHashes)))
+
+  def minhashBandKeys(shingleHashes: Column, perms: Int, bands: Int): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      MinHashBandKeysExpr(org.apache.spark.sql.GraftExprBridge.expression(shingleHashes), perms, bands))
+
+  def floatDotWeights(vec: Column, weights: Array[Double]): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      FloatDotWeightsExpr(org.apache.spark.sql.GraftExprBridge.expression(vec), weights))
+}

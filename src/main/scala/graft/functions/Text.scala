@@ -59,42 +59,25 @@ object Text {
 
   // ---- minhash / simhash -------------------------------------------------
 
-  /** MinHash value for one permutation: min over the shingle set of a
-    * 60-bit md5-derived hash salted with the permutation index. The salt is
-    * `"<perm>|<shingle>"`, replayable in any engine with md5. */
-  def minhash(shingles: Column, perm: Int): Column =
-    array_min(transform(shingles,
-      s => Vectors.hash60(concat(lit(perm.toString), lit("|"), s))))
+  /** One md5-derived 60-bit hash per shingle — computed ONCE; permutations
+    * are cheap affine maps inside [[MinHashBandKeysExpr]]. */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => Vectors.hash60(s))
 
-  /** Full signature as `perms` separate columns (caller arranges banding). */
-  def minhashSig(shingles: Column, perms: Int): Seq[Column] =
-    (0 until perms).map(p => minhash(shingles, p))
-
-  /** LSH band keys: `bands` strings, each `"<band>:<sig_i>_..._<sig_j>"`.
+  /** LSH band keys: `bands` strings, each `"<band>:<min>_..._<min>"`.
     * Docs sharing any band key become candidate pairs — the classic
-    * shingle→minhash→band→bucket-join dedup at any scale. */
-  def minhashBands(shingles: Column, perms: Int, bands: Int): Column = {
-    val sig = minhashSig(shingles, perms)
-    val rowsPerBand = perms / bands
-    array((0 until bands).map { b =>
-      concat(lit(b.toString), lit(":"),
-        concat_ws("_", sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
-          .map(_.cast("string")): _*))
-    }: _*)
-  }
+    * shingle→minhash→band→bucket-join dedup at any scale. Single-pass
+    * custom expression; md5 per shingle evaluated exactly once. */
+  def minhashBands(shingles: Column, perms: Int, bands: Int): Column =
+    HashExpr.minhashBandKeys(shingleHashes(shingles), perms, bands)
 
   /** Frequency-weighted 32-bit SimHash over whitespace tokens. Each token
     * hashes to 60 bits; bit j of the result is the sign of
-    * sum over tokens of (bit j of hash ? +1 : -1). */
-  def simhash32(c: Column): Column = {
-    val hashed = transform(tokens(normalized(c)),
-      t => Vectors.hash60(concat(lit("simhash|"), t)))
-    (0 until 32).map { j =>
-      val weight = aggregate(hashed, lit(0),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
-      when(weight >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+    * sum over tokens of (bit j of hash ? +1 : -1). Single-pass custom
+    * expression over the hashed-token array. */
+  def simhash32(c: Column): Column =
+    HashExpr.simhash32(transform(tokens(normalized(c)),
+      t => Vectors.hash60(concat(lit("simhash|"), t))))
 
   // ---- language ID -------------------------------------------------------
   // Marker-word heuristic: count distinct marker hits per language over the

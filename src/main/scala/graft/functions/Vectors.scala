@@ -22,6 +22,20 @@ object Vectors {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Fused float-array dot product — custom codegen'd Catalyst expression
+    * ([[FloatDotProduct]]): no intermediate arrays, bit-identical result to
+    * [[dot]] (same widening + summation order). The hot-path form for
+    * pairwise similarity joins. */
+  def fdot(a: Column, b: Column): Column = VecExpr.fdot(a, b)
+
+  def fnorm(a: Column): Column = sqrt(fdot(a, a))
+
+  /** Cosine from a fused dot and PREcomputed norms — in a pairwise join,
+    * compute each side's norm once per row before the join, not once per
+    * candidate pair. */
+  def cosinePrenormed(dotAb: Column, normA: Column, normB: Column): Column =
+    dotAb / (normA * normB)
+
   /** 60-bit deterministic hash of a string column: first 15 hex digits of
     * md5 as a long. md5 (unlike xxhash64) exists in every engine, so
     * LSH/minhash built on it is replayable bit-for-bit by the DuckDB oracle:
@@ -30,17 +44,13 @@ object Vectors {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Random-hyperplane LSH bit: sign of dot(v, plane) for a deterministic
-    * pseudo-random plane derived from (seed, index). Used to bucket vectors
-    * so near-duplicate search joins within buckets instead of n². */
-  def hyperplaneBit(v: Column, dim: Int, seed: Int): Column = {
-    // Deterministic plane: component i = hash60(seed || '_' || i) mapped to
-    // [-1, 1]. Stable across runs, cluster nodes, and engines.
-    val plane = transform(
-      sequence(lit(0), lit(dim - 1)),
-      i => (pmod(hash60(concat(lit(seed.toString), lit("_"), i.cast("string"))),
-        lit(2000001L)).cast("double") / lit(1000000.0)) - lit(1.0))
-    (aggregate(zip_with(d(v), plane, (x, p) => x * p), lit(0.0), (acc, x) => acc + x) >= 0).cast("int")
-  }
+    * pseudo-random plane derived from (seed, index) — component i =
+    * hash60(seed || '_' || i) mapped to [-1, 1], same in every engine.
+    * The plane is CONSTANT per query, so it's materialized driver-side and
+    * fused into a single-pass dot ([[FloatDotWeightsExpr]]) instead of
+    * being re-derived per row per bit. */
+  def hyperplaneBit(v: Column, dim: Int, seed: Int): Column =
+    (HashExpr.floatDotWeights(v, HashSketch.plane(dim, seed)) >= 0).cast("int")
 
   /** k-bit signature as a string bucket key. */
   def hyperplaneBucket(v: Column, dim: Int, bits: Int, seed: Int): Column =

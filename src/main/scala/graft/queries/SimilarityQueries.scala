@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.functions.{Text, Vectors}
+import graft.functions.{HashSketch, Text, Vectors}
 
 /** Near-duplicate detection + similarity search — the training-data-pipeline
   * operators: n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine
@@ -50,9 +50,17 @@ object SimilarityQueries {
     "ann_lsh_bucket" -> annLshBucket
   )
 
+  /** documents/embeddings arrive as ONE parquet file at test scale, so a
+    * compute-heavy projection would run in one task. Spread rows across
+    * the cluster before per-row-expensive work; at real scale the source
+    * has many splits and this shuffle is a no-op cost-wise relative to the
+    * projection it parallelizes. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables(s, dir, "documents")
+    spread(Tables(s, dir, "documents"))
       .select($"doc_id", Text.shingleSet($"text", ShingleN).as("sh"))
   }
 
@@ -104,7 +112,7 @@ object SimilarityQueries {
     * band join (pigeonhole-complete for that radius). */
   private val dedupSimhash: Q = (s, dir) => {
     import s.implicits._
-    val sh = Tables(s, dir, "documents")
+    val sh = spread(Tables(s, dir, "documents"))
       .select($"doc_id", Text.simhash32($"text").as("simhash"))
     val banded = sh.select($"doc_id", $"simhash",
       explode(array((0 until SimhashBands).map { b =>
@@ -125,14 +133,18 @@ object SimilarityQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** Embedding near-dup: all pairs with cosine ≥ t (brute-force exact). */
+  /** Embedding near-dup: all pairs with cosine ≥ t (brute-force exact).
+    * Norms are precomputed per ROW before the pair join (O(n) work), so the
+    * per-pair cost is a single fused dot product. */
   private val embNeardup: Q = (s, dir) => {
     import s.implicits._
-    val emb = Tables(s, dir, "embeddings")
-    val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
-    val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+    val emb = spread(Tables(s, dir, "embeddings"))
+    val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"),
+      Vectors.fnorm($"embedding").as("na"))
+    val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"),
+      Vectors.fnorm($"embedding").as("nb"))
     a.join(b, $"vec_a" < $"vec_b")
-      .filter(Vectors.cosine($"ea", $"eb") >= CosineT)
+      .filter(Vectors.cosinePrenormed(Vectors.fdot($"ea", $"eb"), $"na", $"nb") >= CosineT)
       .select($"vec_a", $"vec_b")
       .orderBy($"vec_a", $"vec_b")
   }
@@ -142,13 +154,16 @@ object SimilarityQueries {
     * float-free; ties broken by neighbor_id. */
   private val annTopK: Q = (s, dir) => {
     import s.implicits._
-    val emb = Tables(s, dir, "embeddings")
+    val emb = spread(Tables(s, dir, "embeddings"))
     val q = emb.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-    val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"))
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        Vectors.fnorm($"embedding").as("qn"))
+    val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"),
+      Vectors.fnorm($"embedding").as("nn"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
     broadcast(q).join(n, $"query_id" =!= $"neighbor_id")
-      .withColumn("cos", Vectors.cosine($"qe", $"ne"))
+      .withColumn("cos",
+        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= AnnK)
       .select($"query_id", $"rank", $"neighbor_id")
@@ -159,15 +174,17 @@ object SimilarityQueries {
     * neighbors are ranked only within the query's bucket. */
   private val annLshBucket: Q = (s, dir) => {
     import s.implicits._
-    val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding",
-      Vectors.hyperplaneBucket($"embedding", EmbDim, LshBits, LshSeed).as("bucket"))
+    val emb = spread(Tables(s, dir, "embeddings")).select($"vec_id", $"embedding",
+      Vectors.hyperplaneBucket($"embedding", EmbDim, LshBits, LshSeed).as("bucket"),
+      Vectors.fnorm($"embedding").as("nrm"))
     val q = emb.filter($"vec_id" < 50)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket")
-    val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"bucket")
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket", $"nrm".as("qn"))
+    val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"bucket", $"nrm".as("nn"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
     broadcast(q).join(n, Seq("bucket"))
       .filter($"query_id" =!= $"neighbor_id")
-      .withColumn("cos", Vectors.cosine($"qe", $"ne"))
+      .withColumn("cos",
+        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
       .select($"query_id", $"rank", $"neighbor_id")
@@ -226,7 +243,10 @@ object SimilarityQueries {
     "dedup_minhash_lsh" ->
       s"""WITH $shinglesCte,
          |sig AS (SELECT doc_id,
-         |  [list_min([${hash60Sql("CONCAT(p, '|', s)")} FOR s IN sh]) FOR p IN range(0, $Perms)] sig
+         |  [list_min([((1 + ${hash60Sql("CONCAT('a', p)")} % ${HashSketch.MinHashPrime - 1})
+         |              * (${hash60Sql("s")} % ${HashSketch.MinHashPrime})
+         |              + ${hash60Sql("CONCAT('b', p)")} % ${HashSketch.MinHashPrime})
+         |             % ${HashSketch.MinHashPrime} FOR s IN sh]) FOR p IN range(0, $Perms)] sig
          |  FROM shd),
          |bands AS (SELECT doc_id,
          |  unnest([CONCAT(b, ':', array_to_string(sig[4*b+1 : 4*b+4], '_')) FOR b IN range(0, $Bands)]) band

@@ -64,6 +64,21 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(1) - 0.974631846) < 1e-8)
   }
 
+  test("fdot (codegen expression) is bit-identical to the HOF dot") {
+    import spark.implicits._
+    val vecs = (0 until 50).map(i =>
+      (Seq.tabulate(64)(j => ((i * 31 + j * 7) % 100 / 37.0f) - 1.0f),
+       Seq.tabulate(64)(j => ((i * 13 + j * 3) % 100 / 41.0f) - 1.0f)))
+    val df = vecs.toDF("a", "b")
+    val rows = df.select(
+      Vectors.dot($"a", $"b").as("hof"),
+      Vectors.fdot($"a", $"b").as("fused")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("hyperplaneBucket is deterministic") {
     import spark.implicits._
     val df = Seq(Seq.fill(8)(0.5f), Seq.fill(8)(-0.5f)).toDF("v")
