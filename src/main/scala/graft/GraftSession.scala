@@ -22,7 +22,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // 8 MB: dims (nation/region/lookups) broadcast; anything bigger
+      // shuffles. Larger thresholds measured badly here — the driver builds
+      // each hashed relation single-threaded, and at cluster scale an
+      // oversized broadcast ships to every executor.
+      .config("spark.sql.autoBroadcastJoinThreshold", (8 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type, so

@@ -136,6 +136,57 @@ case class MinHashBandKeysExpr(child: Expression, perms: Int, bands: Int)
     copy(child = c)
 }
 
+/** Distinct word n-gram shingles from an `array<string>` token column, in
+  * one compiled pass.
+  *
+  * The composable form — `transform(sequence(0, size(toks)-n), i =>
+  * array_join(slice(toks, i+1, n), ' '))` — holds the TOKEN subtree inside
+  * the lambda body while iterating a `sequence`, so the upstream
+  * split/regex pipeline re-evaluates once per shingle POSITION per row
+  * (measured: minutes over 5k docs). Here tokens evaluate once; shingles
+  * build off a materialized array with first-occurrence dedup (same order
+  * `array_distinct` yields).
+  *
+  * For token arrays shorter than n: one shingle = the whole joined text
+  * (so every non-empty doc has ≥ 1 shingle). */
+case class ShingleSetExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_set"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    def tok(i: Int): String =
+      if (toks.isNullAt(i)) "" else toks.getUTF8String(i).toString
+    val seen = new java.util.LinkedHashSet[String]
+    if (m < n) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < m) { if (i > 0) sb.append(' '); sb.append(tok(i)); i += 1 }
+      seen.add(sb.toString)
+    } else {
+      var i = 0
+      while (i + n <= m) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(tok(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleSetExpr =
+    copy(child = c)
+}
+
 /** Fused dot product of an `array<float>` column with a CONSTANT double[]
   * (LSH hyperplanes): (double)vec[i] · w[i], summed left-to-right — the
   * same arithmetic an engine computing from the md5-derived plane gets. */
@@ -161,6 +212,10 @@ case class FloatDotWeightsExpr(child: Expression, weights: Array[Double])
 }
 
 object HashExpr {
+  def shingleSet(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      ShingleSetExpr(org.apache.spark.sql.GraftExprBridge.expression(tokens), n))
+
   def simhash32(tokenHashes: Column): Column =
     org.apache.spark.sql.GraftExprBridge.column(SimHash32Expr(org.apache.spark.sql.GraftExprBridge.expression(tokenHashes)))
 

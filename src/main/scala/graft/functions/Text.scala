@@ -43,19 +43,11 @@ object Text {
     * Used for exact dedup keys and cheap equality pre-filter. */
   def fingerprint(c: Column): Column = md5(normalized(c))
 
-  /** Word n-gram shingles: array of n-token windows joined by a space.
-    * For token arrays shorter than n, a single shingle = whole text. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = tokens(normalized(c))
-    when(size(toks) < n, array(array_join(toks, " ")))
-      .otherwise(
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-  }
-
-  /** Distinct shingle set (for Jaccard / MinHash). */
-  def shingleSet(c: Column, n: Int): Column = array_distinct(wordShingles(c, n))
+  /** Distinct word n-gram shingle set (for Jaccard / MinHash) — one
+    * compiled pass ([[ShingleSetExpr]]); tokens shorter than n collapse to
+    * a single whole-text shingle. */
+  def shingleSet(c: Column, n: Int): Column =
+    HashExpr.shingleSet(tokens(normalized(c)), n)
 
   // ---- minhash / simhash -------------------------------------------------
 

@@ -71,7 +71,11 @@ object SimilarityQueries {
     import s.implicits._
     val shd = shingled(s, dir)
     val inv = shd.select($"doc_id", explode($"sh").as("shingle"))
-    val inter = inv.as("a")
+    // shuffle_hash, not broadcast: the exploded index is ~50x the doc count
+    // (Catalyst underestimates post-explode size and would broadcast it;
+    // building + shipping that hashed relation measured 10x slower than
+    // hash-partitioning both sides, and only gets worse with scale).
+    val inter = inv.as("a").hint("shuffle_hash")
       .join(inv.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -93,7 +97,7 @@ object SimilarityQueries {
     val shd = shingled(s, dir)
     val bands = shd.select($"doc_id",
       explode(Text.minhashBands($"sh", Perms, Bands)).as("band"))
-    val cand = bands.as("a")
+    val cand = bands.as("a").hint("shuffle_hash")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -121,7 +125,7 @@ object SimilarityQueries {
       }: _*)).as("band"))
       .select($"doc_id", $"simhash",
         $"band.band_id".as("band_id"), $"band.band_val".as("band_val"))
-    banded.as("a")
+    banded.as("a").hint("shuffle_hash")
       .join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_val") === col("b.band_val") &&
