@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.F
+
+/** Advanced-analytics operators beyond the reference's surface: multi-level
+  * aggregation (ROLLUP), event-time session & sliding windows as batch
+  * group-bys, exact percentiles, and pivot. Each has an exact DuckDB oracle
+  * (the windows are expressed as gaps-and-islands / shifted tumbling
+  * buckets; pivot as conditional aggregation).
+  */
+object AnalyticsQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "agg_rollup" -> aggRollup,
+    "st_session_window" -> stSessionWindow,
+    "st_sliding_window" -> stSlidingWindow,
+    "p_percentile" -> pPercentile,
+    "pv_pivot" -> pvPivot
+  )
+
+  /** ROLLUP over (status, priority): per-group, per-status, and grand
+    * totals in one pass (Expand + single shuffle — no re-scan per level). */
+  private val aggRollup: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(F.money($"o_totalprice")).cast("decimal(38,2)").as("total"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** Event-time session windows (30-min inactivity gap) as a batch
+    * aggregate — the batch twin of streaming sessionization
+    * (graft.streaming.Streams.sessionize). Spark merges events whose
+    * timestamp is strictly inside the previous event's [ts, ts+gap). */
+  private val stSessionWindow: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(F.money($"value")).cast("decimal(38,2)").as("total_value"))
+      .select($"user_id", $"w.start".cast("timestamp_ntz").as("session_start"),
+        $"n_events", $"total_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** Sliding window: 2-day windows advancing by 1 day — every event lands
+    * in exactly two windows (Expand, no self-join). */
+  private val stSlidingWindow: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy(window($"ts", "2 days", "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .select($"w.start".cast("timestamp_ntz").as("window_start"),
+        $"n_events", $"n_users")
+      .orderBy($"window_start")
+  }
+
+  /** Exact percentiles (linear interpolation) per group. */
+  private val pPercentile: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("median"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Pivot: order counts by priority × status → one column per status. */
+  private val pvPivot: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .orderBy($"o_orderpriority")
+  }
+
+  def oracle: Map[String, String] = Map(
+    "agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "st_session_window" ->
+      """WITH marks AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        | SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM marks)
+        |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "st_sliding_window" ->
+      """WITH assigned AS (
+        | SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, user_id FROM events
+        | UNION ALL
+        | SELECT CAST(date_trunc('day', ts) - INTERVAL 1 DAY AS TIMESTAMP), user_id FROM events)
+        |SELECT window_start, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        |FROM assigned GROUP BY 1 ORDER BY window_start""".stripMargin,
+
+    "p_percentile" ->
+      """SELECT o_orderstatus,
+        | quantile_cont(o_totalprice, 0.25) AS p25,
+        | quantile_cont(o_totalprice, 0.5) AS median,
+        | quantile_cont(o_totalprice, 0.75) AS p75,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "pv_pivot" ->
+      """SELECT o_orderpriority,
+        | COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        | COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        | COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+  )
+}
