@@ -21,7 +21,8 @@ object AnalyticsQueries {
     "st_session_window" -> stSessionWindow,
     "st_sliding_window" -> stSlidingWindow,
     "p_percentile" -> pPercentile,
-    "pv_pivot" -> pvPivot
+    "pv_pivot" -> pvPivot,
+    "a_stats_moments" -> aStatsMoments
   )
 
   /** ROLLUP over (status, priority): per-group, per-status, and grand
@@ -86,7 +87,54 @@ object AnalyticsQueries {
       .orderBy($"o_orderpriority")
   }
 
+  /** Statistical moments the DETERMINISTIC way: stddev/variance/correlation
+    * from exact decimal/integer power sums, converted to double only in the
+    * final closed-form formulas. Built-in stddev/corr merge partial states
+    * in partition order (float, nondeterministic across engines/runs);
+    * exact sums are order-free, so this matches any engine bit-for-bit. */
+  private val aStatsMoments: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(F.money($"o_totalprice")).cast("decimal(38,2)").as("sx"),
+        sum(F.money($"o_totalprice") * F.money($"o_totalprice")).cast("decimal(38,4)").as("sxx"),
+        sum($"o_custkey").as("sy"),
+        sum($"o_custkey" * $"o_custkey").as("syy"),
+        sum(F.money($"o_totalprice") * $"o_custkey").cast("decimal(38,2)").as("sxy"))
+      .select($"o_orderstatus", $"n",
+        ($"sx".cast("double") / $"n").as("mean_price"),
+        (($"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double") / $"n") / ($"n" - 1))
+          .as("var_price"),
+        sqrt(($"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double") / $"n") / ($"n" - 1))
+          .as("std_price"),
+        (($"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double") / $"n")
+          / sqrt(($"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double") / $"n")
+            * ($"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double") / $"n")))
+          .as("corr_price_cust"))
+      .orderBy($"o_orderstatus")
+  }
+
   def oracle: Map[String, String] = Map(
+    "a_stats_moments" ->
+      """WITH sums AS (
+        | SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sx,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sxx,
+        |  SUM(o_custkey) AS sy,
+        |  SUM(o_custkey * o_custkey) AS syy,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * o_custkey) AS DECIMAL(38,2)) AS sxy
+        | FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, n,
+        | CAST(sx AS DOUBLE) / n AS mean_price,
+        | (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS var_price,
+        | sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) AS std_price,
+        | (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |  / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |         * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS corr_price_cust
+        |FROM sums ORDER BY o_orderstatus""".stripMargin,
+
     "agg_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total

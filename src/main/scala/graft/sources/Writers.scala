@@ -1,0 +1,43 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sinks — SURVEY.md §2.1 S4-S5: header CSV and the CSV+JSON-metadata pair
+  * the reference persists per ingested table
+  * (ref: 0_ingest_historic_synthetic_data.py:173-202,270-285).
+  */
+object Writers {
+
+  /** S4: header CSV. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Canonical columnar sink. */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S5: data + sidecar metadata JSON (row count, column names/types, and
+    * the min of a date column if given) — the reference's per-table ingest
+    * manifest. Count and min compute in ONE distributed aggregate pass;
+    * only the 1-row summary reaches the driver. */
+  def writeCsvWithMetadata(df: DataFrame, path: String,
+      metadataPath: String, minDateColumn: Option[String] = None): Unit = {
+    writeCsv(df, path)
+    val aggs = count(lit(1)).as("n") +:
+      minDateColumn.map(c => min(col(c)).cast("string").as("min_date")).toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    val minDate = minDateColumn.map(_ => Option(row.getString(1)).getOrElse(""))
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val cols = df.schema.fields
+      .map(f => s"{${q(f.name)}: ${q(f.dataType.simpleString)}}")
+      .mkString("[", ",", "]")
+    val json = s"""{"record_count": $n, "columns": $cols""" +
+      minDate.map(d => s""", "min_date": ${q(d)}""").getOrElse("") + "}"
+    Files.createDirectories(Paths.get(metadataPath).getParent)
+    Files.writeString(Paths.get(metadataPath), json)
+  }
+}

@@ -58,6 +58,29 @@ class StreamsSpec extends SparkSpec {
     assert(got.contains((7L, ts("2024-01-01 12:00:00"), 1L, 5.0)))
   }
 
+  test("runAvailableNow drains a file source incrementally to parquet") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("avnow").toString
+    Seq(Event(ts("2024-01-01 01:00:00"), 1, "view", 1.0),
+      Event(ts("2024-01-01 02:00:00"), 2, "click", 2.0))
+      .toDS().write.parquet(s"$dir/in/batch0")
+    val in = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in/*")
+    Streams.runAvailableNow(in, s"$dir/ckpt", s"$dir/out")
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+    // second increment: only new files processed (checkpoint advances)
+    Seq(Event(ts("2024-01-02 01:00:00"), 3, "view", 3.0))
+      .toDS().write.parquet(s"$dir/in/batch1")
+    Streams.runAvailableNow(
+      spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+        .parquet(s"$dir/in/*"),
+      s"$dir/ckpt", s"$dir/out")
+    assert(spark.read.parquet(s"$dir/out").count() == 3)
+  }
+
   test("streamingDedup drops repeated keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
