@@ -83,8 +83,13 @@ class EcomPipelineSpec extends SparkSpec {
           "DEVICE_TYPE", "SESSION_ID"))
   }
 
-  private lazy val out: Map[String, DataFrame] =
-    ModelGraph.compose(Ecom.models(now, today), raw)
+  // Materialized once: assertions over the composed lazy DAG would re-run
+  // Catalyst analysis of the full 22-model plan per action (~7 min suite);
+  // run() writes Table models to parquet so each assertion reads a flat scan.
+  private lazy val out: Map[String, DataFrame] = {
+    val dir = java.nio.file.Files.createTempDirectory("ecom_out").toString
+    ModelGraph.run(spark, Ecom.models(now, today), raw, dir)
+  }
 
   test("the empty-addresses quirk holds: comma-less addresses parse blank") {
     assert(out("addresses").count() == 0)
