@@ -51,8 +51,13 @@ object RelationalQueries {
     "st_tumbling_window" -> stTumblingWindow,
     "s9_catalog_counts" -> s9CatalogCounts,
     "qa_unique_violations" -> qaUniqueViolations,
-    "runner_daily_sales" -> runnerDailySales
+    "runner_daily_sales" -> runnerDailySales,
+    "t_typed_dataset" -> tTypedDataset,
+    "a_approx_distinct" -> aApproxDistinct
   )
+
+  /** Row type for the typed-Dataset demonstration. */
+  final case class OrderRow(o_custkey: Long, o_orderstatus: String)
 
   // ---------------------------------------------------------------- q1 ----
   /** A1/A4/A5/A10 + P2 + pushdown filter (ref: fct_sales_by_date.sql:6-17
@@ -476,6 +481,32 @@ object RelationalQueries {
       .orderBy($"order_date", $"c_mktsegment")
   }
 
+  /** Typed `Dataset[T]` API: case-class Encoder, lambda filter, groupByKey
+    * — compile-time field checks where the schema is static. The lambda
+    * breaks codegen fusion (kept out of hot paths; here it IS the point). */
+  private val tTypedDataset: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .select($"o_custkey", $"o_orderstatus")
+      .as[OrderRow]
+      .filter(_.o_orderstatus == "F")
+      .groupByKey(_.o_custkey)
+      .count()
+      .toDF("o_custkey", "n_f_orders")
+      .orderBy($"o_custkey")
+  }
+
+  /** HLL sketch vs exact distinct — approximate results carry no oracle
+    * (engine-specific sketches); the driver records a rows-only check. */
+  private val aApproxDistinct: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(approx_count_distinct($"o_custkey").as("approx_customers"),
+        countDistinct($"o_custkey").as("exact_customers"))
+      .orderBy($"o_orderstatus")
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles — identical column names + ORDER BY as the Spark side.
   // ---------------------------------------------------------------------
@@ -680,6 +711,10 @@ object RelationalQueries {
       names.map(n => s"SELECT '$n' AS table_name, COUNT(*) AS n_rows FROM $n")
         .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
     },
+
+    "t_typed_dataset" ->
+      """SELECT o_custkey, COUNT(*) AS n_f_orders FROM orders
+        |WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY o_custkey""".stripMargin,
 
     "qa_unique_violations" ->
       """SELECT user_id, event_type, COUNT(*) AS n_rows
