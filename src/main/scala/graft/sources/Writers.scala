@@ -19,6 +19,38 @@ object Writers {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** S6: JDBC sink seam (connectivity is a deployment concern, SURVEY
+    * §7.5) — batched, optionally repartitioned to bound connection count. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      maxConnections: Int = 8): Unit =
+    (if (df.rdd.getNumPartitions > maxConnections)
+       df.coalesce(maxConnections) else df)
+      .write.mode(SaveMode.Overwrite)
+      .option("batchsize", "10000")
+      .jdbc(url, table, new java.util.Properties)
+
+  /** Envelope-JSON writer — the generator's output document shape
+    * (`{"metadata": {...}, "data": [...]}`,
+    * 0_generate_historic_synthetic_data.py:434-447). The envelope is a
+    * SINGLE document per table, so this is inherently a small-table sink
+    * (reference tables are ≤ tens of MB); `maxRows` guards against
+    * accidentally collecting a fact table. */
+  def writeJsonEnvelope(df: DataFrame, table: String, path: String,
+      generatedAt: String, maxRows: Long = 1000000): Unit = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"envelope sink is for small tables; $table has $n rows > $maxRows")
+    val records = df.toJSON.collect().mkString(",\n    ")
+    val doc =
+      s"""{"metadata": {"table": "$table", "recordCount": $n,
+         |              "generatedAt": "$generatedAt", "version": "1.0"},
+         | "data": [
+         |    $records
+         | ]}""".stripMargin
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.writeString(Paths.get(path), doc)
+  }
+
   /** S5: data + sidecar metadata JSON (row count, column names/types, and
     * the min of a date column if given) — the reference's per-table ingest
     * manifest. Count and min compute in ONE distributed aggregate pass;
