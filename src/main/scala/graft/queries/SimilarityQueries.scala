@@ -47,7 +47,8 @@ object SimilarityQueries {
     "dedup_simhash" -> dedupSimhash,
     "emb_neardup_cosine" -> embNeardup,
     "ann_cosine_topk" -> annTopK,
-    "ann_lsh_bucket" -> annLshBucket
+    "ann_lsh_bucket" -> annLshBucket,
+    "ann_ivf" -> annIvf
   )
 
   /** documents/embeddings arrive as ONE parquet file at test scale, so a
@@ -195,6 +196,54 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  private val IvfCentroids = 16
+  private val IvfProbe = 2
+
+  /** IVF-style ANN: a coarse quantizer partitions vectors into centroid
+    * cells; a query probes only its `IvfProbe` nearest cells. The
+    * "codebook" here is training-free (the first K vectors serve as
+    * centroids — deterministic and oracle-replayable); a real deployment
+    * swaps in k-means centroids without changing the plan shape:
+    * assignment and probing are broadcast joins + rank-1 windows, and the
+    * candidate set shrinks from N to N·probe/K. */
+  private val annIvf: Q = (s, dir) => {
+    import s.implicits._
+    val emb = spread(Tables(s, dir, "embeddings"))
+      .select($"vec_id", $"embedding", Vectors.fnorm($"embedding").as("nrm"))
+    val cents = emb.filter($"vec_id" < IvfCentroids)
+      .select($"vec_id".as("cent_id"), $"embedding".as("ce"), $"nrm".as("cn"))
+    def nearestCents(df: DataFrame, idCol: String, vecCol: String,
+        nCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy($"ccos".desc, $"cent_id")
+      df.join(broadcast(cents), col(idCol) =!= lit(-1))
+        .withColumn("ccos",
+          Vectors.cosinePrenormed(Vectors.fdot(col(vecCol), $"ce"), col(nCol), $"cn"))
+        .withColumn("crank", row_number().over(w))
+        .filter($"crank" <= keep)
+        .select(col(idCol), $"cent_id")
+    }
+    val assigned = nearestCents(emb, "vec_id", "embedding", "nrm", 1)
+    val q = emb.filter($"vec_id" >= 100 && $"vec_id" < 110)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val probes = nearestCents(
+      q.withColumnRenamed("query_id", "vec_id"), "vec_id", "qe", "qn", IvfProbe)
+      .withColumnRenamed("vec_id", "query_id")
+    val cand = probes
+      .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cent_id"))
+      .join(emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"nrm".as("nn")),
+        Seq("neighbor_id"))
+      .join(q.select($"query_id", $"qe", $"qn"), Seq("query_id"))
+      .filter($"query_id" =!= $"neighbor_id")
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    cand
+      .withColumn("cos",
+        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .orderBy($"query_id", $"rank")
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles — each replays the SAME md5-based algorithm in SQL.
   // ---------------------------------------------------------------------
@@ -296,6 +345,32 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= $AnnK
          |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+         |cents AS (SELECT vec_id cent_id, emb ce FROM e WHERE vec_id < $IvfCentroids),
+         |adist AS (SELECT v.vec_id, c.cent_id,
+         |   (SELECT $cosineSql FROM (SELECT v.emb ea, c.ce eb)) ccos
+         |  FROM e v CROSS JOIN cents c),
+         |assign AS (SELECT vec_id, cent_id FROM (
+         |  SELECT vec_id, cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) crank
+         |  FROM adist) WHERE crank = 1),
+         |probes AS (SELECT vec_id query_id, cent_id FROM (
+         |  SELECT vec_id, cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) crank
+         |  FROM adist WHERE vec_id >= 100 AND vec_id < 110) WHERE crank <= $IvfProbe),
+         |scored AS (SELECT p.query_id, a.vec_id neighbor_id,
+         |   (SELECT $cosineSql FROM (SELECT q.emb ea, n.emb eb)) cos
+         |  FROM probes p JOIN assign a USING (cent_id)
+         |  JOIN e q ON q.vec_id = p.query_id
+         |  JOIN e n ON n.vec_id = a.vec_id
+         |  WHERE p.query_id <> a.vec_id)
+         |SELECT query_id, rank, neighbor_id FROM (
+         | SELECT query_id, neighbor_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) rank
+         | FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "ann_lsh_bucket" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
