@@ -32,7 +32,9 @@ object AnalyticsQueries {
     Tables(s, dir, "orders")
       .rollup($"o_orderstatus", $"o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
-        sum(F.money($"o_totalprice")).cast("decimal(38,2)").as("total"))
+        // exact decimal sum, DOUBLE result — output columns are never
+        // DECIMAL (scale-preserving formatting breaks cross-engine compare)
+        sum(F.money($"o_totalprice")).cast("double").as("total"))
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
@@ -45,7 +47,7 @@ object AnalyticsQueries {
     Tables(s, dir, "events")
       .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"),
-        sum(F.money($"value")).cast("decimal(38,2)").as("total_value"))
+        sum(F.money($"value")).cast("double").as("total_value"))
       .select($"user_id", $"w.start".cast("timestamp_ntz").as("session_start"),
         $"n_events", $"total_value")
       .orderBy($"user_id", $"session_start")
@@ -137,7 +139,7 @@ object AnalyticsQueries {
 
     "agg_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
@@ -153,7 +155,7 @@ object AnalyticsQueries {
         | FROM marks)
         |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
         | COUNT(*) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
 

@@ -59,6 +59,15 @@ object RelationalQueries {
   /** Row type for the typed-Dataset demonstration. */
   final case class OrderRow(o_custkey: Long, o_orderstatus: String)
 
+  /** Output-type rule: RESULT columns are never DECIMAL. Sums are computed
+    * over exact DECIMAL(18,2) ([[F.money]]) so the value is order-free, then
+    * the final column is cast to DOUBLE — both engines convert the same
+    * exact decimal to the same nearest double, so results are bit-identical,
+    * and no consumer sees scale-preserving Decimal vs float formatting
+    * differences ("138014.00" vs "138014.0"). */
+  private def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(F.money(c)).cast("double")
+
   // ---------------------------------------------------------------- q1 ----
   /** A1/A4/A5/A10 + P2 + pushdown filter (ref: fct_sales_by_date.sql:6-17
     * aggregate shapes). */
@@ -68,10 +77,10 @@ object RelationalQueries {
     li.filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum(F.money($"l_quantity")).cast("decimal(38,2)").as("sum_qty"),
-        sum(F.money($"l_extendedprice")).cast("decimal(38,2)").as("sum_base_price"),
+        moneySum($"l_quantity").as("sum_qty"),
+        moneySum($"l_extendedprice").as("sum_base_price"),
         sum(F.money($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - F.money($"l_discount")))
-          .cast("decimal(38,4)").as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         (sum(F.money($"l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
@@ -107,7 +116,7 @@ object RelationalQueries {
       .agg(
         count(lit(1)).as("n_items"),
         sum(F.money($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - F.money($"l_discount")))
-          .cast("decimal(38,4)").as("revenue"))
+          .cast("double").as("revenue"))
       .orderBy($"supp_nation", $"cust_nation")
   }
 
@@ -127,7 +136,7 @@ object RelationalQueries {
       .groupBy($"r_name", $"n_name")
       .agg(
         sum(F.money($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - F.money($"l_discount")))
-          .cast("decimal(38,4)").as("revenue"),
+          .cast("double").as("revenue"),
         countDistinct($"o_orderkey").as("n_orders"),
         countDistinct($"c_custkey").as("n_customers"))
       .orderBy($"r_name", $"n_name")
@@ -182,7 +191,7 @@ object RelationalQueries {
         count(when($"event_type" === "view", 1)).as("n_views"),
         count(when($"event_type" === "click", 1)).as("n_clicks"),
         countDistinct(when($"event_type" === "purchase", $"event_id")).as("n_purchase_events"),
-        sum(when($"event_type" === "purchase", F.money($"value"))).cast("decimal(38,2)").as("purchase_value"))
+        sum(when($"event_type" === "purchase", F.money($"value"))).cast("double").as("purchase_value"))
       .orderBy($"user_id")
   }
 
@@ -246,7 +255,7 @@ object RelationalQueries {
         count(lit(1)).as("n_orders"),
         min($"o_orderdate").as("first_order"),
         max($"o_orderdate").as("last_order"),
-        sum(F.money($"o_totalprice")).cast("decimal(38,2)").as("total_spent"),
+        moneySum($"o_totalprice").as("total_spent"),
         (sum(F.money($"o_totalprice")).cast("double") / count(lit(1))).as("avg_order_value"))
       .orderBy($"o_custkey")
   }
@@ -363,7 +372,7 @@ object RelationalQueries {
       expr("try_cast(o_orderpriority AS INT)").as("prio_as_int"),
       expr("try_cast(split_part(o_orderpriority, '-', 1) AS INT)").as("prio_code_int"),
       expr("try_cast(o_orderstatus AS DATE)").as("status_as_date"),
-      expr("try_cast(o_totalprice AS DECIMAL(18,2))").as("price_dec"))
+      expr("cast(try_cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)").as("price_dec"))
       .orderBy($"o_orderkey")
   }
 
@@ -408,7 +417,7 @@ object RelationalQueries {
       .filter($"o_orderdate" > $"wm")
       .groupBy($"o_orderdate".cast("date").as("order_day"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(F.money($"o_totalprice")).cast("decimal(38,2)").as("day_total"))
+        moneySum($"o_totalprice").as("day_total"))
       .orderBy($"order_day")
   }
 
@@ -422,7 +431,7 @@ object RelationalQueries {
       .groupBy(window($"ts", "1 day").as("w"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct($"user_id").as("n_users"),
-        sum(F.money($"value")).cast("decimal(38,2)").as("total_value"))
+        moneySum($"value").as("total_value"))
       // window() yields TIMESTAMP_LTZ; the source column is NTZ. Cast so the
       // parquet output is not UTC-adjusted (isAdjustedToUTC=false) and
       // engines read back the same naive value (session is UTC).
@@ -474,7 +483,7 @@ object RelationalQueries {
           .groupBy($"order_date", $"c_mktsegment")
           .agg(count(lit(1)).as("n_orders"),
             countDistinct($"customer_id").as("n_customers"),
-            sum($"order_total").cast("decimal(38,2)").as("total_sales"))))
+            sum($"order_total").cast("double").as("total_sales"))))
     ModelGraph.compose(models,
       Map("orders" -> Tables(s, dir, "orders"), "customer" -> Tables(s, dir, "customer")))
       .apply("fct_daily_sales")
@@ -513,9 +522,9 @@ object RelationalQueries {
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
         | COUNT(*) AS count_order
         |FROM lineitem
@@ -531,7 +540,7 @@ object RelationalQueries {
     "j9_double_role_join" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         | COUNT(*) AS n_items,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN orders ON l_orderkey = o_orderkey
@@ -543,7 +552,7 @@ object RelationalQueries {
 
     "j10_star_revenue" ->
       """SELECT r_name, n_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         | COUNT(DISTINCT o_orderkey) AS n_orders,
         | COUNT(DISTINCT c_custkey) AS n_customers
         |FROM lineitem
@@ -579,7 +588,7 @@ object RelationalQueries {
         | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
         | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
         | COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN event_id END) AS n_purchase_events,
-        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS purchase_value
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
         |FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
@@ -614,7 +623,7 @@ object RelationalQueries {
         | COUNT(*) AS n_orders,
         | MIN(o_orderdate) AS first_order,
         | MAX(o_orderdate) AS last_order,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spent,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_order_value
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
@@ -673,7 +682,7 @@ object RelationalQueries {
         | TRY_CAST(o_orderpriority AS INT) AS prio_as_int,
         | TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS prio_code_int,
         | TRY_CAST(o_orderstatus AS DATE) AS status_as_date,
-        | TRY_CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+        | CAST(TRY_CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "j4_expr_join" ->
@@ -692,7 +701,7 @@ object RelationalQueries {
     "inc_high_watermark" ->
       """SELECT CAST(o_orderdate AS DATE) AS order_day,
         | COUNT(*) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS day_total
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
         |FROM orders
         |WHERE o_orderdate > (SELECT MAX(o_orderdate) FROM orders
         |                     WHERE o_orderdate < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders))
@@ -702,7 +711,7 @@ object RelationalQueries {
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         | COUNT(*) AS n_events,
         | COUNT(DISTINCT user_id) AS n_users,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
 
     "s9_catalog_counts" -> {
@@ -733,7 +742,7 @@ object RelationalQueries {
         |SELECT order_date, c_mktsegment,
         | COUNT(*) AS n_orders,
         | COUNT(DISTINCT customer_id) AS n_customers,
-        | CAST(SUM(order_total) AS DECIMAL(38,2)) AS total_sales
+        | CAST(SUM(order_total) AS DOUBLE) AS total_sales
         |FROM int_orders_customers
         |GROUP BY 1, 2 ORDER BY order_date, c_mktsegment""".stripMargin,
 

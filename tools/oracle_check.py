@@ -10,6 +10,39 @@ values on rows sorted by all columns. Reports near-misses for floats.
 """
 import sys, os, json, math
 import duckdb
+import pandas as pd
+
+
+def strict_cell(v):
+    """Driver-faithful canonicalization: datetimes normalized, everything
+    else str()'d. The driver loads Spark output via pandas (Decimals stay
+    Decimal) but the oracle via .df() (Decimals become float64) — so any
+    DECIMAL output column whose str differs from the float repr mismatches.
+    Running this catches output-type divergence that exact == compare hides."""
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    tn = type(v).__name__
+    if tn in ("date", "datetime"):
+        return pd.Timestamp(v).isoformat()
+    if tn == "NaTType":
+        return "<null>"
+    if isinstance(v, (list, tuple)) or tn == "ndarray":
+        return "[" + ",".join(strict_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def strict_compare(name, out_dir, con, sql):
+    """Mimic the driver's hash compare: pandas-parquet vs duckdb .df()."""
+    sp = pd.read_parquet(out_dir)
+    dk = con.execute(sql).df()
+    sp = sp[sorted(sp.columns)]
+    dk = dk[sorted(dk.columns)]
+    s_rows = sorted(tuple(strict_cell(v) for v in r) for r in sp.itertuples(index=False))
+    d_rows = sorted(tuple(strict_cell(v) for v in r) for r in dk.itertuples(index=False))
+    bad = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
+    return [f"STRICT repr mismatch ({len(bad)} rows), e.g. {bad[0][0]} != {bad[0][1]}"] if bad else []
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -88,6 +121,11 @@ def main():
             results[name] = [f"oracle SQL failed in DuckDB: {e}"]
             continue
         results[name] = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        if not results[name]:
+            try:
+                results[name] = strict_compare(name, d, con, oracles[name])
+            except Exception as e:
+                results[name] = [f"strict compare crashed: {e}"]
 
     n_fail = 0
     for name, problems in sorted(results.items()):
