@@ -18,13 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
 
+  /** Join types where replicating the dim side per salt value cannot
+    * duplicate output rows: unmatched dim rows never surface. A right/full
+    * outer join would emit each unmatched dim row once PER SALT — refuse. */
+  private val SafeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross")
+
   def join(fact: DataFrame, dim: DataFrame, keys: Seq[String], salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(SafeJoinTypes.contains(joinType.toLowerCase),
+      s"SaltedJoin supports ${SafeJoinTypes.mkString("/")} — '$joinType' would " +
+        "duplicate unmatched dim rows once per salt value")
     val saltCol = "__graft_salt"
-    // Uniform pseudo-random salt per fact row; derived from the whole row's
-    // key + a spread hash so equal keys fan out. rand() would also be fine
-    // for join correctness but this keeps runs replayable.
+    // Uniform pseudo-random salt per fact row: key hash + a per-row spread
+    // term so equal keys fan out across reducers. The spread term depends on
+    // partition layout (monotonically_increasing_id), so salt ASSIGNMENT is
+    // not stable across runs — join RESULTS are identical regardless.
     val spread = pmod(
       xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*), lit(salts.toLong))
     val saltedFact = fact.withColumn(saltCol, spread.cast("int"))

@@ -40,8 +40,13 @@ object Streams {
     * small case class per key, scales with live keys, not history. */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
+    // Watermark = the session gap (plus slack): events later than one gap
+    // can only open a NEW session, so a tighter bound loses nothing, and a
+    // bound independent of gapMs (the old hardcoded '1 hour') made the
+    // timeout clamp below kick in constantly for small gaps.
+    val watermarkMs = math.max(gapMs, 60 * 1000L)
     events
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", s"$watermarkMs milliseconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -71,19 +76,26 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+              // EventTimeTimeout requires a timestamp strictly beyond the
+              // current watermark — a session whose end sits at/behind the
+              // horizon (late stragglers) would otherwise crash the query.
+              val floor = state.getCurrentWatermarkMs() + 1
+              state.setTimeoutTimestamp(math.max(floor, s.end + gapMs))
             }
             closed.reverseIterator
           }
       }
   }
 
-  /** Keyed dedup on a stream: first occurrence per key wins inside the
-    * watermark horizon — the streaming twin of DedupLatest. */
+  /** Keyed dedup on a stream: first occurrence per key wins, with state
+    * bounded by the watermark — the streaming twin of DedupLatest.
+    * dropDuplicatesWithinWatermark dedups on the keys ALONE (any ts), and
+    * evicts a key's state once the watermark passes its first-seen event
+    * time, so state scales with keys-per-horizon, not total history. */
   def streamingDedup(events: DataFrame, keys: Seq[String],
       watermark: String = "1 day"): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicates(keys :+ "ts")
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Incremental batch over a stream source: process-everything-available,
     * then stop — the high-watermark daily job without hand-written

@@ -33,4 +33,20 @@ class OperatorsSpec extends SparkSpec {
     val got = spark.read.parquet(path).orderBy($"k").as[(String, Int)].collect().toSeq
     assert(got == Seq(("k1", 1), ("k2", 20), ("k3", 30)))
   }
+
+  test("Upsert.intoParquet recovers a stale backup from a crashed swap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsert_rec").toString
+    val path = s"$dir/t.parquet"
+    // Simulate a crash between the two renames: data sits at .__bak_upsert,
+    // target is missing, and a half-written tmp dir is lying around.
+    Seq(("k1", 1)).toDF("k", "v").write.parquet(path + ".__bak_upsert")
+    new java.io.File(path + ".__tmp_upsert").mkdirs()
+    Upsert.intoParquet(path, Seq(("k2", 2)).toDF("k", "v"), Seq("k"))
+    val got = spark.read.parquet(path).orderBy($"k").as[(String, Int)].collect().toSeq
+    // k1 was restored from the backup before merging in k2
+    assert(got == Seq(("k1", 1), ("k2", 2)))
+    assert(!new java.io.File(path + ".__bak_upsert").exists())
+    assert(!new java.io.File(path + ".__tmp_upsert").exists())
+  }
 }

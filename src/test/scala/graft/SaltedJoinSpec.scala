@@ -27,6 +27,18 @@ class SaltedJoinSpec extends SparkSpec {
     assert(got(1).isNullAt(2)) // k=99 survives with null label
   }
 
+  test("outer join types that would replicate dim rows are refused") {
+    import spark.implicits._
+    val fact = Seq((1, "a")).toDF("k", "v")
+    val dim = Seq((1, "d1"), (2, "unmatched")).toDF("k", "label")
+    intercept[IllegalArgumentException] {
+      SaltedJoin.join(fact, dim, Seq("k"), salts = 4, "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      SaltedJoin.join(fact, dim, Seq("k"), salts = 4, "full")
+    }
+  }
+
   test("keyHistogram surfaces the hot key") {
     import spark.implicits._
     val fact = (Seq.fill(100)(7) ++ Seq(1, 2, 3)).toDF("k")

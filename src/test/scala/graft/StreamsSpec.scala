@@ -91,6 +91,9 @@ class StreamsSpec extends SparkSpec {
     in.addData(
       Event(ts("2024-01-01 01:00:00"), 1, "view", 1.0),
       Event(ts("2024-01-01 01:00:00"), 1, "view", 9.0),
+      // same key LATER inside the watermark: still a duplicate (dedup is
+      // on the keys alone, not on (keys, ts))
+      Event(ts("2024-01-01 03:00:00"), 1, "view", 5.0),
       Event(ts("2024-01-01 01:00:00"), 2, "view", 2.0))
     q.processAllAvailable()
     val n = spark.table("dedup").count()
