@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, ExtendedQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++
-      SimilarityQueries.queries ++ AnalyticsQueries.queries
+      SimilarityQueries.queries ++ AnalyticsQueries.queries ++
+      ExtendedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++
-      SimilarityQueries.oracle ++ AnalyticsQueries.oracle
+      SimilarityQueries.oracle ++ AnalyticsQueries.oracle ++
+      ExtendedQueries.oracle
 }

@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.F
+import graft.operators.SaltedJoin
+
+/** Round-2 operator pack: the families a full analytics engine needs beyond
+  * the reference's own surface — as-of joins, skew-salted joins, CUBE /
+  * GROUPING SETS, the window-function frame family, INTERSECT/EXCEPT, SCD-2
+  * dimension building, regex/JSON scalar packs, and nested array building.
+  * Every query is deterministic (total tiebreak orders, no DECIMAL or
+  * engine-local float ordering in outputs) and has an exact DuckDB oracle.
+  */
+object ExtendedQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(F.money(c)).cast("double")
+
+  def queries: Map[String, Q] = Map(
+    "j_asof_join" -> jAsofJoin,
+    "j_salted" -> jSalted,
+    "agg_cube" -> aggCube,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "w2_window_frames" -> w2WindowFrames,
+    "u4_intersect_except" -> u4IntersectExcept,
+    "scd2_orders" -> scd2Orders,
+    "s_regex_pack" -> sRegexPack,
+    "s_json_pack" -> sJsonPack,
+    "n_nested_pack" -> nNestedPack
+  )
+
+  // ------------------------------------------------------------- as-of ----
+  /** As-of join: each purchase event matched to the LATEST view event of the
+    * same user with view.ts <= purchase.ts (ties by event_id desc).
+    *
+    * Spark has no ASOF JOIN operator; the scalable form is the union trick:
+    * tag both sides, ONE shuffle on the key, sort within partition by
+    * (ts, side, event_id), carry the last view forward with
+    * last(_, ignoreNulls) over a running frame, keep the purchase rows.
+    * No join, no per-row probe — wall time is one sort-shuffle regardless
+    * of how many views precede each purchase. Views order before purchases
+    * at equal ts so `<=` semantics fall out of the sort key. */
+  private val jAsofJoin: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"user_id", $"ts", $"event_id", $"event_type",
+        when($"event_type" === "view", $"event_id").as("vid"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc,
+        when($"event_type" === "view", 0).otherwise(1).asc,
+        $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("view_id", last($"vid", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"view_id")
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  // ------------------------------------------------------ salted join -----
+  /** [[SaltedJoin]] correctness under the oracle: revenue per supplier
+    * nation through a salted fact-dim join must equal the plain join.
+    * (The salt is a physical rewrite — the logical result is unchanged.) */
+  private val jSalted: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_suppkey", F.money($"l_extendedprice").as("price"))
+    val sup = Tables(s, dir, "supplier")
+      .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+    SaltedJoin.join(li, sup, Seq("l_suppkey"), salts = 8)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_items"), sum($"price").cast("double").as("revenue"))
+      .orderBy($"s_nationkey")
+  }
+
+  // ------------------------------------------- cube / grouping sets -------
+  /** CUBE over (status, priority): all four grouping levels in one Expand +
+    * single shuffle. grouping() markers disambiguate NULL-as-total from a
+    * NULL group value. */
+  private val aggCube: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_prio"),
+        count(lit(1)).as("n_orders"),
+        moneySum($"o_totalprice").as("total"))
+      .orderBy($"g_status", $"g_prio",
+        $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** Explicit GROUPING SETS ((status), (priority), ()) — the general form
+    * rollup/cube compile to; one Expand, one shuffle, no re-scan. */
+  private val aggGroupingSets: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_prio"),
+        count(lit(1)).as("n_orders"),
+        moneySum($"o_totalprice").as("total"))
+      .orderBy($"g_status", $"g_prio",
+        $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  // -------------------------------------------------- window frames -------
+  /** The window-function family over one partition spec: lag/lead,
+    * row_number, rank/dense_rank (a spec with ties), ntile, cume_dist, and
+    * a running sum with an explicit ROWS frame. Running sums aggregate the
+    * exact decimal and cast the WINDOW RESULT to double, so every prefix is
+    * order-free and bit-identical across engines. */
+  private val w2WindowFrames: Q = (s, dir) => {
+    import s.implicits._
+    val byCust = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val running = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byStatus = Window.partitionBy($"o_orderstatus").orderBy($"o_orderdate".asc)
+    Tables(s, dir, "orders").select(
+      $"o_orderkey", $"o_custkey",
+      lag(F.money($"o_totalprice"), 1).over(byCust).cast("double").as("prev_price"),
+      lead(F.money($"o_totalprice"), 1).over(byCust).cast("double").as("next_price"),
+      row_number().over(byCust).as("rn"),
+      sum(F.money($"o_totalprice")).over(running).cast("double").as("running_total"),
+      ntile(4).over(byCust).as("quartile"),
+      cume_dist().over(byCust).as("cd"),
+      rank().over(byStatus).as("rnk"),
+      dense_rank().over(byStatus).as("drnk"))
+      .orderBy($"o_orderkey")
+  }
+
+  // ------------------------------------------------ intersect / except ----
+  /** INTERSECT + EXCEPT (both DISTINCT forms): customers having 'F' orders
+    * vs customers having 'O' orders. */
+  private val u4IntersectExcept: Q = (s, dir) => {
+    import s.implicits._
+    val ord = Tables(s, dir, "orders")
+    val f = ord.filter($"o_orderstatus" === "F").select($"o_custkey")
+    val o = ord.filter($"o_orderstatus" === "O").select($"o_custkey")
+    f.intersect(o).select(lit("intersect").as("op"), $"o_custkey")
+      .unionByName(f.except(o).select(lit("except").as("op"), $"o_custkey"))
+      .orderBy($"op", $"o_custkey")
+  }
+
+  // --------------------------------------------------------- SCD type 2 ---
+  /** SCD-2 dimension build: each order is a "version" of its customer's
+    * state; valid_from/valid_to from lead() over the version order,
+    * open-ended current row. One window over one shuffle — the standard
+    * snapshot→interval transform at any scale. */
+  private val scd2Orders: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    Tables(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
+        F.money($"o_totalprice").cast("double").as("price"),
+        $"o_orderdate".cast("date").as("valid_from"),
+        lead($"o_orderdate", 1).over(w).cast("date").as("valid_to"))
+      .withColumn("is_current", $"valid_to".isNull)
+      .orderBy($"o_custkey", $"valid_from", $"o_orderkey")
+  }
+
+  // ------------------------------------------------------- regex pack -----
+  /** Regex scalar family — extract, replace-all, match flag. Patterns are
+    * dialect-portable (no lookaround, no named classes). */
+  private val sRegexPack: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "documents").select(
+      $"doc_id",
+      regexp_extract($"text", "^[A-Za-z]+", 0).as("first_word"),
+      length(regexp_replace($"text", "[^0-9]", "")).as("n_digits"),
+      substring(regexp_replace($"text", " +", " "), 1, 40).as("squeezed_prefix"),
+      $"text".rlike("[0-9]").as("has_number"))
+      .orderBy($"doc_id")
+  }
+
+  // -------------------------------------------------------- JSON pack -----
+  /** JSON parsing both ways Spark offers it: path extraction
+    * (get_json_object) and schema-ful from_json — the S1 envelope-parsing
+    * pattern (ref: ingest_latest_synthetic_data.py:131-146) on the events
+    * `props` column. */
+  private val sJsonPack: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "events").select(
+      $"event_id",
+      get_json_object($"props", "$.k").cast("int").as("k"),
+      from_json($"props", org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))).getField("k").as("k2"),
+      pmod(get_json_object($"props", "$.k").cast("int"), lit(7)).as("k_mod"))
+      .orderBy($"event_id")
+  }
+
+  // ------------------------------------------------------ nested pack -----
+  /** Nested-array building (§1.2): per order, the sorted line-number list
+    * (collect_list → array_sort → array_join) plus flat aggregates. The
+    * list is order-canonicalized so the result is deterministic under any
+    * partitioning. */
+  private val nNestedPack: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        array_join(
+          transform(array_sort(collect_list($"l_linenumber")), _.cast("string")),
+          ",").as("lines_csv"),
+        moneySum($"l_quantity").as("total_qty"))
+      .orderBy($"l_orderkey")
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles
+  // ---------------------------------------------------------------------
+  def oracle: Map[String, String] = Map(
+    "j_asof_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+        | (SELECT v.event_id FROM events v
+        |   WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts <= p.ts
+        |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_id
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY user_id, purchase_id""".stripMargin,
+
+    "j_salted" ->
+      """SELECT s_nationkey, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio,
+        | o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio,
+        | o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "w2_window_frames" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER wc AS DOUBLE) AS prev_price,
+        | CAST(lead(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER wc AS DOUBLE) AS next_price,
+        | CAST(row_number() OVER wc AS BIGINT) AS rn,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+        | CAST(ntile(4) OVER wc AS BIGINT) AS quartile,
+        | cume_dist() OVER wc AS cd,
+        | CAST(rank() OVER ws AS BIGINT) AS rnk,
+        | CAST(dense_rank() OVER ws AS BIGINT) AS drnk
+        |FROM orders
+        |WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       ws AS (PARTITION BY o_orderstatus ORDER BY o_orderdate)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "u4_intersect_except" ->
+      """SELECT 'intersect' AS op, o_custkey FROM (
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT 'except' AS op, o_custkey FROM (
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        | EXCEPT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY op, o_custkey""".stripMargin,
+
+    "scd2_orders" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        | CAST(o_orderdate AS DATE) AS valid_from,
+        | CAST(lead(o_orderdate, 1) OVER w AS DATE) AS valid_to,
+        | (lead(o_orderdate, 1) OVER w IS NULL) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+
+    "s_regex_pack" ->
+      """SELECT doc_id,
+        | regexp_extract(text, '^[A-Za-z]+') AS first_word,
+        | CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS n_digits,
+        | substr(regexp_replace(text, ' +', ' ', 'g'), 1, 40) AS squeezed_prefix,
+        | regexp_matches(text, '[0-9]') AS has_number
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "s_json_pack" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS k2,
+        | CAST(json_extract_string(props, '$.k') AS INT) % 7 AS k_mod
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "n_nested_pack" ->
+      """SELECT l_orderkey, COUNT(*) AS n_items,
+        | string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines_csv,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+  )
+}
