@@ -67,29 +67,35 @@ object SimilarityQueries {
 
   /** Exact n-gram Jaccard dedup via inverted shingle index: a pair with
     * jaccard ≥ t shares ≥ 1 shingle, so the shingle self-join finds every
-    * qualifying pair without the n² compare. */
+    * qualifying pair without the n² compare.
+    *
+    * Two pruning/plan refinements (result-identical):
+    *  - sizes ride along in the index, so size-incompatible pairs
+    *    (|B| < t·|A| ⇒ jaccard < t) drop inside the join, before the
+    *    aggregate shuffle, and the final jaccard needs no size lookup joins;
+    *  - group keys include both sizes (functionally dependent on the ids) —
+    *    the old plan re-joined `shd` twice just to fetch them. */
   private val dedupNgramJaccard: Q = (s, dir) => {
     import s.implicits._
     val shd = shingled(s, dir)
-    val inv = shd.select($"doc_id", explode($"sh").as("shingle"))
+    val inv = shd.select($"doc_id", size($"sh").as("sz"), explode($"sh").as("shingle"))
     // shuffle_hash, not broadcast: the exploded index is ~50x the doc count
     // (Catalyst underestimates post-explode size and would broadcast it;
     // building + shipping that hashed relation measured 10x slower than
     // hash-partitioning both sides, and only gets worse with scale).
-    val inter = inv.as("a").hint("shuffle_hash")
+    inv.as("a").hint("shuffle_hash")
       .join(inv.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz") >= col("a.sz") * JaccardT && col("a.sz") >= col("b.sz") * JaccardT)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = shd.select($"doc_id", size($"sh").as("sz"))
-    inter
-      .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sza")), Seq("doc_a"))
-      .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("szb")), Seq("doc_b"))
       .select($"doc_a", $"doc_b",
         ($"inter" / ($"sza" + $"szb" - $"inter")).as("jaccard"))
       .filter($"jaccard" >= JaccardT)
       .orderBy($"doc_a", $"doc_b")
   }
+
 
   /** MinHash + LSH banding: 32 md5-permutations, 8 bands × 4 rows; band
     * bucket-join yields candidates, exact Jaccard verifies. */
@@ -98,6 +104,10 @@ object SimilarityQueries {
     val shd = shingled(s, dir)
     val bands = shd.select($"doc_id",
       explode(Text.minhashBands($"sh", Perms, Bands)).as("band"))
+    // Band buckets ARE clusters by construction (that's what LSH is for),
+    // so pair generation must stream: a self-join emits pairs lazily and
+    // AQE splits hot buckets. A per-bucket collect_list + combinations
+    // array would materialize k²/2 pairs of a k-doc cluster in one task.
     val cand = bands.as("a").hint("shuffle_hash")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
@@ -126,6 +136,12 @@ object SimilarityQueries {
       }: _*)).as("band"))
       .select($"doc_id", $"simhash",
         $"band.band_id".as("band_id"), $"band.band_val".as("band_val"))
+    // Self-JOIN, not bucketPairs: simhash band values are data-dependent —
+    // near-identical docs (this corpus is heavily clustered) share band
+    // values, so a hot bucket holds thousands of docs and a per-bucket
+    // combinations array would materialize n²/2 structs in ONE task. The
+    // join streams its output and the hamming filter + partial distinct
+    // run before the shuffle; AQE can additionally split skewed buckets.
     banded.as("a").hint("shuffle_hash")
       .join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -133,8 +149,8 @@ object SimilarityQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
       .filter($"hamming" <= HammingT)
+      .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
 
