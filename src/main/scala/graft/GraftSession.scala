@@ -16,6 +16,9 @@ object GraftSession {
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
+      // SQL surface: graft's functions (surrogate keys, sketches, vector
+      // ops) available from spark.sql(...) — see GraftExtensions.
+      .withExtensions(new GraftExtensions)
       // One shuffle partition per core locally; on a cluster this would be
       // ~2-3x total executor cores. AQE coalesces the tail either way.
       .config("spark.sql.shuffle.partitions", cores.toString)

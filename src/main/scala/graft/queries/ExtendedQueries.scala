@@ -32,7 +32,8 @@ object ExtendedQueries {
     "scd2_orders" -> scd2Orders,
     "s_regex_pack" -> sRegexPack,
     "s_json_pack" -> sJsonPack,
-    "n_nested_pack" -> nNestedPack
+    "n_nested_pack" -> nNestedPack,
+    "sql_api_pipeline" -> sqlApiPipeline
   )
 
   // ------------------------------------------------------------- as-of ----
@@ -213,6 +214,22 @@ object ExtendedQueries {
       .orderBy($"l_orderkey")
   }
 
+  // ---------------------------------------------------------- SQL API ----
+  /** The whole query through `spark.sql(...)` with graft's injected SQL
+    * functions ([[graft.GraftExtensions]]) — the reference's interactive
+    * probe/dbt surface (SURVEY §3, sample_ecom_raw_query_duckdb.py:8-43).
+    * Catalyst sees the identical tree the DataFrame API would build. */
+  private val sqlApiPipeline: Q = (s, dir) => {
+    Tables(s, dir, "orders").createOrReplaceTempView("graft_sql_api_orders")
+    s.sql("""
+      SELECT o_orderkey,
+             graft_surrogate_key(o_orderkey, o_orderstatus, o_orderpriority) AS order_sk,
+             graft_hash60(o_orderpriority) AS prio_h,
+             graft_token_count(o_orderpriority) AS prio_tokens
+      FROM graft_sql_api_orders
+      ORDER BY o_orderkey""")
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles
   // ---------------------------------------------------------------------
@@ -310,6 +327,16 @@ object ExtendedQueries {
       """SELECT l_orderkey, COUNT(*) AS n_items,
         | string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines_csv,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
-        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "sql_api_pipeline" ->
+      """SELECT o_orderkey,
+        | md5(concat_ws('-',
+        |   COALESCE(CAST(o_orderkey AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+        |   COALESCE(CAST(o_orderstatus AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+        |   COALESCE(CAST(o_orderpriority AS VARCHAR), '_dbt_utils_surrogate_key_null_'))) AS order_sk,
+        | CAST(CONCAT('0x', SUBSTR(md5(o_orderpriority), 1, 15)) AS BIGINT) AS prio_h,
+        | CAST(len(string_split_regex(trim(o_orderpriority), '\s+')) AS INT) AS prio_tokens
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{F, Text, Vectors}
+
+/** The injected SQL functions must produce byte-identical results to their
+  * Column-API twins — they ARE the same Catalyst trees. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("SQL surface matches the Column API") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world", "O"), (2L, "a b  c", null))
+      .toDF("id", "txt", "status")
+    df.createOrReplaceTempView("ext_spec_t")
+
+    val viaSql = spark.sql(
+      """SELECT id,
+        |  graft_surrogate_key(id, status) AS sk,
+        |  graft_hash60(txt) AS h60,
+        |  graft_fingerprint(txt) AS fp,
+        |  graft_simhash(txt) AS sh,
+        |  graft_shingles(txt, 2) AS shingles,
+        |  graft_token_count(txt) AS ntok,
+        |  graft_bpe_token_count(txt) AS nbpe
+        |FROM ext_spec_t ORDER BY id""".stripMargin).collect()
+
+    val viaCols = df.select($"id",
+      F.surrogateKey($"id", $"status").as("sk"),
+      Vectors.hash60($"txt").as("h60"),
+      Text.fingerprint($"txt").as("fp"),
+      Text.simhash32($"txt").as("sh"),
+      Text.shingleSet($"txt", 2).as("shingles"),
+      Text.tokenCount($"txt").as("ntok"),
+      Text.bpeTokenCount($"txt").as("nbpe"))
+      .orderBy($"id").collect()
+
+    assert(viaSql.toSeq == viaCols.toSeq)
+  }
+
+  test("float_dot SQL function computes the fused dot product") {
+    import spark.implicits._
+    Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f)))
+      .toDF("a", "b").createOrReplaceTempView("ext_spec_v")
+    val got = spark.sql("SELECT float_dot(a, b) AS d FROM ext_spec_v")
+      .head().getDouble(0)
+    assert(got == 32.0)
+  }
+
+  test("non-literal shingle width is rejected") {
+    import spark.implicits._
+    Seq(("x y z", 2)).toDF("txt", "n").createOrReplaceTempView("ext_spec_n")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(txt, n) FROM ext_spec_n").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
