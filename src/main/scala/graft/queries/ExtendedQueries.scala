@@ -33,7 +33,9 @@ object ExtendedQueries {
     "s_regex_pack" -> sRegexPack,
     "s_json_pack" -> sJsonPack,
     "n_nested_pack" -> nNestedPack,
-    "sql_api_pipeline" -> sqlApiPipeline
+    "sql_api_pipeline" -> sqlApiPipeline,
+    "j_range_join" -> jRangeJoin,
+    "j_part_revenue" -> jPartRevenue
   )
 
   // ------------------------------------------------------------- as-of ----
@@ -214,6 +216,52 @@ object ExtendedQueries {
       .orderBy($"l_orderkey")
   }
 
+  // -------------------------------------------------------- range join ----
+  /** Interval/range join at scale: views within the hour before each
+    * purchase, per user. A raw non-equi join degenerates to
+    * nested-loop-per-key; the scalable form buckets time at the interval
+    * width so the range condition becomes an equi-join on (key, bucket)
+    * with bounded fan-out — each probe row lands in exactly 2 buckets, each
+    * build row in 1, and the exact range predicate filters inside the join.
+    * One shuffle, no quadratic blowup, any interval width. */
+  private val jRangeJoin: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val bucket = (t: org.apache.spark.sql.Column) =>
+      floor(unix_timestamp(t) / 3600L)
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("vts"), bucket($"ts").as("bucket"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("pts"))
+      .withColumn("bucket", explode(array(bucket($"pts") - 1, bucket($"pts"))))
+    purchases.join(views,
+        purchases("user_id") === views("user_id") &&
+          purchases("bucket") === views("bucket") &&
+          views("vts") > purchases("pts") - expr("INTERVAL 1 HOUR") &&
+          views("vts") <= purchases("pts"),
+        "left")
+      .groupBy(purchases("user_id").as("user_id"), $"purchase_id")
+      .agg(count($"vts").as("n_prior_views"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  // ------------------------------------------------------ part revenue ----
+  /** The part dimension through a fact join: revenue by part type. part is
+    * well under the broadcast threshold at test SFs (and on a cluster AQE
+    * demotes to shuffle join when it outgrows it). */
+  private val jPartRevenue: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+    val part = Tables(s, dir, "part")
+    li.join(part, li("l_partkey") === part("p_partkey"))
+      .groupBy($"p_type")
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct($"p_partkey").as("n_parts"),
+        sum(F.money($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - F.money($"l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy($"p_type")
+  }
+
   // ---------------------------------------------------------- SQL API ----
   /** The whole query through `spark.sql(...)` with graft's injected SQL
     * functions ([[graft.GraftExtensions]]) — the reference's interactive
@@ -337,6 +385,21 @@ object ExtendedQueries {
         |   COALESCE(CAST(o_orderpriority AS VARCHAR), '_dbt_utils_surrogate_key_null_'))) AS order_sk,
         | CAST(CONCAT('0x', SUBSTR(md5(o_orderpriority), 1, 15)) AS BIGINT) AS prio_h,
         | CAST(len(string_split_regex(trim(o_orderpriority), '\s+')) AS INT) AS prio_tokens
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "j_range_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+        | (SELECT COUNT(*) FROM events v
+        |   WHERE v.event_type = 'view' AND v.user_id = p.user_id
+        |     AND v.ts > p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts) AS n_prior_views
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY user_id, purchase_id""".stripMargin,
+
+    "j_part_revenue" ->
+      """SELECT p_type, COUNT(*) AS n_items,
+        | COUNT(DISTINCT p_partkey) AS n_parts,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type ORDER BY p_type""".stripMargin
   )
 }

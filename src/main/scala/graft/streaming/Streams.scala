@@ -97,6 +97,31 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join: each purchase joined to the views of the
+    * same user within the preceding hour — the streaming twin of the
+    * batch bucketed range join (ExtendedQueries.j_range_join). Both sides
+    * carry watermarks and the time-range join condition is what lets the
+    * engine BOUND the buffered state: a view older than
+    * watermark + interval can never match a future purchase and is evicted.
+    * Without the range bounds this join would buffer both streams forever. */
+  def purchaseAttribution(events: DataFrame, interval: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") > col("p_ts") - expr(s"INTERVAL $interval") &&
+          col("v_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+        col("p_ts"), col("v_ts"))
+  }
+
   /** Incremental batch over a stream source: process-everything-available,
     * then stop — the high-watermark daily job without hand-written
     * bookkeeping. */

@@ -7,6 +7,12 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Streams
 import graft.streaming.Streams.Event
 
+object StreamsSpec {
+  /** Event shape with an id, for the attribution join. */
+  final case class AttrEvent(ts: Timestamp, user_id: Long,
+      event_type: String, event_id: Long)
+}
+
 class StreamsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
@@ -79,6 +85,25 @@ class StreamsSpec extends SparkSpec {
         .parquet(s"$dir/in/*"),
       s"$dir/ckpt", s"$dir/out")
     assert(spark.read.parquet(s"$dir/out").count() == 3)
+  }
+
+  test("purchaseAttribution joins purchases to in-window views only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamsSpec.AttrEvent]
+    val q = Streams.purchaseAttribution(in.toDF())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      StreamsSpec.AttrEvent(ts("2024-01-01 09:30:00"), 1, "view", 11),  // in window
+      StreamsSpec.AttrEvent(ts("2024-01-01 08:00:00"), 1, "view", 12),  // too old
+      StreamsSpec.AttrEvent(ts("2024-01-01 09:40:00"), 2, "view", 13),  // other user
+      StreamsSpec.AttrEvent(ts("2024-01-01 10:00:00"), 1, "purchase", 99))
+    q.processAllAvailable()
+    val got = spark.table("attr").select("purchase_id", "view_id")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(got == Set((99L, 11L)))
   }
 
   test("streamingDedup drops repeated keys within the watermark") {
