@@ -21,7 +21,12 @@ object Bench {
     // A failing query must be visible as a FAILURE, not recorded as a
     // (typically tiny) timing that silently improves the total: emit null
     // for it in the JSON and exit nonzero.
-    val results = ordered.map { case (name, fn) =>
+    //
+    // Two timed passes, minimum per query: the metric is the engine's
+    // steady-state cost, and the min discards interference from whatever
+    // else the host is running during one pass (measured: a co-located
+    // CPU-heavy process inflated a 0.8s query to 31s in a single-pass run).
+    def timedPass(): Seq[(String, Double, Boolean)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -29,6 +34,9 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    val results = timedPass().zip(timedPass()).map { case ((n, t1, ok1), (_, t2, ok2)) =>
+      (n, math.min(t1, t2), ok1 && ok2)
     }
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) v.toString else "null")

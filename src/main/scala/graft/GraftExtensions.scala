@@ -24,24 +24,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    register(ext, "graft_surrogate_key", "dbt_utils-compatible md5 surrogate key",
+    register(ext, "graft_surrogate_key", "_FUNC_(col, ...) - dbt_utils-compatible md5 surrogate key",
+      VarArgs(min = 1),
       children => exprOf(F.surrogateKey(children.map(colOf): _*)))
-    register(ext, "graft_hash60", "60-bit md5-derived hash of a string",
+    register(ext, "graft_hash60", "_FUNC_(str) - 60-bit md5-derived hash of a string",
+      Exactly(1),
       children => exprOf(Vectors.hash60(colOf(children.head))))
-    register(ext, "graft_fingerprint", "md5 fingerprint of normalized text",
+    register(ext, "graft_fingerprint", "_FUNC_(text) - md5 fingerprint of normalized text",
+      Exactly(1),
       children => exprOf(Text.fingerprint(colOf(children.head))))
-    register(ext, "graft_simhash", "32-bit simhash of normalized text",
+    register(ext, "graft_simhash", "_FUNC_(text) - 32-bit simhash of normalized text",
+      Exactly(1),
       children => exprOf(Text.simhash32(colOf(children.head))))
-    register(ext, "graft_shingles", "distinct word n-gram shingles: (text, n)",
+    register(ext, "graft_shingles", "_FUNC_(text, n) - distinct word n-gram shingles",
+      Exactly(2),
       children => exprOf(Text.shingleSet(colOf(children.head), intArg(children, 1))))
-    register(ext, "graft_minhash_bands", "MinHash LSH band keys: (shingles, perms, bands)",
+    register(ext, "graft_minhash_bands", "_FUNC_(shingles, perms, bands) - MinHash LSH band keys",
+      Exactly(3),
       children => exprOf(Text.minhashBands(
         colOf(children.head), intArg(children, 1), intArg(children, 2))))
-    register(ext, "float_dot", "dot product of two float arrays",
+    register(ext, "float_dot", "_FUNC_(a, b) - dot product of two float arrays",
+      Exactly(2),
       children => graft.functions.FloatDotProduct(children.head, children(1)))
-    register(ext, "graft_token_count", "whitespace token count",
+    register(ext, "graft_token_count", "_FUNC_(text) - whitespace token count",
+      Exactly(1),
       children => exprOf(Text.tokenCount(colOf(children.head))))
-    register(ext, "graft_bpe_token_count", "BPE-ish subword chunk count",
+    register(ext, "graft_bpe_token_count", "_FUNC_(text) - BPE-ish subword chunk count",
+      Exactly(1),
       children => exprOf(Text.bpeTokenCount(colOf(children.head))))
   }
 }
@@ -60,12 +69,27 @@ object GraftExtensions {
         s"argument ${pos + 1} must be an integer literal, got $other")
     }
 
+  /** Accepted argument counts for a registered function. */
+  sealed trait Arity { def ok(n: Int): Boolean; def describe: String }
+  final case class Exactly(n: Int) extends Arity {
+    def ok(m: Int): Boolean = m == n
+    def describe: String = n.toString
+  }
+  final case class VarArgs(min: Int) extends Arity {
+    def ok(m: Int): Boolean = m >= min
+    def describe: String = s">= $min"
+  }
+
   private def register(ext: SparkSessionExtensions, name: String, usage: String,
-      builder: Seq[Expression] => Expression): Unit =
+      arity: Arity, builder: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
       FunctionIdentifier(name),
-      // 2-arg ctor: (className, functionName); usage strings ride in the
-      // scaladoc — the 3-arg overload's middle argument is the DATABASE.
-      new ExpressionInfo("graft.GraftExtensions", name),
-      builder))
+      // 5-arg ctor (className, db, name, usage, extended) — the 3-arg
+      // overload's middle argument is the DATABASE, not the usage.
+      new ExpressionInfo("graft.GraftExtensions", null, name, usage, ""),
+      children => {
+        if (!arity.ok(children.size)) throw new IllegalArgumentException(
+          s"$name expects ${arity.describe} arguments, got ${children.size}")
+        builder(children)
+      }))
 }

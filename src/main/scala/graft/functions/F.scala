@@ -32,4 +32,12 @@ object F {
     * SUM is exact integer arithmetic (deterministic, engine-portable) rather
     * than order-dependent float accumulation. */
   def money(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** THE output form for money aggregates: exact decimal sum, DOUBLE result.
+    * Result columns must never be DECIMAL — a decimal output reads back
+    * scale-preserving ("138014.00") where float-rendering consumers (and the
+    * oracle gate) produce "138014.0"; both engines convert the identical
+    * exact decimal to the identical nearest double. Use this (not an inline
+    * cast) so the rule lives in one place. */
+  def moneySum(c: Column): Column = sum(money(c)).cast("double")
 }

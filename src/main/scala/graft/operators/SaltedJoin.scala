@@ -23,7 +23,7 @@ object SaltedJoin {
     * outer join would emit each unmatched dim row once PER SALT — refuse. */
   private val SafeJoinTypes =
     Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
-      "left_anti", "leftanti", "cross")
+      "semi", "left_anti", "leftanti", "anti", "cross")
 
   def join(fact: DataFrame, dim: DataFrame, keys: Seq[String], salts: Int,
       joinType: String = "inner"): DataFrame = {

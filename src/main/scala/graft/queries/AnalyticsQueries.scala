@@ -32,9 +32,7 @@ object AnalyticsQueries {
     Tables(s, dir, "orders")
       .rollup($"o_orderstatus", $"o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
-        // exact decimal sum, DOUBLE result — output columns are never
-        // DECIMAL (scale-preserving formatting breaks cross-engine compare)
-        sum(F.money($"o_totalprice")).cast("double").as("total"))
+        F.moneySum($"o_totalprice").as("total"))
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
@@ -47,7 +45,7 @@ object AnalyticsQueries {
     Tables(s, dir, "events")
       .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"),
-        sum(F.money($"value")).cast("double").as("total_value"))
+        F.moneySum($"value").as("total_value"))
       .select($"user_id", $"w.start".cast("timestamp_ntz").as("session_start"),
         $"n_events", $"total_value")
       .orderBy($"user_id", $"session_start")

@@ -19,8 +19,7 @@ object ExtendedQueries {
 
   private type Q = (SparkSession, String) => DataFrame
 
-  private def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(F.money(c)).cast("double")
+  private def moneySum(c: org.apache.spark.sql.Column) = F.moneySum(c)
 
   def queries: Map[String, Q] = Map(
     "j_asof_join" -> jAsofJoin,
@@ -195,7 +194,9 @@ object ExtendedQueries {
       from_json($"props", org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("k",
           org.apache.spark.sql.types.IntegerType)))).getField("k").as("k2"),
-      pmod(get_json_object($"props", "$.k").cast("int"), lit(7)).as("k_mod"))
+      // % (not pmod): DuckDB's % takes the dividend's sign — keep the
+      // engines identical if a negative k ever appears in the data.
+      (get_json_object($"props", "$.k").cast("int") % 7).as("k_mod"))
       .orderBy($"event_id")
   }
 

@@ -59,14 +59,8 @@ object RelationalQueries {
   /** Row type for the typed-Dataset demonstration. */
   final case class OrderRow(o_custkey: Long, o_orderstatus: String)
 
-  /** Output-type rule: RESULT columns are never DECIMAL. Sums are computed
-    * over exact DECIMAL(18,2) ([[F.money]]) so the value is order-free, then
-    * the final column is cast to DOUBLE — both engines convert the same
-    * exact decimal to the same nearest double, so results are bit-identical,
-    * and no consumer sees scale-preserving Decimal vs float formatting
-    * differences ("138014.00" vs "138014.0"). */
-  private def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(F.money(c)).cast("double")
+  /** Output-type rule: RESULT columns are never DECIMAL — see [[F.moneySum]]. */
+  private def moneySum(c: org.apache.spark.sql.Column) = F.moneySum(c)
 
   // ---------------------------------------------------------------- q1 ----
   /** A1/A4/A5/A10 + P2 + pushdown filter (ref: fct_sales_by_date.sql:6-17

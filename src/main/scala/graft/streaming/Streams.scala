@@ -38,13 +38,16 @@ object Streams {
     * until `gapMs` of inactivity; emits a [[Session]] row when the state
     * times out. The canonical mapGroupsWithState shape — state is one
     * small case class per key, scales with live keys, not history. */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+  /** @param latenessMs how far behind max event time an event may arrive
+    *   and still be processed (the watermark delay). Independent of gapMs:
+    *   a late event beyond one gap still legitimately opens a NEW session,
+    *   so tightening lateness to the gap would silently drop its session.
+    *   Must be at least gapMs, or in-flight sessions could time out before
+    *   the events that extend them are admitted. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      latenessMs: Long = 60 * 60 * 1000L): Dataset[Session] = {
     import events.sparkSession.implicits._
-    // Watermark = the session gap (plus slack): events later than one gap
-    // can only open a NEW session, so a tighter bound loses nothing, and a
-    // bound independent of gapMs (the old hardcoded '1 hour') made the
-    // timeout clamp below kick in constantly for small gaps.
-    val watermarkMs = math.max(gapMs, 60 * 1000L)
+    val watermarkMs = math.max(gapMs, latenessMs)
     events
       .withWatermark("ts", s"$watermarkMs milliseconds")
       .groupByKey(_.user_id)

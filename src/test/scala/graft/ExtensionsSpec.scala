@@ -46,6 +46,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == 32.0)
   }
 
+  test("wrong argument count fails with the function name and arity") {
+    import spark.implicits._
+    Seq(Tuple1(Array(1f, 2f))).toDF("a").createOrReplaceTempView("ext_spec_a")
+    val e = intercept[Exception] {
+      spark.sql("SELECT float_dot(a) FROM ext_spec_a").collect()
+    }
+    assert(e.getMessage.contains("float_dot expects 2 arguments, got 1"))
+  }
+
   test("non-literal shingle width is rejected") {
     import spark.implicits._
     Seq(("x y z", 2)).toDF("txt", "n").createOrReplaceTempView("ext_spec_n")
