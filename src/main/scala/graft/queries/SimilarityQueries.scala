@@ -45,6 +45,7 @@ object SimilarityQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_components" -> dedupComponents,
     "emb_neardup_cosine" -> embNeardup,
     "ann_cosine_topk" -> annTopK,
     "ann_lsh_bucket" -> annLshBucket,
@@ -75,7 +76,9 @@ object SimilarityQueries {
     *    aggregate shuffle, and the final jaccard needs no size lookup joins;
     *  - group keys include both sizes (functionally dependent on the ids) —
     *    the old plan re-joined `shd` twice just to fetch them. */
-  private val dedupNgramJaccard: Q = (s, dir) => {
+  /** Qualifying Jaccard pairs (doc_a < doc_b, J ≥ t) — shared by the pair
+    * query and the component clustering. */
+  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val shd = shingled(s, dir)
     val inv = shd.select($"doc_id", size($"sh").as("sz"), explode($"sh").as("shingle"))
@@ -93,7 +96,26 @@ object SimilarityQueries {
       .select($"doc_a", $"doc_b",
         ($"inter" / ($"sza" + $"szb" - $"inter")).as("jaccard"))
       .filter($"jaccard" >= JaccardT)
-      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val dedupNgramJaccard: Q = (s, dir) => {
+    import s.implicits._
+    ngramJaccardPairs(s, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Near-dup pairs → duplicate GROUPS: connected components of the
+    * Jaccard pair graph ([[graft.operators.Components]]), one row per
+    * clustered doc with its canonical (min-id) component and group size.
+    * This is the step that lets a pipeline keep one doc per group. */
+  private val dedupComponents: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = ngramJaccardPairs(s, dir)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+    graft.operators.Components.connectedComponents(pairs)
+      .select($"id".as("doc_id"), $"component".as("component_id"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy($"component_id")))
+      .orderBy($"doc_id")
   }
 
 
@@ -308,6 +330,19 @@ object SimilarityQueries {
       s"""WITH $shinglesCte,
          |cand AS (SELECT x.doc_id doc_a, y.doc_id doc_b FROM shd x JOIN shd y ON x.doc_id < y.doc_id)
          |$jaccardVerifySql""".stripMargin,
+
+    "dedup_components" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |cand AS (SELECT x.doc_id doc_a, y.doc_id doc_b FROM shd x JOIN shd y ON x.doc_id < y.doc_id),
+         |pairs AS ($jaccardVerifySql),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT s AS id, s AS o FROM edges
+         |          UNION SELECT r.id, e.d FROM reach r JOIN edges e ON r.o = e.s),
+         |comp AS (SELECT id AS doc_id, MIN(o) AS component_id FROM reach GROUP BY id)
+         |SELECT doc_id, component_id,
+         | COUNT(*) OVER (PARTITION BY component_id) AS n_members
+         |FROM comp ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $shinglesCte,

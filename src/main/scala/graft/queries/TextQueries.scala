@@ -21,8 +21,29 @@ object TextQueries {
     "text_fingerprint" -> textFingerprint,
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
-    "dedup_exact" -> dedupExact
+    "dedup_exact" -> dedupExact,
+    "text_df_stats" -> textDfStats
   )
+
+  /** Corpus-level document-frequency stats per doc — the IDF-style rarity
+    * signal a quality filter uses, with INTEGER outputs only (an avg-IDF
+    * double would sum floats in engine-local order and break bit-exact
+    * comparison). Two shuffles — per-token DF, then per-doc stats — the
+    * canonical TF-IDF plan shape at any scale. */
+  private val textDfStats: Q = (s, dir) => {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select($"doc_id",
+        explode(array_distinct(Text.tokens(Text.normalized($"text")))).as("tok"))
+    val dfreq = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+    toks.join(dfreq, Seq("tok"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+        sum(when($"df" <= 2, 1).otherwise(0)).as("n_rare_tokens"),
+        min($"df").as("min_df"),
+        max($"df").as("max_df"))
+      .orderBy($"doc_id")
+  }
 
   /** Token + char counting: whitespace tokens and BPE-ish subword chunks. */
   private val textTokens: Q = (s, dir) => {
@@ -109,6 +130,18 @@ object TextQueries {
     Text.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   def oracle: Map[String, String] = Map(
+    "text_df_stats" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, unnest(list_distinct($normTokensSql)) AS tok FROM documents),
+         |dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok)
+         |SELECT doc_id,
+         | COUNT(*) AS n_distinct_tokens,
+         | CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare_tokens,
+         | MIN(df) AS min_df,
+         | MAX(df) AS max_df
+         |FROM toks JOIN dfreq USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "text_tokens" ->
       s"""SELECT doc_id,
          | len($tokensSql) AS n_tokens,

@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.Components
+
+class ComponentsSpec extends SparkSpec {
+
+  test("connected components labels chains and separate clusters") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (diameter 4, needs several propagation rounds)
+    // plus a separate pair 10-11 and a triangle 20-21-22
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("src", "dst")
+    val got = Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("edge direction does not matter") {
+    import spark.implicits._
+    val got = Components.connectedComponents(
+        Seq((7L, 3L), (3L, 9L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 3L, 7L -> 3L, 9L -> 3L))
+  }
+}
