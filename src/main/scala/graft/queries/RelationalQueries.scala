@@ -35,6 +35,7 @@ object RelationalQueries {
     "w1_first_value_latest" -> w1FirstValue,
     "a7_bool_or" -> a7BoolOr,
     "a8_listagg" -> a8Listagg,
+    "a8b_listagg_ordered" -> a8bListaggOrdered,
     "a9_customer_orders" -> a9CustomerOrders,
     "a11_distinct" -> a11Distinct,
     "u1_union_distinct" -> u1UnionDistinct,
@@ -237,6 +238,25 @@ object RelationalQueries {
       .agg(array_join(array_sort(collect_set($"n_name")), ", ").as("nations"),
         countDistinct($"n_nationkey").as("n_nations"))
       .orderBy($"r_name")
+  }
+
+  /** A8 generalized: LISTAGG ... WITHIN GROUP (ORDER BY <other cols>) —
+    * aggregate values concatenated in the order of DIFFERENT columns. The
+    * deterministic Spark form: collect structs with the order keys leading,
+    * array_sort (lexicographic on fields), project the payload, join.
+    * Event sequences per user are the training-data use (session text). */
+  private val a8bListaggOrdered: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
+            x => x.getField("event_type")),
+          ",").as("event_seq"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
   }
 
   /** A2/A4/A5/A6/A9: the customers_enriched order-aggregate shape
@@ -611,6 +631,12 @@ object RelationalQueries {
         | COUNT(DISTINCT n_nationkey) AS n_nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "a8b_listagg_ordered" ->
+      """SELECT user_id,
+        | string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq,
+        | COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "a9_customer_orders" ->
       """SELECT o_custkey,
