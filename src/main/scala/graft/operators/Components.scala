@@ -29,7 +29,11 @@ object Components {
   /** @param edges DataFrame with two id columns (undirected edges)
     * @return (id, component) — component = min id reachable; only ids that
     *         appear in `edges` are labeled (isolated vertices are the
-    *         complement of the edge set; callers union them if needed). */
+    *         complement of the edge set; callers union them if needed).
+    *         The result is returned PERSISTED (it was materialized by the
+    *         convergence probes); lineage is intact, so callers may
+    *         `unpersist()` it after their terminal action — otherwise the
+    *         context cleaner reclaims it on GC. */
   def connectedComponents(edges: DataFrame, src: String = "src",
       dst: String = "dst", maxIterations: Int = 20): DataFrame = {
     val sym = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))

@@ -34,7 +34,8 @@ object ExtendedQueries {
     "n_nested_pack" -> nNestedPack,
     "sql_api_pipeline" -> sqlApiPipeline,
     "j_range_join" -> jRangeJoin,
-    "j_part_revenue" -> jPartRevenue
+    "j_part_revenue" -> jPartRevenue,
+    "j_full_outer" -> jFullOuter
   )
 
   // ------------------------------------------------------------- as-of ----
@@ -246,6 +247,22 @@ object ExtendedQueries {
       .orderBy($"user_id", $"purchase_id")
   }
 
+  // -------------------------------------------------------- full outer ----
+  /** FULL OUTER join — daily order activity vs daily event activity with
+    * both unmatched sides surviving (the date ranges are disjoint in this
+    * data, so the result exercises null-fill on both sides). */
+  private val jFullOuter: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+    val e = Tables(s, dir, "events")
+      .groupBy($"ts".cast("date").as("d"))
+      .agg(count(lit(1)).as("n_events"))
+    o.join(e, Seq("d"), "full")
+      .orderBy($"d")
+  }
+
   // ------------------------------------------------------ part revenue ----
   /** The part dimension through a fact join: revenue by part type. part is
     * well under the broadcast threshold at test SFs (and on a cluster AQE
@@ -395,6 +412,14 @@ object ExtendedQueries {
         |     AND v.ts > p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts) AS n_prior_views
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY user_id, purchase_id""".stripMargin,
+
+    "j_full_outer" ->
+      """SELECT d, n_orders, n_events
+        |FROM (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+        |      FROM orders GROUP BY 1) o
+        |FULL JOIN (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+        |           FROM events GROUP BY 1) e USING (d)
+        |ORDER BY d""".stripMargin,
 
     "j_part_revenue" ->
       """SELECT p_type, COUNT(*) AS n_items,

@@ -100,6 +100,14 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static enrichment: a streaming fact joined to a batch
+    * dimension. The dim is re-read per micro-batch (picking up slowly
+    * changing rows) and broadcast — no streaming state at all, the
+    * cheapest join shape on a stream. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
+
   /** Stream-stream interval join: each purchase joined to the views of the
     * same user within the preceding hour — the streaming twin of the
     * batch bucketed range join (ExtendedQueries.j_range_join). Both sides

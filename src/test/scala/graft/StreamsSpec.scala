@@ -106,6 +106,24 @@ class StreamsSpec extends SparkSpec {
     assert(got == Set((99L, 11L)))
   }
 
+  test("enrichWithDim joins a stream to a broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val q = Streams.enrichWithDim(in.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      Event(ts("2024-01-01 01:00:00"), 1, "view", 1.0),
+      Event(ts("2024-01-01 01:00:00"), 9, "view", 2.0)) // no dim row
+    q.processAllAvailable()
+    val got = spark.table("enriched").select("user_id", "tier")
+      .as[(Long, Option[String])].collect().toSet
+    q.stop()
+    assert(got == Set((1L, Some("gold")), (9L, None)))
+  }
+
   test("streamingDedup drops repeated keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
