@@ -14,9 +14,15 @@ object Bench {
     // costs that are not query throughput — Janino whole-stage-codegen
     // compilation, JIT warm-up, parquet footer caching. The timed pass then
     // measures steady-state execution, which is what scales with data size.
+    // Optional local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times
+    // just those queries (the driver never sets it — full run).
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
     // A failing query must be visible as a FAILURE, not recorded as a
     // (typically tiny) timing that silently improves the total: emit null
@@ -26,6 +32,11 @@ object Bench {
     // steady-state cost, and the min discards interference from whatever
     // else the host is running during one pass (measured: a co-located
     // CPU-heavy process inflated a 0.8s query to 31s in a single-pass run).
+    // Cache hygiene: operators that persist intermediates (e.g. connected
+    // components' label generations) would otherwise accumulate
+    // MEMORY_AND_DISK blocks across warmup + two timed passes. Clearing
+    // between queries (outside the timed region) keeps every query's
+    // timing independent of what ran before it.
     def timedPass(): Seq[(String, Double, Boolean)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -33,7 +44,9 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (name, t, ok)
     }
     val results = timedPass().zip(timedPass()).map { case ((n, t1, ok1), (_, t2, ok2)) =>
       (n, math.min(t1, t2), ok1 && ok2)

@@ -33,33 +33,58 @@ object Components {
     *         The result is returned PERSISTED (it was materialized by the
     *         convergence probes); lineage is intact, so callers may
     *         `unpersist()` it after their terminal action — otherwise the
-    *         context cleaner reclaims it on GC. */
+    *         context cleaner reclaims it on GC.
+    * @throws IllegalStateException if the labels have not converged after
+    *         `maxIterations` rounds — a partially-propagated labeling would
+    *         silently violate the min-id contract on graphs whose diameter
+    *         exceeds the cap, so the failure must be loud. Raise
+    *         `maxIterations` (rounds needed = graph diameter). */
   def connectedComponents(edges: DataFrame, src: String = "src",
       dst: String = "dst", maxIterations: Int = 20): DataFrame = {
+    // No .distinct() on sym and no distinct initial-label build: duplicate
+    // edges/ids are absorbed by the min-aggregate each round anyway, and the
+    // two distincts were one to two extra shuffle stages materialized in the
+    // first round (measured: round 0 was 5-8x the cost of later rounds, all
+    // setup). sym persists narrow (union is partition-local).
     val sym = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .union(edges.select(col(dst).cast("long").as("src"), col(src).cast("long").as("dst")))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // labels carries (id, component, prev): prev = the component this id had
+    // at the START of the round that produced the row. Folding prev into the
+    // min-aggregate lets the convergence probe be a filter on the persisted
+    // result instead of a join back against the previous generation —
+    // one shuffle per round instead of two. The initial generation may hold
+    // duplicate ids (one per incident edge); round 0's groupBy collapses
+    // them, and min("self") over identical values still recovers prev.
+    var labels = sym
+      .select(col("src").as("id"), col("src").as("component"), col("src").as("prev"))
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
+      val self = labels.select(col("id"), col("component"), col("component").as("self"))
       val prop = sym.join(labels.select(col("id").as("src"), col("component")), "src")
-        .select(col("dst").as("id"), col("component"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("component").as("component"))
+        .select(col("dst").as("id"), col("component"), lit(null).cast("long").as("self"))
+      // Each id appears exactly once in `self`, so min("self") (nulls
+      // ignored) recovers the round-start label alongside the new min.
+      val next = self.union(prop)
+        .groupBy("id").agg(min("component").as("component"), min("self").as("prev"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") < col("prev"))
-        .limit(1).count()
+      val t0 = System.nanoTime()
+      val changed = next.filter(col("component") < col("prev")).limit(1).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] round $i: ${(System.nanoTime() - t0) / 1e9}%.2fs changed=$changed")
       labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0L
       i += 1
     }
     sym.unpersist(blocking = false)
-    labels
+    if (!converged) {
+      labels.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIterations iterations; " +
+          "graph diameter exceeds the cap — raise maxIterations")
+    }
+    labels.select("id", "component")
   }
 }

@@ -24,7 +24,14 @@ object Upsert {
     target.join(updates, keys, "left_anti")
       .unionByName(updates, allowMissingColumns = true)
 
-  /** Merge into a parquet path with atomic swap semantics.
+  /** Merge into a parquet path via backup-then-swap.
+    *
+    * NOT atomic for concurrent readers: between rename(target→bak) and
+    * rename(tmp→target) the target path briefly does not exist, so a reader
+    * racing the swap can observe path-not-found and must retry. (True
+    * read-atomicity needs a versioned-directory + pointer-file scheme, or a
+    * table format with a transaction log — Delta/Iceberg's MERGE is the
+    * drop-in at that point.) What IS guaranteed is crash-safety:
     *
     * Crash-safety contract: at every point either `target` or
     * `target.__bak_upsert` holds a complete copy of the pre-merge data, and

@@ -286,14 +286,22 @@ object ExtendedQueries {
     * probe/dbt surface (SURVEY §3, sample_ecom_raw_query_duckdb.py:8-43).
     * Catalyst sees the identical tree the DataFrame API would build. */
   private val sqlApiPipeline: Q = (s, dir) => {
-    Tables(s, dir, "orders").createOrReplaceTempView("graft_sql_api_orders")
-    s.sql("""
+    // Per-invocation view name, dropped before returning: a fixed name would
+    // make concurrent invocations on one session overwrite each other, and
+    // the view would leak into the session catalog (visible to catalog
+    // queries like s9_catalog_counts). Dropping immediately is safe —
+    // spark.sql analyzes eagerly, so the returned plan holds the resolved
+    // relation, not the view name.
+    val view = s"graft_sql_api_orders_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Tables(s, dir, "orders").createOrReplaceTempView(view)
+    try s.sql(s"""
       SELECT o_orderkey,
              graft_surrogate_key(o_orderkey, o_orderstatus, o_orderpriority) AS order_sk,
              graft_hash60(o_orderpriority) AS prio_h,
              graft_token_count(o_orderpriority) AS prio_tokens
-      FROM graft_sql_api_orders
+      FROM $view
       ORDER BY o_orderkey""")
+    finally s.catalog.dropTempView(view)
   }
 
   // ---------------------------------------------------------------------
