@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{F, Text, Vectors}
+
+/** Round-3 operator pack: SQL subquery surface (EXISTS / IN / correlated
+  * scalar), array higher-order functions, closed-form regression fit,
+  * exact median, UNPIVOT, a generated date spine, deterministic hash-based
+  * dataset splitting, and a bloom-filter-prefiltered anti-join — the
+  * remaining inventory gaps plus the training-data-pipeline primitives a
+  * 100 TB corpus build needs (reproducible train/val/test assignment and
+  * dedup-against-corpus without shuffling the big side).
+  */
+object PipelineQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "sub_exists" -> subExists,
+    "sub_in" -> subIn,
+    "sub_scalar" -> subScalar,
+    "hof_array_pack" -> hofArrayPack,
+    "a_regr_fit" -> aRegrFit,
+    "a_median" -> aMedian,
+    "pv_unpivot" -> pvUnpivot,
+    "g_date_spine" -> gDateSpine,
+    "sample_hash_split" -> sampleHashSplit,
+    "dedup_bloom_prefilter" -> dedupBloomPrefilter
+  )
+
+  /** Registers `tables` under per-invocation unique view names, runs `f`
+    * with the name mapping, then drops the views — the catalog stays clean
+    * and concurrent invocations on one session can't collide (same scheme
+    * as [[ExtendedQueries]]' SQL-API query). spark.sql analyzes eagerly, so
+    * dropping before returning is safe. */
+  private def withViews(s: SparkSession, dir: String, tables: Seq[String])(
+      f: Map[String, String] => DataFrame): DataFrame = {
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
+    val names = tables.map(t => t -> s"${t}_$suffix").toMap
+    names.foreach { case (t, v) => Tables(s, dir, t).createOrReplaceTempView(v) }
+    try f(names) finally names.values.foreach(s.catalog.dropTempView)
+  }
+
+  // ------------------------------------------------------------ subqueries
+  // Catalyst decorrelates all three (RewritePredicateSubquery /
+  // RewriteCorrelatedScalarSubquery): EXISTS becomes a left-semi join, IN a
+  // left-semi on the key, the correlated scalar an aggregate + left outer
+  // join — so the physical plans shuffle once per subquery, never
+  // per-row-reexecute, and scale like the joins they compile to.
+
+  /** Correlated EXISTS: customers holding at least one high-value order. */
+  private val subExists: Q = (s, dir) => withViews(s, dir, Seq("customer", "orders")) { v =>
+    s.sql(s"""
+      SELECT c_custkey, c_name FROM ${v("customer")} c
+      WHERE EXISTS (SELECT 1 FROM ${v("orders")} o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+      ORDER BY c_custkey""")
+  }
+
+  /** IN subquery: parts that ever shipped in near-max quantity. */
+  private val subIn: Q = (s, dir) => withViews(s, dir, Seq("part", "lineitem")) { v =>
+    s.sql(s"""
+      SELECT p_partkey, p_name FROM ${v("part")}
+      WHERE p_partkey IN (SELECT l_partkey FROM ${v("lineitem")} WHERE l_quantity >= 49)
+      ORDER BY p_partkey""")
+  }
+
+  /** Correlated scalar subquery: each customer's largest order (NULL for
+    * customers with no orders — the left-outer the rewrite produces). */
+  private val subScalar: Q = (s, dir) => withViews(s, dir, Seq("customer", "orders")) { v =>
+    s.sql(s"""
+      SELECT c_custkey,
+             (SELECT MAX(o_totalprice) FROM ${v("orders")} o
+              WHERE o.o_custkey = c.c_custkey) AS max_order
+      FROM ${v("customer")} c
+      ORDER BY c_custkey""")
+  }
+
+  // -------------------------------------------------- array higher-order
+  /** transform / filter / aggregate / exists / sort / distinct / slice over
+    * the token array — all codegen'd Catalyst lambda expressions evaluated
+    * in one pass over each row, no explode-shuffle-reassemble and no UDF. */
+  private val hofArrayPack: Q = (s, dir) => {
+    import s.implicits._
+    val toks = Text.tokens($"text")
+    Tables(s, dir, "documents").select(
+        $"doc_id",
+        size(toks).as("n_tokens"),
+        size(filter(toks, t => length(t) > lit(6))).as("n_long"),
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (acc, x) => acc + x)
+          .as("total_chars"),
+        exists(toks, t => t.rlike("^[A-Z]")).as("has_capitalized"),
+        array_join(slice(array_sort(array_distinct(toks)), 1, 5), ",").as("first_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  // ------------------------------------------------------------ regression
+  /** Least-squares fit (slope / intercept / r²) per group, computed the
+    * deterministic way: exact decimal power sums first, closed-form double
+    * arithmetic last (same scheme as a_stats_moments — built-in regr_* /
+    * corr merge float partials in partition order and can't hash-match
+    * another engine). One shuffle, map-side partial sums. */
+  private val aRegrFit: Q = (s, dir) => {
+    import s.implicits._
+    val x = F.money($"l_quantity")
+    val y = F.money($"l_extendedprice")
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("decimal(38,2)").as("sx"),
+        sum(y).cast("decimal(38,2)").as("sy"),
+        sum(x * x).cast("decimal(38,4)").as("sxx"),
+        sum(x * y).cast("decimal(38,4)").as("sxy"),
+        sum(y * y).cast("decimal(38,4)").as("syy"))
+      .select($"l_returnflag", $"n",
+        $"sx".cast("double").as("sxd"), $"sy".cast("double").as("syd"),
+        $"sxx".cast("double").as("sxxd"), $"sxy".cast("double").as("sxyd"),
+        $"syy".cast("double").as("syyd"))
+      // Expression trees below mirror the oracle SQL token-for-token —
+      // double ops are order-sensitive, so both engines must evaluate the
+      // identical tree to stay bit-exact.
+      .select($"l_returnflag", $"n",
+        (($"sxyd" - $"sxd" * $"syd" / $"n") / ($"sxxd" - $"sxd" * $"sxd" / $"n")).as("slope"),
+        ($"syd" / $"n" - ($"sxyd" - $"sxd" * $"syd" / $"n") / ($"sxxd" - $"sxd" * $"sxd" / $"n") * ($"sxd" / $"n")).as("intercept"),
+        ((($"sxyd" - $"sxd" * $"syd" / $"n") * ($"sxyd" - $"sxd" * $"syd" / $"n"))
+          / (($"sxxd" - $"sxd" * $"sxd" / $"n") * ($"syyd" - $"syd" * $"syd" / $"n"))).as("r2"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Exact median (interpolating percentile) — distinct API surface from
+    * p_percentile's quantile triple. Quantities are integral, so the
+    * even-count midpoint (a+b)/2 is exact in double on both engines. */
+  private val aMedian: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        expr("median(l_quantity)").as("med_qty"),
+        expr("median(l_extendedprice)").as("med_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  // --------------------------------------------------------------- unpivot
+  /** Wide→long UNPIVOT of per-flag money sums (the inverse of pv_pivot).
+    * Spark plans it as Expand — one pass, rows×metrics output, no join. */
+  private val pvUnpivot: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(F.moneySum($"l_quantity").as("sum_qty"),
+        F.moneySum($"l_extendedprice").as("sum_price"),
+        F.moneySum($"l_discount").as("sum_disc"))
+      .unpivot(Array($"l_returnflag"),
+        Array($"sum_qty", $"sum_price", $"sum_disc"), "metric", "value")
+      .orderBy($"l_returnflag", $"metric")
+  }
+
+  // ------------------------------------------------------------ date spine
+  /** Generated date dimension (the dim_dates pattern built from nothing):
+    * sequence + explode, calendar attributes with the DuckDB DOW alignment
+    * (Sunday=0 → dayofweek-1, SURVEY §2.8). Generation is a single task
+    * emitting 90 rows — a real date spine is always driver-scale data. */
+  private val gDateSpine: Q = (s, _) => {
+    import s.implicits._
+    s.range(1)
+      .select(explode(expr("sequence(date'2023-01-01', date'2023-03-31', interval 1 day)")).as("d"))
+      .select($"d",
+        year($"d").as("yr"), month($"d").as("mo"),
+        (dayofweek($"d") - 1).as("dow"), dayofyear($"d").as("doy"),
+        ($"d" === last_day($"d")).as("is_month_end"))
+      .orderBy($"d")
+  }
+
+  // ----------------------------------------------- deterministic splitting
+  /** Reproducible train/validation/test assignment: md5-derived bucket of
+    * the stable document id — no rand(), so the split is identical on any
+    * engine, any partitioning, any rerun, and a re-ingested document lands
+    * in the same split (the property that prevents train/test leakage when
+    * a corpus is rebuilt). Pure projection: no shuffle at any scale. */
+  private val sampleHashSplit: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id",
+        pmod(Vectors.hash60(concat(lit("split_"), $"doc_id".cast("string"))), lit(10)).as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 8, "train").when($"bucket" === 8, "validation").otherwise("test"))
+      .orderBy($"doc_id")
+  }
+
+  // ------------------------------------------------- bloom-prefilter dedup
+  /** Anti-join with a bloom-filter prefilter — dedup-new-batch-against-
+    * corpus at scale: build a ~1 MB bloom over the (small) key side with a
+    * distributed treeAggregate, broadcast it, and let rows the filter
+    * definitely excludes skip the shuffle entirely; only might-contain rows
+    * (true members + ~1% false positives) pay the exact anti-join that
+    * restores exactness. At 100 TB this turns "shuffle the whole fact
+    * table" into "shuffle ~the matching fraction". The result is EXACT —
+    * the bloom only routes. */
+  private val dedupBloomPrefilter: Q = (s, dir) => {
+    import s.implicits._
+    val keys = Tables(s, dir, "part").filter($"p_size" > 25).select($"p_partkey")
+    val bloom = keys.stat.bloomFilter("p_partkey", math.max(keys.count(), 1L), 0.01)
+    val bc = s.sparkContext.broadcast(bloom)
+    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContain(k.longValue()))
+    val li = Tables(s, dir, "lineitem")
+    val sure = li.filter(!might($"l_partkey"))
+    val maybe = li.filter(might($"l_partkey"))
+      .join(keys, li("l_partkey") === keys("p_partkey"), "left_anti")
+    sure.unionByName(maybe)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles
+  // ---------------------------------------------------------------------
+  def oracle: Map[String, String] = Map(
+    "sub_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "sub_in" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "sub_scalar" ->
+      """SELECT c_custkey,
+        | (SELECT MAX(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM customer c ORDER BY c_custkey""".stripMargin,
+
+    "hof_array_pack" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        | len(list_filter(toks, t -> length(t) > 6)) AS n_long,
+        | list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> length(t)::BIGINT)), (a,b) -> a + b) AS total_chars,
+        | len(list_filter(toks, t -> regexp_matches(t, '^[A-Z]'))) > 0 AS has_capitalized,
+        | array_to_string(list_sort(list_distinct(toks))[1:5], ',') AS first_tokens
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "a_regr_fit" ->
+      """WITH sums AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sxx,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sxy,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS syy
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        | (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) AS slope,
+        | CAST(sy AS DOUBLE) / n - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS intercept,
+        | ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n))
+        |  / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS r2
+        |FROM sums ORDER BY l_returnflag""".stripMargin,
+
+    "a_median" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        | median(l_quantity) AS med_qty, median(l_extendedprice) AS med_price
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "pv_unpivot" ->
+      """WITH base AS (SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, value
+        |FROM base UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc))
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "g_date_spine" ->
+      """SELECT CAST(u AS DATE) AS d, EXTRACT(YEAR FROM u) AS yr, EXTRACT(MONTH FROM u) AS mo,
+        | datepart('dow', u) AS dow, datepart('doy', u) AS doy,
+        | CAST(u AS DATE) = last_day(CAST(u AS DATE)) AS is_month_end
+        |FROM (SELECT unnest(generate_series(DATE '2023-01-01', DATE '2023-03-31', INTERVAL 1 DAY)) AS u)
+        |ORDER BY d""".stripMargin,
+
+    "sample_hash_split" ->
+      """SELECT doc_id, bucket,
+        | CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'validation' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(CONCAT('0x', SUBSTR(md5(CONCAT('split_', CAST(doc_id AS VARCHAR))),1,15)) AS BIGINT) % 10 AS bucket
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_bloom_prefilter" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size > 25)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}

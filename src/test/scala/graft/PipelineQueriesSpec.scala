@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-3 pack — value-level equivalences the
+  * rows-only structural gate can't see. */
+class PipelineQueriesSpec extends SparkSpec {
+  import graft.queries.PipelineQueries
+
+  test("dedup_bloom_prefilter is EXACT: identical to the plain anti-join") {
+    val viaBloom = PipelineQueries.queries("dedup_bloom_prefilter")(spark, sfDir)
+    val li = Tables(spark, sfDir, "lineitem")
+    val keys = Tables(spark, sfDir, "part")
+      .filter(col("p_size") > 25).select(col("p_partkey"))
+    val plain = li.join(keys, li("l_partkey") === keys("p_partkey"), "left_anti")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    assert(viaBloom.count() === plain.count())
+    assert(viaBloom.exceptAll(plain).isEmpty && plain.exceptAll(viaBloom).isEmpty)
+  }
+
+  test("sample_hash_split is deterministic and total") {
+    val a = PipelineQueries.queries("sample_hash_split")(spark, sfDir).collect()
+    val b = PipelineQueries.queries("sample_hash_split")(spark, sfDir).collect()
+    assert(a.sameElements(b), "split assignment changed between runs")
+    val splits = a.map(_.getString(2)).toSet
+    assert(splits.subsetOf(Set("train", "validation", "test")))
+    // Buckets 0-7 train; an md5-derived bucket should put the bulk in train.
+    val train = a.count(_.getString(2) == "train").toDouble / a.length
+    assert(train > 0.6 && train < 0.95, s"train fraction $train implausible for 8/10 buckets")
+  }
+
+  test("g_date_spine covers the range with correct calendar attributes") {
+    val rows = PipelineQueries.queries("g_date_spine")(spark, sfDir).collect()
+    assert(rows.length === 90) // Jan 1 .. Mar 31 2023
+    val first = rows.head
+    assert(first.getDate(0).toString === "2023-01-01")
+    assert(first.getInt(3) === 0, "2023-01-01 was a Sunday -> dow 0 (DuckDB alignment)")
+    assert(rows.count(_.getBoolean(5)) === 3, "exactly 3 month-ends in Jan-Mar")
+  }
+
+  test("subqueries decorrelate to joins (no per-row re-execution)") {
+    // The physical plan must not contain an uncorrelated-loop subquery node;
+    // EXISTS/IN compile to semi joins, the scalar subquery to an aggregate
+    // plus outer join.
+    for (name <- Seq("sub_exists", "sub_in", "sub_scalar")) {
+      val plan = PipelineQueries.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Subquery") || name == "sub_scalar" || !plan.contains("InSubquery"),
+        s"$name kept an unplanned subquery:\n$plan")
+      if (name != "sub_scalar")
+        assert(plan.toLowerCase.contains("semi"), s"$name should plan a semi join")
+    }
+  }
+
+  test("a_regr_fit matches a driver-side least-squares recomputation") {
+    val fit = PipelineQueries.queries("a_regr_fit")(spark, sfDir)
+      .filter(col("l_returnflag") === "N").collect().head
+    val rows = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "N")
+      .select(col("l_quantity"), col("l_extendedprice")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = rows.length.toDouble
+    val (sx, sy) = (rows.map(_._1).sum, rows.map(_._2).sum)
+    val sxx = rows.map(p => p._1 * p._1).sum
+    val sxy = rows.map(p => p._1 * p._2).sum
+    val expSlope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    val expIntercept = sy / n - expSlope * (sx / n)
+    assert(math.abs(fit.getDouble(2) - expSlope) < math.abs(expSlope) * 1e-9)
+    assert(math.abs(fit.getDouble(3) - expIntercept) < math.abs(expIntercept) * 1e-9)
+    val r2 = fit.getDouble(4)
+    assert(r2 >= 0 && r2 <= 1, s"r2 $r2 out of range")
+  }
+}
