@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -28,7 +29,10 @@ object PipelineQueries {
     "pv_unpivot" -> pvUnpivot,
     "g_date_spine" -> gDateSpine,
     "sample_hash_split" -> sampleHashSplit,
-    "dedup_bloom_prefilter" -> dedupBloomPrefilter
+    "dedup_bloom_prefilter" -> dedupBloomPrefilter,
+    "w3_rank_pack" -> w3RankPack,
+    "s_fuzzy_brands" -> sFuzzyBrands,
+    "q_topn_group" -> qTopnGroup
   )
 
   /** Registers `tables` under per-invocation unique view names, runs `f`
@@ -215,6 +219,53 @@ object PipelineQueries {
       .orderBy($"l_orderkey", $"l_linenumber")
   }
 
+  // ------------------------------------------------------- ranking windows
+  /** The full ranking-function surface in one windowed pass: row_number /
+    * rank / dense_rank / ntile / percent_rank / cume_dist / lag / lead.
+    * percent_rank and cume_dist are ratios of small integers — exact in
+    * double on any engine. One shuffle on the partition key. */
+  private val w3RankPack: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables(s, dir, "orders")
+      .filter($"o_custkey" % 100 === 7)
+      .select($"o_custkey", $"o_orderkey",
+        row_number().over(w).as("rn"), rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"), ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"), cume_dist().over(w).as("cdist"),
+        lag($"o_orderkey", 1).over(w).as("prev_order"),
+        lead($"o_orderkey", 1).over(w).as("next_order"))
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  // ---------------------------------------------------------- fuzzy match
+  /** Edit-distance similarity over the distinct brand domain — the fuzzy
+    * key-matching step of entity resolution. Distinct first (the domain is
+    * tiny even at 100 TB fact scale), then the quadratic compare runs on
+    * |domain|², not |table|². */
+  private val sFuzzyBrands: Q = (s, dir) => {
+    import s.implicits._
+    val b = Tables(s, dir, "part").select($"p_brand").distinct()
+    b.as("a").join(b.as("b"), col("a.p_brand") < col("b.p_brand"))
+      .select(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"),
+        levenshtein(col("a.p_brand"), col("b.p_brand")).as("edit_dist"))
+      .orderBy($"brand_a", $"brand_b")
+  }
+
+  // ------------------------------------------------------- per-group top-N
+  /** Top-2 orders per customer — the QUALIFY pattern (window + rank
+    * filter). Unlike a global top-k this can't use a limit: rank computes
+    * within each partition after one shuffle on the group key, and the
+    * filter prunes before any downstream work. */
+  private val qTopnGroup: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables(s, dir, "orders")
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles
   // ---------------------------------------------------------------------
@@ -292,6 +343,28 @@ object PipelineQueries {
     "dedup_bloom_prefilter" ->
       """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
         |WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size > 25)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "w3_rank_pack" ->
+      """SELECT o_custkey, o_orderkey,
+        | row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        | ntile(4) OVER w AS quartile,
+        | percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cdist,
+        | lag(o_orderkey) OVER w AS prev_order, lead(o_orderkey) OVER w AS next_order
+        |FROM orders WHERE o_custkey % 100 = 7
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "s_fuzzy_brands" ->
+      """WITH b AS (SELECT DISTINCT p_brand FROM part)
+        |SELECT a.p_brand AS brand_a, c.p_brand AS brand_b,
+        | levenshtein(a.p_brand, c.p_brand) AS edit_dist
+        |FROM b a JOIN b c ON a.p_brand < c.p_brand
+        |ORDER BY brand_a, brand_b""".stripMargin,
+
+    "q_topn_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
   )
 }
