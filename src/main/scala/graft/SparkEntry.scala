@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, ExtendedQueries, PipelineQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, ExtendedQueries, PipelineQueries, RelationalQueries, SimilarityQueries, TextQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ AnalyticsQueries.queries ++
-      ExtendedQueries.queries ++ PipelineQueries.queries
+      ExtendedQueries.queries ++ PipelineQueries.queries ++
+      TrainingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++
       SimilarityQueries.oracle ++ AnalyticsQueries.oracle ++
-      ExtendedQueries.oracle ++ PipelineQueries.oracle
+      ExtendedQueries.oracle ++ PipelineQueries.oracle ++
+      TrainingQueries.oracle
 }

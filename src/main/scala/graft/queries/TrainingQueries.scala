@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Text, Vectors}
+
+/** Training-data-pipeline pack over `documents` — the corpus-preparation
+  * operators a 100 TB pretraining pipeline runs after the per-doc signals
+  * in [[TextQueries]]: repetition filtering, sequence packing,
+  * rarity-weighted term relevance, benchmark decontamination, stratified
+  * sampling, PII redaction, and the token-position generator surface.
+  *
+  * Everything here is a declarative DataFrame plan: the heavy queries are
+  * one or two hash shuffles (groupBy / window on a key that scales with
+  * the corpus), the scans stay single-pass, and nothing touches the
+  * driver. Reference context: the reference's pipeline stops at
+  * ingest/enrich (`src/pipeline/ingest_latest_synthetic_data.py`); these
+  * are the additional ops the builder prompt requires for training-data
+  * preparation at scale.
+  */
+object TrainingQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Tokens per packed sequence (small so sf0.01 docs span bins). */
+  private val PackBin = 128
+  /** Word-shingle width shared with the decontamination oracle. */
+  private val ShingleN = 3
+
+  def queries: Map[String, Q] = Map(
+    "text_repetition" -> textRepetition,
+    "text_seq_pack" -> textSeqPack,
+    "text_tfidf" -> textTfidf,
+    "text_decontaminate" -> textDecontaminate,
+    "sample_stratified" -> sampleStratified,
+    "text_pii_redact" -> textPiiRedact,
+    "l_explode_pack" -> lExplodePack
+  )
+
+  // ------------------------------------------------- repetition filtering
+  /** Gopher-style intra-document repetition signals: duplicate-word and
+    * duplicate-bigram ratios, plus the keep/drop flag. Pure per-row map —
+    * no shuffle, embarrassingly parallel at any scale. The token array is
+    * consumed by four expressions; CollapseProject inlines the split into
+    * each, which is fine at 4 consumers (the round-1 rule of thumb: only
+    * wide fan-outs like 32 aggregates need a single-pass expression). */
+  private val textRepetition: Q = (s, dir) => {
+    import s.implicits._
+    val t = Text.tokens(Text.normalized($"text"))
+    val bigrams = zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    Tables(s, dir, "documents")
+      .select($"doc_id",
+        size(t).as("n_words"),
+        size(array_distinct(t)).as("n_distinct_words"),
+        (size(t) - 1).as("n_bigrams"),
+        size(array_distinct(bigrams)).as("n_distinct_bigrams"))
+      .select($"doc_id", $"n_words", $"n_distinct_words", $"n_bigrams",
+        $"n_distinct_bigrams",
+        round(($"n_words" - $"n_distinct_words").cast("double") / $"n_words", 6)
+          .as("dup_word_ratio"),
+        round(($"n_bigrams" - $"n_distinct_bigrams").cast("double")
+          / greatest($"n_bigrams", lit(1)), 6).as("dup_bigram_ratio"))
+      .withColumn("repetitive",
+        $"dup_bigram_ratio" > 0.2 || $"dup_word_ratio" > 0.72)
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------- sequence packing
+  /** Concat-and-chunk sequence packing: per source shard, documents are
+    * concatenated in doc_id order and split every [[PackBin]] tokens; each
+    * doc's start offset is the exclusive running token sum. Partitioning
+    * by shard is the scale story — one window shuffle on `source`, shards
+    * pack independently, and no global ordering barrier exists (a global
+    * pack would serialize 100 TB through one partition). */
+  private val textSeqPack: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"source", Text.tokenCount($"text").as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("bin_first", expr(s"start_offset div $PackBin"))
+      .withColumn("bin_last", expr(s"(start_offset + n_tokens - 1) div $PackBin"))
+      .withColumn("spans_boundary", $"bin_first" =!= $"bin_last")
+      .orderBy($"doc_id")
+  }
+
+  // ------------------------------------------------ rarity-weighted terms
+  /** Top-3 most corpus-distinctive terms per document. TF-IDF plan shape
+    * (tokenize → per-doc TF → per-term DF → join → per-doc top-k) with a
+    * rational rarity weight tf·N/df instead of tf·ln(N/df): IEEE *,/ are
+    * exactly rounded so the score is bit-identical across engines, while
+    * ln differs in ULPs between libm and the JVM (both weights induce a
+    * ranking; this one is cross-engine reproducible). TF filter for the
+    * reported doc subset is pushed below the DF join; DF stays global. */
+  private val textTfidf: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val tf = docs
+      .select($"doc_id", explode(Text.tokens(Text.normalized($"text"))).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    tf.filter($"doc_id" < 50)
+      .join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", $"tf".cast("double") * $"n_docs" / $"df")
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"term", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  // ------------------------------------------------------ decontamination
+  /** Benchmark decontamination: find corpus documents sharing ≥ 3 word
+    * 3-gram shingles with any held-out "benchmark" doc (here doc_id % 50
+    * = 0 stands in for the eval set). Inverted-index join on the shingle —
+    * the benchmark side is tiny by construction (eval sets are, even when
+    * the corpus is 100 TB), so it broadcasts and the corpus side streams
+    * through map-side without a shuffle; the only shuffle is the pair
+    * aggregate, sized by matches, not by corpus. */
+  private val textDecontaminate: Q = (s, dir) => {
+    import s.implicits._
+    val shd = Tables(s, dir, "documents")
+      .select($"doc_id", explode(Text.shingleSet($"text", ShingleN)).as("shingle"))
+    val bench = shd.filter($"doc_id" % 50 === 0)
+      .select($"shingle", $"doc_id".as("bench_id"))
+    shd.filter($"doc_id" % 50 =!= 0)
+      .join(broadcast(bench), "shingle")
+      .groupBy($"doc_id", $"bench_id").agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 3)
+      .orderBy($"doc_id", $"bench_id")
+  }
+
+  // --------------------------------------------------- stratified sample
+  /** Deterministic stratified sampling: per-language keep rates applied
+    * via a salted md5 bucket of the key — reproducible across runs,
+    * engines, and partitionings (unlike `sampleBy`, whose RNG is
+    * partition-order dependent). Pure map-side filter; the scan is the
+    * only cost and the predicate prunes to the sampled fraction. */
+  private val sampleStratified: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        pmod(Vectors.hash60(concat(lit("strat_"), $"doc_id".cast("string"))),
+          lit(100L)).as("bucket"))
+      .filter($"bucket" <
+        when($"lang" === "en", 50).when($"lang" === "de", 25).otherwise(10))
+      .orderBy($"doc_id")
+  }
+
+  // -------------------------------------------------------- PII redaction
+  /** PII scrub: mask emails, NANP phone numbers, and IPv4 addresses.
+    * The corpus text is synthetic word soup, so each doc gets
+    * deterministic synthetic PII appended (derived from doc_id) and the
+    * redaction chain must strip exactly that. Per-row regex map — no
+    * shuffle; the three patterns are shared verbatim with the oracle. */
+  private val textPiiRedact: Q = (s, dir) => {
+    import s.implicits._
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+1-[0-9]{3}-[0-9]{4}"
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    Tables(s, dir, "documents")
+      .withColumn("synth", concat($"text",
+        lit(" contact user"), $"doc_id".cast("string"),
+        lit("@mail.example.com call +1-555-"),
+        lpad((($"doc_id" * 7) % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), ($"doc_id" % 256).cast("string"), lit(".7")))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace($"synth",
+          email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>"))
+      .select($"doc_id",
+        size(regexp_extract_all($"synth", lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all($"synth", lit(phone), lit(0))).as("n_phones"),
+        size(regexp_extract_all($"synth", lit(ip), lit(0))).as("n_ips"),
+        expr("substring(redacted, length(text) + 2)").as("redacted_tail"))
+      .orderBy($"doc_id")
+  }
+
+  // ----------------------------------------------------- generator (UDTF)
+  /** Token positions via posexplode — the generator/UDTF surface (flatten
+    * with ordinality). Row fan-out happens executor-side with no shuffle;
+    * the doc_id filter prunes before the explode. */
+  private val lExplodePack: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .filter($"doc_id" < 10)
+      .select($"doc_id",
+        posexplode(Text.tokens(Text.normalized($"text"))).as(Seq("pos", "tok")))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles
+  // ---------------------------------------------------------------------
+  private val toksSql =
+    raw"regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')"
+
+  def oracle: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH f AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |g AS (SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct_words,
+         |  len(t) - 1 AS n_bigrams,
+         |  len(list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])) AS n_distinct_bigrams
+         | FROM f)
+         |SELECT doc_id, n_words, n_distinct_words, n_bigrams, n_distinct_bigrams,
+         | round(CAST(n_words - n_distinct_words AS DOUBLE)/n_words, 6) AS dup_word_ratio,
+         | round(CAST(n_bigrams - n_distinct_bigrams AS DOUBLE)/greatest(n_bigrams,1), 6) AS dup_bigram_ratio,
+         | (round(CAST(n_bigrams - n_distinct_bigrams AS DOUBLE)/greatest(n_bigrams,1), 6) > 0.2
+         |  OR round(CAST(n_words - n_distinct_words AS DOUBLE)/n_words, 6) > 0.72) AS repetitive
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "text_seq_pack" ->
+      raw"""WITH f AS (SELECT doc_id, source,
+           |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens FROM documents),
+           |g AS (SELECT doc_id, source, n_tokens,
+           |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM f)
+           |SELECT doc_id, source, n_tokens, start_offset,
+           |  start_offset // $PackBin AS bin_first,
+           |  (start_offset + n_tokens - 1) // $PackBin AS bin_last,
+           |  (start_offset // $PackBin) <> ((start_offset + n_tokens - 1) // $PackBin) AS spans_boundary
+           |FROM g ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH toksv AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toksv GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE) * n_docs / df AS score
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n WHERE doc_id < 50)
+         |SELECT doc_id, rank, term, tf, df, score FROM (
+         | SELECT doc_id, term, tf, df, score,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+         | FROM scored) WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "text_decontaminate" ->
+      s"""WITH toksv AS (SELECT doc_id, $toksSql t FROM documents),
+         |shd AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < $ShingleN
+         |  THEN [array_to_string(t, ' ')]
+         |  ELSE [array_to_string(t[i:i+${ShingleN - 1}], ' ') FOR i IN range(1, len(t) - ${ShingleN - 2})] END) sh
+         |  FROM toksv),
+         |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shd)
+         |SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+         |FROM ex c JOIN ex b ON c.shingle = b.shingle
+         |WHERE b.doc_id % 50 = 0 AND c.doc_id % 50 <> 0
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY doc_id, bench_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, bucket FROM (
+        | SELECT doc_id, lang,
+        |  CAST(CONCAT('0x', SUBSTR(md5('strat_' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        | FROM documents)
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_pii_redact" ->
+      raw"""WITH f AS (SELECT doc_id, text,
+           |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com call +1-555-' ||
+           |  lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ||
+           |  ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS synth
+           |  FROM documents),
+           |r AS (SELECT doc_id, text, synth,
+           |  regexp_replace(regexp_replace(regexp_replace(synth,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+           |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+           |  FROM f)
+           |SELECT doc_id,
+           | CAST(len(regexp_extract_all(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           | CAST(len(regexp_extract_all(synth, '\+1-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+           | CAST(len(regexp_extract_all(synth, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ips,
+           | substr(redacted, length(text) + 2) AS redacted_tail
+           |FROM r ORDER BY doc_id""".stripMargin,
+
+    "l_explode_pack" ->
+      s"""WITH f AS (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id < 10)
+         |SELECT doc_id, unnest(generate_series(0, len(t) - 1)) AS pos, unnest(t) AS tok
+         |FROM f ORDER BY doc_id, pos""".stripMargin
+  )
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.TrainingQueries
+
+/** Semantic invariants for the training-data pack (value-level equality
+  * vs DuckDB is the oracle's job; these pin the properties the oracle
+  * can't see, like determinism and intra-result consistency). */
+class TrainingQueriesSpec extends SparkSpec {
+
+  private def run(name: String) =
+    TrainingQueries.queries(name)(spark, sfDir)
+
+  test("text_repetition: ratios bounded, distinct counts consistent") {
+    val bad = run("text_repetition").filter(
+      col("n_distinct_words") > col("n_words") ||
+        col("n_distinct_bigrams") > greatest(col("n_bigrams"), lit(1)) ||
+        col("dup_word_ratio") < 0 || col("dup_word_ratio") > 1 ||
+        col("dup_bigram_ratio") < 0 || col("dup_bigram_ratio") > 1)
+    assert(bad.count() === 0)
+  }
+
+  test("text_seq_pack: offsets are contiguous within each source shard") {
+    val rows = run("text_seq_pack")
+      .orderBy("source", "doc_id")
+      .select("source", "n_tokens", "start_offset", "bin_first", "bin_last")
+      .collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, shard) =>
+      var expected = 0L
+      shard.foreach { r =>
+        assert(r.getLong(2) === expected, "start_offset must be the running sum")
+        assert(r.getLong(3) === r.getLong(2) / 128)
+        assert(r.getLong(4) === (r.getLong(2) + r.getInt(1) - 1) / 128)
+        expected += r.getInt(1)
+      }
+    }
+  }
+
+  test("text_tfidf: ranks dense 1..3 and scores non-increasing per doc") {
+    val rows = run("text_tfidf").select("doc_id", "rank", "score").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to sorted.length))
+      val scores = sorted.map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("text_decontaminate: only corpus-vs-benchmark pairs, n_shared >= 3") {
+    val df = run("text_decontaminate")
+    assert(df.count() > 0, "threshold too strict: no contaminated pairs found")
+    assert(df.filter(col("bench_id") % 50 =!= 0 || col("doc_id") % 50 === 0
+      || col("n_shared") < 3).count() === 0)
+  }
+
+  test("sample_stratified: buckets respect per-language rates, deterministic") {
+    val df = run("sample_stratified")
+    val bad = df.filter(col("bucket") >=
+      when(col("lang") === "en", 50).when(col("lang") === "de", 25).otherwise(10))
+    assert(bad.count() === 0)
+    // Deterministic: a second run yields the identical id set.
+    val a = df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = run("sample_stratified").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
+  test("text_pii_redact: every injected PII class is found and masked") {
+    val df = run("text_pii_redact")
+    assert(df.filter(col("n_emails") < 1 || col("n_phones") < 1 || col("n_ips") < 1)
+      .count() === 0)
+    val leaked = df.filter(col("redacted_tail").rlike("[0-9@]"))
+    assert(leaked.count() === 0, "digits or @ survived redaction")
+  }
+
+  test("l_explode_pack: positions dense from 0 per doc") {
+    val rows = run("l_explode_pack").select("doc_id", "pos").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getInt(1)).sorted.toSeq === (0 until g.length))
+    }
+  }
+}
