@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Layout, VersionedTable}
+
+/** Layout operators must deliver their scale claims on the real plan and
+  * filesystem: pruning asserted on the scan's numFiles metric, compaction
+  * on the actual file census, versioning on reader-visible state. */
+class LayoutSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String) =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("writePartitioned + date filter prunes partitions at planning time") {
+    val dir = tmpDir("layout_part") + "/events"
+    val events = Tables(spark, sfDir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    Layout.writePartitioned(events, dir, Seq("event_date"))
+
+    val all = spark.read.parquet(dir)
+    val nDates = all.select("event_date").distinct().count()
+    assert(nDates > 1, "need multiple partitions for a pruning test")
+
+    val oneDay = all.filter(col("event_date") === all.agg(max("event_date")).head.getDate(0))
+    oneDay.count() // execute so scan metrics populate
+    val scan = oneDay.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.metadata("PartitionFilters").contains("event_date"),
+      "filter on the partition column must become a PartitionFilter")
+    val filesRead = scan.metrics("numFiles").value
+    val filesTotal = all.inputFiles.length
+    assert(filesRead < filesTotal,
+      s"pruned scan read $filesRead of $filesTotal files — no pruning happened")
+  }
+
+  test("compact merges small files and preserves content, without shuffling") {
+    val dir = tmpDir("layout_compact") + "/t"
+    val df = Tables(spark, sfDir, "lineitem").repartition(24)
+    df.write.parquet(dir)
+    val before = spark.read.parquet(dir)
+    val (sumBefore, cntBefore) =
+      (before.agg(sum("l_quantity")).head.get(0), before.count())
+
+    val plan = spark.read.parquet(dir).coalesce(1).queryExecution.executedPlan
+    assert(!plan.toString.contains("Exchange"), "compaction plan must not shuffle")
+
+    val (nBefore, nAfter) = Layout.compact(spark, dir, targetBytes = 1L << 30)
+    assert(nBefore === 24 && nAfter === 1, s"expected 24 -> 1, got $nBefore -> $nAfter")
+    val after = spark.read.parquet(dir)
+    assert(after.count() === cntBefore)
+    assert(after.agg(sum("l_quantity")).head.get(0) === sumBefore)
+    // Idempotent: already-compact directory is left untouched.
+    assert(Layout.compact(spark, dir, targetBytes = 1L << 30) === ((1, 1)))
+  }
+
+  test("compactPartitioned compacts each partition dir independently") {
+    val dir = tmpDir("layout_cp") + "/events"
+    val events = Tables(spark, sfDir, "events")
+      .withColumn("bucket", (col("event_id") % 3).cast("string"))
+      .repartition(8)
+    events.write.partitionBy("bucket").parquet(dir)
+    val results = Layout.compactPartitioned(spark, dir, targetBytes = 1L << 30)
+    assert(results.keySet === Set("bucket=0", "bucket=1", "bucket=2"))
+    assert(results.values.forall { case (b, a) => b > 1 && a === 1 })
+    assert(spark.read.parquet(dir).count() === events.count())
+  }
+
+  test("versioned table: atomic publish, time travel, vacuum") {
+    val root = tmpDir("vtab") + "/t"
+    val v1 = VersionedTable.write(Tables(spark, sfDir, "region"), root)
+    assert(v1 === 1L)
+    assert(VersionedTable.read(spark, root).count() === 5)
+
+    val v2 = VersionedTable.write(
+      Tables(spark, sfDir, "region").filter(col("r_regionkey") < 2), root)
+    assert(v2 === 2L)
+    assert(VersionedTable.currentVersion(spark, root) === Some(2L))
+    assert(VersionedTable.read(spark, root).count() === 2)
+    // Old snapshot still consistent for a reader that resolved it earlier.
+    assert(VersionedTable.readVersion(spark, root, 1).count() === 5)
+
+    // A crashed write (directory without _SUCCESS) is invisible...
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/v=3"))
+    assert(VersionedTable.currentVersion(spark, root) === Some(2L))
+    // ...and its number is never reused.
+    val v4 = VersionedTable.write(Tables(spark, sfDir, "nation"), root)
+    assert(v4 === 4L)
+
+    // vacuum(keep=1): v1, v2 (superseded committed) and v3 (stale crash
+    // leftover) go; v4 stays.
+    assert(VersionedTable.vacuum(spark, root, keep = 1) === Seq(1L, 2L, 3L))
+    assert(VersionedTable.listVersions(spark, root) === Seq(4L))
+    assert(VersionedTable.read(spark, root).count() === 25)
+  }
+}
