@@ -133,6 +133,26 @@ object Streams {
         col("p_ts"), col("v_ts"))
   }
 
+  /** Streaming keyed upsert sink — the reference's delete-then-insert
+    * warehouse load (SURVEY §2.10) as a continuous query: each micro-batch
+    * is deduped to its latest row per key, then merged into the parquet
+    * target inside foreachBatch. Restart-safe end to end: the checkpoint
+    * makes batch replay possible, and replaying a merge is harmless
+    * because a keyed merge of the same rows is idempotent — together
+    * that's effectively-once table state over an at-least-once stream. */
+  def upsertSink(updates: DataFrame, target: String, checkpoint: String,
+      keys: Seq[String], orderCol: String): Unit =
+    updates.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = graft.operators.DedupLatest(
+          batch, keys, Seq(col(orderCol)))
+        graft.operators.Upsert.intoParquet(target, latest, keys)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
   /** Incremental batch over a stream source: process-everything-available,
     * then stop — the high-watermark daily job without hand-written
     * bookkeeping. */

@@ -1,0 +1,74 @@
+package graft
+
+/** Physical-plan regression guards. Correctness is the oracle's job; these
+  * pin the plan SHAPES the 100 TB scale story depends on, so a refactor
+  * that silently turns a broadcast join into a shuffle join, loses a
+  * pushed filter, or adds a shuffle to a map-only operator fails CI — not
+  * a production run. All assertions run on the executed (post-AQE) plan. */
+class PlanAssertionsSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    // collect() — NOT count(), which builds its own aggregate plan and
+    // leaves this df's AQE plan unexecuted (isFinalPlan=false).
+    df.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan"; assertions
+    // must see only what actually ran.
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def countOf(plan: String, op: String): Int =
+    op.r.findAllMatchIn(plan).length
+
+  test("j10_star_revenue: all dim joins broadcast, no shuffle join, no cartesian") {
+    val plan = planOf("j10_star_revenue")
+    assert(countOf(plan, "BroadcastHashJoin") >= 3,
+      s"star join should broadcast its dims:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"star join must not shuffle-join or cross-join:\n$plan")
+  }
+
+  test("q1_pricing_summary: filter pushed to scan, columns pruned, codegen on") {
+    val plan = planOf("q1_pricing_summary")
+    assert(plan.contains("LessThanOrEqual(l_shipdate"),
+      s"shipdate predicate must reach the parquet scan as a PushedFilter:\n$plan")
+    assert(!plan.contains("l_comment") && !plan.contains("l_orderkey"),
+      s"scan reads columns the query never touches:\n$plan")
+    // codegen'd operators carry the `*(stageId)` prefix in the tree string
+    assert(plan.contains("*("), "agg pipeline fell out of whole-stage codegen")
+    assert(countOf(plan, "HashAggregate") >= 2,
+      "aggregate must be partial (map-side) + final, not single-phase")
+  }
+
+  test("map-only operators stay shuffle-free") {
+    // The only allowed exchange is the rangepartitioning from the final
+    // presentation orderBy (deterministic oracle compare) — the operator
+    // itself must add no hash shuffle.
+    for (name <- Seq("text_repetition", "sample_stratified", "text_pii_redact",
+        "text_tokens", "text_quality")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name shuffles but should be map-only:\n$plan")
+    }
+  }
+
+  test("keep-latest dedup costs exactly one hash shuffle") {
+    val plan = planOf("p8_dedup_latest")
+    assert(countOf(plan, "Exchange hashpartitioning") === 1,
+      s"rank-1 window dedup must shuffle once on the key:\n$plan")
+  }
+
+  test("decontamination broadcasts the benchmark side") {
+    val plan = planOf("text_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tiny benchmark side must broadcast, not shuffle the corpus:\n$plan")
+  }
+
+  test("semi/anti joins stay semi/anti in the physical plan") {
+    assert(planOf("j7_semi_join").contains("LeftSemi"),
+      "existence filter must plan as a semi join, not a join+distinct")
+    assert(planOf("j13_anti_join").contains("LeftAnti"),
+      "upsert delete-set must plan as an anti join")
+  }
+
+}

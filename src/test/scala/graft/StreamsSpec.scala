@@ -143,4 +143,37 @@ class StreamsSpec extends SparkSpec {
     q.stop()
     assert(n == 2)
   }
+
+  test("upsertSink merges each wave into the keyed parquet target") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsert_sink").toFile.getAbsolutePath
+    val src = s"$dir/src"
+    val target = s"$dir/target"
+
+    def wave(rows: Seq[Event], sub: String): Unit = {
+      rows.toDS().write.parquet(s"$src/$sub")
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+        .option("pathGlobFilter", "*.parquet").parquet(s"$src/*")
+      Streams.upsertSink(stream, target, s"$dir/ckpt",
+        keys = Seq("user_id"), orderCol = "ts")
+    }
+
+    wave(Seq(
+      Event(ts("2024-01-01 01:00:00"), 1, "view", 1.0),
+      Event(ts("2024-01-01 02:00:00"), 1, "view", 2.0),
+      Event(ts("2024-01-01 01:00:00"), 2, "view", 5.0)), "w1")
+    val after1 = spark.read.parquet(target)
+      .select("user_id", "value").as[(Long, Double)].collect().toSet
+    assert(after1 === Set((1L, 2.0), (2L, 5.0)), "latest row per key after wave 1")
+
+    // Wave 2: update user 1, insert user 3; the checkpoint must process
+    // only the new files, and user 2 must survive untouched.
+    wave(Seq(
+      Event(ts("2024-01-02 01:00:00"), 1, "click", 9.0),
+      Event(ts("2024-01-02 01:00:00"), 3, "view", 7.0)), "w2")
+    val after2 = spark.read.parquet(target)
+      .select("user_id", "value").as[(Long, Double)].collect().toSet
+    assert(after2 === Set((1L, 9.0), (2L, 5.0), (3L, 7.0)))
+  }
 }
