@@ -32,7 +32,8 @@ object PipelineQueries {
     "dedup_bloom_prefilter" -> dedupBloomPrefilter,
     "w3_rank_pack" -> w3RankPack,
     "s_fuzzy_brands" -> sFuzzyBrands,
-    "q_topn_group" -> qTopnGroup
+    "q_topn_group" -> qTopnGroup,
+    "inc_agg_merge" -> incAggMerge
   )
 
   /** Registers `tables` under per-invocation unique view names, runs `f`
@@ -266,6 +267,30 @@ object PipelineQueries {
       .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
   }
 
+  // ------------------------------------------- incremental agg maintenance
+  /** Mergeable partial aggregates — the incremental-materialized-view
+    * pattern: the standing per-customer aggregate (rows before the cutoff)
+    * is REFRESHED by aggregating only the delta and re-aggregating the
+    * union of partial states (SUM of SUMs, SUM of COUNTs). The standing
+    * side here is recomputed for the oracle's sake; in production it is
+    * read back from the materialized output, so each refresh costs
+    * O(delta) + O(|groups|), never a rescan of history. Works because
+    * count/sum are commutative monoids — the same property Spark's own
+    * partial aggregation exploits within one query. */
+  private val incAggMerge: Q = (s, dir) => {
+    import s.implicits._
+    val cutoff = lit("2000-01-01").cast("timestamp")
+    val orders = Tables(s, dir, "orders")
+    def partial(df: DataFrame) = df.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"), sum($"o_totalprice".cast("decimal(18,2)")).as("t"))
+    val standing = partial(orders.filter($"o_orderdate" < cutoff))
+    val delta = partial(orders.filter($"o_orderdate" >= cutoff))
+    standing.unionByName(delta)
+      .groupBy($"o_custkey")
+      .agg(sum($"n").as("n_orders"), sum($"t").cast("double").as("total_spent"))
+      .orderBy($"o_custkey")
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles
   // ---------------------------------------------------------------------
@@ -365,6 +390,17 @@ object PipelineQueries {
     "q_topn_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
         |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2
-        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "inc_agg_merge" ->
+      """WITH standing AS (
+        | SELECT o_custkey, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+        | FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01' GROUP BY 1),
+        |delta AS (
+        | SELECT o_custkey, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+        | FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01' GROUP BY 1)
+        |SELECT o_custkey, CAST(SUM(n) AS BIGINT) AS n_orders, CAST(SUM(t) AS DOUBLE) AS total_spent
+        |FROM (SELECT * FROM standing UNION ALL SELECT * FROM delta)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

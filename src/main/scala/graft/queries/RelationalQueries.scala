@@ -24,6 +24,8 @@ object RelationalQueries {
 
   def queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
+    "q3_shipping_priority" -> q3ShippingPriority,
+    "q5_local_supplier" -> q5LocalSupplier,
     "j1_left_join" -> j1LeftJoin,
     "j9_double_role_join" -> j9DoubleRole,
     "j10_star_revenue" -> j10StarRevenue,
@@ -79,6 +81,52 @@ object RelationalQueries {
         (sum(F.money($"l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q3 shape: selective dim filter → fact join → per-order revenue →
+    * global top-10. The segment filter prunes customer before the join
+    * (pushed to the scan), the orderdate/shipdate filters prune both fact
+    * scans, and the top-10 is TakeOrderedAndProject — a per-partition heap
+    * + driver merge of 10-row heads, never a full sort of the join result.
+    * Total tiebreak (revenue DESC, l_orderkey) keeps the cut deterministic. */
+  private val q3ShippingPriority: Q = (s, dir) => {
+    import s.implicits._
+    val cutoff = lit("1996-06-30").cast("timestamp")
+    Tables(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      .join(Tables(s, dir, "orders").filter($"o_orderdate" < cutoff),
+        $"c_custkey" === $"o_custkey")
+      .join(Tables(s, dir, "lineitem").filter($"l_shipdate" > cutoff),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(sum(F.money($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - F.money($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: region-filtered star join with the same-nation
+    * residual (customer and supplier must share a nation) and per-nation
+    * revenue. nation/region broadcast; the c_nationkey = s_nationkey
+    * predicate rides the lineitem-supplier join as a residual condition
+    * rather than a separate join pass. */
+  private val q5LocalSupplier: Q = (s, dir) => {
+    import s.implicits._
+    val asia = Tables(s, dir, "nation")
+      .join(Tables(s, dir, "region").filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1998-01-01").cast("timestamp")),
+        $"c_custkey" === $"o_custkey")
+      .join(Tables(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .join(Tables(s, dir, "supplier"),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(asia), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(F.money($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - F.money($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
   }
 
   // -------------------------------------------------------------- joins ---
@@ -545,6 +593,34 @@ object RelationalQueries {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, revenue FROM (
+        | SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        | FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-06-30'
+        |  AND l_shipdate > TIMESTAMP '1996-06-30'
+        | GROUP BY l_orderkey, o_orderdate)
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1997-01-01'
+        | AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
 
     "j1_left_join" ->
       """SELECT n_nationkey, n_name, r_name

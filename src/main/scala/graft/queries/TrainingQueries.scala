@@ -37,7 +37,8 @@ object TrainingQueries {
     "text_decontaminate" -> textDecontaminate,
     "sample_stratified" -> sampleStratified,
     "text_pii_redact" -> textPiiRedact,
-    "l_explode_pack" -> lExplodePack
+    "l_explode_pack" -> lExplodePack,
+    "text_vocab" -> textVocab
   )
 
   // ------------------------------------------------- repetition filtering
@@ -182,6 +183,27 @@ object TrainingQueries {
       .orderBy($"doc_id")
   }
 
+  // ------------------------------------------------ vocabulary construction
+  /** Tokenizer-style vocabulary build: per-term document frequency and
+    * total occurrences, min-df pruning, then dense ids by (df, tf, term)
+    * rank. The corpus-sized work is the two term aggregations (hash
+    * shuffles on the term key); the final id assignment windows over the
+    * SURVIVING vocabulary only — |V| rows, bounded by the token domain,
+    * not the corpus — so the single-partition window is fine even when
+    * the input is 100 TB. */
+  private val textVocab: Q = (s, dir) => {
+    import s.implicits._
+    val tf = Tables(s, dir, "documents")
+      .select($"doc_id", explode(Text.tokens(Text.normalized($"text"))).as("term"))
+      .groupBy($"term")
+      .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("tf_total"))
+      .filter($"df" >= 2)
+    val w = Window.orderBy($"df".desc, $"tf_total".desc, $"term")
+    tf.withColumn("vocab_id", row_number().over(w) - 1)
+      .select($"vocab_id", $"term", $"df", $"tf_total")
+      .orderBy($"vocab_id")
+  }
+
   // ----------------------------------------------------- generator (UDTF)
   /** Token positions via posexplode — the generator/UDTF surface (flatten
     * with ordinality). Row fan-out happens executor-side with no shuffle;
@@ -281,6 +303,14 @@ object TrainingQueries {
     "l_explode_pack" ->
       s"""WITH f AS (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id < 10)
          |SELECT doc_id, unnest(generate_series(0, len(t) - 1)) AS pos, unnest(t) AS tok
-         |FROM f ORDER BY doc_id, pos""".stripMargin
+         |FROM f ORDER BY doc_id, pos""".stripMargin,
+
+    "text_vocab" ->
+      s"""WITH toksv AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf_total
+         |  FROM toksv GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 2)
+         |SELECT CAST(row_number() OVER (ORDER BY df DESC, tf_total DESC, term) - 1 AS INT) AS vocab_id,
+         | term, df, tf_total
+         |FROM tf ORDER BY vocab_id""".stripMargin
   )
 }
