@@ -22,7 +22,9 @@ object AnalyticsQueries {
     "st_sliding_window" -> stSlidingWindow,
     "p_percentile" -> pPercentile,
     "pv_pivot" -> pvPivot,
-    "a_stats_moments" -> aStatsMoments
+    "a_stats_moments" -> aStatsMoments,
+    "a_arg_minmax" -> aArgMinmax,
+    "a_hll_exact" -> aHllExact
   )
 
   /** ROLLUP over (status, priority): per-group, per-status, and grand
@@ -116,7 +118,91 @@ object AnalyticsQueries {
       .orderBy($"o_orderstatus")
   }
 
+  // ------------------------------------------------------- arg-min/arg-max
+  /** min_by/max_by: per nation, the customer holding the extreme account
+    * balance. The ordering value is the composite acctbal·1e7 + custkey —
+    * unique by construction, so ties can't make the picked key
+    * nondeterministic (the raw acctbal is not unique). One partial+final
+    * hash aggregate, same cost as any groupBy on the key. */
+  private val aArgMinmax: Q = (s, dir) => {
+    import s.implicits._
+    val ord = $"c_acctbal" * 10000000 + $"c_custkey"
+    Tables(s, dir, "customer")
+      .groupBy($"c_nationkey")
+      .agg(max_by($"c_custkey", ord).as("richest_custkey"),
+        min_by($"c_custkey", ord).as("poorest_custkey"),
+        max($"c_acctbal").cast("double").as("max_acctbal"))
+      .orderBy($"c_nationkey")
+  }
+
+  // -------------------------------------------------- exact-replayable HLL
+  /** HyperLogLog with every value oracle-checkable — unlike
+    * approx_count_distinct (whose HLL++ registers no other engine can
+    * replay), this builds the sketch from md5-derived hashes so DuckDB
+    * reproduces it bit-for-bit: bucket = low 10 hash bits, rho from the
+    * bit length of the remaining 50, registers summed EXACTLY as
+    * 2^(50-rho) integers (dyadic terms in int64 — no float-order
+    * nondeterminism), and one final scalar division/log rounded to 4
+    * decimals. Small-range linear counting applies below 2.5m, as in the
+    * published algorithm. Plan shape = two hash aggregates (per-bucket
+    * max, then the 1024-row register fold) — the same partial/final
+    * shape a native HLL aggregate executes, at any scale. */
+  private val aHllExact: Q = (s, dir) => {
+    import s.implicits._
+    val m = 1024
+    Tables(s, dir, "orders")
+      .select(graft.functions.Vectors.hash60(
+        concat(lit("hll_"), $"o_custkey".cast("string"))).as("hv"))
+      .select(pmod($"hv", lit(m.toLong)).as("bucket"), expr(s"hv div $m").as("rem"))
+      .groupBy($"bucket")
+      .agg(max(when($"rem" === 0, 50)
+        .otherwise(least(lit(51) - length(bin($"rem")), lit(50)))).as("rho"))
+      .agg(count(lit(1)).as("m_used"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(50 - rho as int))")).as("reg_sum"))
+      .select($"m_used", $"reg_sum",
+        round(lit(AlphaM2) / (((lit(m.toLong) - $"m_used").cast("double") * Pow250
+          + $"reg_sum".cast("double")) / Pow250), 4).as("est_raw"),
+        round(lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - $"m_used")
+          .cast("double")), 4).as("est_linear"))
+      .withColumn("estimate",
+        when($"est_raw" <= 2.5 * m && $"m_used" < m, $"est_linear")
+          .otherwise($"est_raw"))
+  }
+
+  /** 0.7213/(1+1.079/m)·m² for m=1024 (Flajolet et al.'s alpha), computed
+    * once and inlined as the SAME double literal into the oracle SQL. */
+  private val AlphaM2: Double = 0.7213 / (1.0 + 1.079 / 1024) * (1024.0 * 1024.0)
+  private val Pow250: Double = 1125899906842624.0 // 2^50
+
   def oracle: Map[String, String] = Map(
+    "a_arg_minmax" ->
+      """SELECT c_nationkey,
+        | arg_max(c_custkey, c_acctbal * 10000000 + c_custkey) AS richest_custkey,
+        | arg_min(c_custkey, c_acctbal * 10000000 + c_custkey) AS poorest_custkey,
+        | CAST(max(c_acctbal) AS DOUBLE) AS max_acctbal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "a_hll_exact" -> {
+      s"""WITH h AS (SELECT CAST(CONCAT('0x', SUBSTR(md5('hll_' || CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+         |  FROM orders),
+         |b AS (SELECT hv % 1024 AS bucket, hv // 1024 AS rem FROM h),
+         |r AS (SELECT bucket, MAX(CASE WHEN rem = 0 THEN 50 ELSE LEAST(51 - length(bin(rem)), 50) END) AS rho
+         |  FROM b GROUP BY bucket),
+         |s AS (SELECT COUNT(*) AS m_used,
+         |  CAST(SUM(CAST(1 AS BIGINT) << (50 - rho)) AS BIGINT) AS reg_sum FROM r)
+         |SELECT m_used, reg_sum,
+         | round(CAST($AlphaM2 AS DOUBLE)
+         |   / ((CAST(1024 - m_used AS DOUBLE) * $Pow250 + CAST(reg_sum AS DOUBLE)) / $Pow250), 4) AS est_raw,
+         | round(1024.0 * ln(1024.0 / CAST(1024 - m_used AS DOUBLE)), 4) AS est_linear,
+         | CASE WHEN round(CAST($AlphaM2 AS DOUBLE)
+         |   / ((CAST(1024 - m_used AS DOUBLE) * $Pow250 + CAST(reg_sum AS DOUBLE)) / $Pow250), 4) <= 2560.0
+         |   AND m_used < 1024
+         |  THEN round(1024.0 * ln(1024.0 / CAST(1024 - m_used AS DOUBLE)), 4)
+         |  ELSE round(CAST($AlphaM2 AS DOUBLE)
+         |   / ((CAST(1024 - m_used AS DOUBLE) * $Pow250 + CAST(reg_sum AS DOUBLE)) / $Pow250), 4) END AS estimate
+         |FROM s""".stripMargin
+    },
+
     "a_stats_moments" ->
       """WITH sums AS (
         | SELECT o_orderstatus, COUNT(*) AS n,
