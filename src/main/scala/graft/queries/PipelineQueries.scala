@@ -33,7 +33,8 @@ object PipelineQueries {
     "w3_rank_pack" -> w3RankPack,
     "s_fuzzy_brands" -> sFuzzyBrands,
     "q_topn_group" -> qTopnGroup,
-    "inc_agg_merge" -> incAggMerge
+    "inc_agg_merge" -> incAggMerge,
+    "rec_cte_chain" -> recCteChain
   )
 
   /** Registers `tables` under per-invocation unique view names, runs `f`
@@ -291,6 +292,25 @@ object PipelineQueries {
       .orderBy($"o_custkey")
   }
 
+  // -------------------------------------------------------- recursive CTE
+  /** WITH RECURSIVE (Spark 4): each supplier's ancestor chain under the
+    * implicit binary-tree hierarchy key -> key div 2 — the org-chart /
+    * BOM-explosion traversal. The engine iterates the recursive step to
+    * fixpoint exactly like [[graft.operators.Components]]' hand-rolled
+    * loop, but declared in SQL; depth is bounded by log2(max key), so the
+    * iteration count grows logarithmically with table size. */
+  private val recCteChain: Q = (s, dir) =>
+    withViews(s, dir, Seq("supplier")) { v =>
+      s.sql(
+        s"""WITH RECURSIVE chain(s, anc, depth) AS (
+           |  SELECT s_suppkey, s_suppkey, 0 FROM ${v("supplier")}
+           |  UNION ALL
+           |  SELECT s, anc div 2, depth + 1 FROM chain WHERE anc > 1)
+           |SELECT s AS s_suppkey, MAX(depth) AS depth_to_root,
+           |  COUNT(*) AS chain_len
+           |FROM chain GROUP BY s ORDER BY s""".stripMargin)
+    }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles
   // ---------------------------------------------------------------------
@@ -401,6 +421,15 @@ object PipelineQueries {
         | FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01' GROUP BY 1)
         |SELECT o_custkey, CAST(SUM(n) AS BIGINT) AS n_orders, CAST(SUM(t) AS DOUBLE) AS total_spent
         |FROM (SELECT * FROM standing UNION ALL SELECT * FROM delta)
-        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "rec_cte_chain" ->
+      """WITH RECURSIVE chain(s, anc, depth) AS (
+        |  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+        |  UNION ALL
+        |  SELECT s, anc // 2, depth + 1 FROM chain WHERE anc > 1)
+        |SELECT s AS s_suppkey, MAX(depth) AS depth_to_root,
+        |  COUNT(*) AS chain_len
+        |FROM chain GROUP BY s ORDER BY s""".stripMargin
   )
 }
