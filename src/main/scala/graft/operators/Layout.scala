@@ -40,19 +40,21 @@ object Layout {
               targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val target = new Path(dir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = leafParquetFiles(fs, target)
-    val totalBytes = parts.map(_.getLen).sum
-    val wanted = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    if (parts.length <= wanted) return (parts.length, parts.length)
-
     val tmp = new Path(dir + ".__tmp_compact")
     val bak = new Path(dir + ".__bak_compact")
+    // Crash recovery FIRST — after a crash between the two swap renames the
+    // target may not exist at all, and only then is the file census valid.
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(bak)) {
       if (!fs.exists(target))
         require(fs.rename(bak, target), s"failed to restore backup $bak")
       else fs.delete(bak, true)
     }
+
+    val parts = leafParquetFiles(fs, target)
+    val totalBytes = parts.map(_.getLen).sum
+    val wanted = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (parts.length <= wanted) return (parts.length, parts.length)
     // coalesce, not repartition: compaction must not pay a shuffle — it
     // only concatenates co-located row groups into fewer files.
     spark.read.parquet(dir).coalesce(wanted)

@@ -34,7 +34,8 @@ object PipelineQueries {
     "s_fuzzy_brands" -> sFuzzyBrands,
     "q_topn_group" -> qTopnGroup,
     "inc_agg_merge" -> incAggMerge,
-    "rec_cte_chain" -> recCteChain
+    "rec_cte_chain" -> recCteChain,
+    "p_null_safe_eq" -> pNullSafeEq
   )
 
   /** Registers `tables` under per-invocation unique view names, runs `f`
@@ -292,6 +293,24 @@ object PipelineQueries {
       .orderBy($"o_custkey")
   }
 
+  // --------------------------------------------------- null-safe equality
+  /** `<=>` (IS NOT DISTINCT FROM): NULL-tolerant comparison and its use as
+    * a join/group key. A nullable derived key (small parts lose their
+    * brand) is compared null-safely against a literal and against NULL,
+    * and grouped — NULLs form ONE group under null-safe semantics instead
+    * of disappearing like they would in an equi-join. */
+  private val pNullSafeEq: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "part")
+      .withColumn("brand_key",
+        when($"p_size" < 10, lit(null).cast("string")).otherwise($"p_brand"))
+      .groupBy($"brand_key")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(($"brand_key" <=> "Brand#13").cast("int")).as("n_b13"),
+        sum(($"brand_key" <=> lit(null).cast("string")).cast("int")).as("n_nullkey"))
+      .orderBy($"brand_key".asc_nulls_first)
+  }
+
   // -------------------------------------------------------- recursive CTE
   /** WITH RECURSIVE (Spark 4): each supplier's ancestor chain under the
     * implicit binary-tree hierarchy key -> key div 2 — the org-chart /
@@ -430,6 +449,13 @@ object PipelineQueries {
         |  SELECT s, anc // 2, depth + 1 FROM chain WHERE anc > 1)
         |SELECT s AS s_suppkey, MAX(depth) AS depth_to_root,
         |  COUNT(*) AS chain_len
-        |FROM chain GROUP BY s ORDER BY s""".stripMargin
+        |FROM chain GROUP BY s ORDER BY s""".stripMargin,
+
+    "p_null_safe_eq" ->
+      """WITH k AS (SELECT CASE WHEN p_size < 10 THEN NULL ELSE p_brand END AS brand_key FROM part)
+        |SELECT brand_key, COUNT(*) AS n_parts,
+        | CAST(SUM(CAST(brand_key IS NOT DISTINCT FROM 'Brand#13' AS INT)) AS BIGINT) AS n_b13,
+        | CAST(SUM(CAST(brand_key IS NOT DISTINCT FROM NULL AS INT)) AS BIGINT) AS n_nullkey
+        |FROM k GROUP BY brand_key ORDER BY brand_key NULLS FIRST""".stripMargin
   )
 }

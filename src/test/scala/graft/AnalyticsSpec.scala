@@ -19,6 +19,16 @@ class AnalyticsSpec extends SparkSpec {
       s"estimate $est vs exact $exact drifts beyond 5%")
   }
 
+  test("a_approx_distinct stays within its documented error bound") {
+    val rows = SparkEntry.queries("a_approx_distinct")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_customers").toDouble
+      val exact = r.getAs[Long]("exact_customers").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx $approx vs exact $exact beyond 5%")
+    }
+  }
+
   test("a_arg_minmax matches a direct per-group sort") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("c_nationkey"))

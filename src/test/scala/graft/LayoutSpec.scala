@@ -69,6 +69,24 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === events.count())
   }
 
+  test("compact recovers from a crash between the two swap renames") {
+    val dir = tmpDir("layout_crash") + "/t"
+    val df = Tables(spark, sfDir, "region").repartition(4)
+    df.write.parquet(dir)
+    val cnt = spark.read.parquet(dir).count()
+    // Simulate the worst crash point: target moved aside, new data never
+    // renamed in — only the backup survives.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".__bak_compact"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    // Next compact must first restore the backup, then proceed normally.
+    Layout.compact(spark, dir, targetBytes = 1L << 30)
+    assert(spark.read.parquet(dir).count() === cnt)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".__bak_compact")))
+  }
+
   test("versioned table: atomic publish, time travel, vacuum") {
     val root = tmpDir("vtab") + "/t"
     val v1 = VersionedTable.write(Tables(spark, sfDir, "region"), root)
