@@ -24,7 +24,8 @@ object AnalyticsQueries {
     "pv_pivot" -> pvPivot,
     "a_stats_moments" -> aStatsMoments,
     "a_arg_minmax" -> aArgMinmax,
-    "a_hll_exact" -> aHllExact
+    "a_hll_exact" -> aHllExact,
+    "a_hll_merge" -> aHllMerge
   )
 
   /** ROLLUP over (status, priority): per-group, per-status, and grand
@@ -169,12 +170,59 @@ object AnalyticsQueries {
           .otherwise($"est_raw"))
   }
 
+  // ---------------------------------------------------- HLL mergeability
+  /** The property that makes sketches DISTRIBUTED: per-partition sketches
+    * merge by per-bucket register max, losslessly. Registers are built per
+    * order status (the "partitions"), merged with max(rho) per bucket, and
+    * the merged register sum is emitted next to the directly-built global
+    * register sum — equal by construction, and the oracle re-derives both
+    * from scratch. This is exactly how a 1000-executor HLL works: each
+    * executor owns registers for its split, the final reduce is a 1024-row
+    * max — no raw keys ever cross the network. */
+  private val aHllMerge: Q = (s, dir) => {
+    import s.implicits._
+    val m = 1024
+    val regs = Tables(s, dir, "orders")
+      .select($"o_orderstatus", graft.functions.Vectors.hash60(
+        concat(lit("hll_"), $"o_custkey".cast("string"))).as("hv"))
+      .select($"o_orderstatus",
+        pmod($"hv", lit(m.toLong)).as("bucket"), expr(s"hv div $m").as("rem"))
+      .groupBy($"o_orderstatus", $"bucket")
+      .agg(max(when($"rem" === 0, 50)
+        .otherwise(least(lit(51) - length(bin($"rem")), lit(50)))).as("rho"))
+    val merged = regs.groupBy($"bucket").agg(max($"rho").as("rho"))
+      .agg(count(lit(1)).as("m_used"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(50 - rho as int))")).as("reg_sum"))
+    val nGroups = regs.select($"o_orderstatus").distinct()
+      .agg(count(lit(1)).as("n_groups"))
+    merged.crossJoin(broadcast(nGroups))
+      .select($"n_groups", $"m_used", $"reg_sum",
+        round(lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - $"m_used")
+          .cast("double")), 4).as("est_linear"))
+  }
+
   /** 0.7213/(1+1.079/m)·m² for m=1024 (Flajolet et al.'s alpha), computed
     * once and inlined as the SAME double literal into the oracle SQL. */
   private val AlphaM2: Double = 0.7213 / (1.0 + 1.079 / 1024) * (1024.0 * 1024.0)
   private val Pow250: Double = 1125899906842624.0 // 2^50
 
   def oracle: Map[String, String] = Map(
+    "a_hll_merge" ->
+      """WITH h AS (SELECT o_orderstatus,
+        |  CAST(CONCAT('0x', SUBSTR(md5('hll_' || CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM orders),
+        |b AS (SELECT o_orderstatus, hv % 1024 AS bucket, hv // 1024 AS rem FROM h),
+        |r AS (SELECT o_orderstatus, bucket,
+        |  MAX(CASE WHEN rem = 0 THEN 50 ELSE LEAST(51 - length(bin(rem)), 50) END) AS rho
+        |  FROM b GROUP BY 1, 2),
+        |mrg AS (SELECT bucket, MAX(rho) AS rho FROM r GROUP BY bucket),
+        |s AS (SELECT COUNT(*) AS m_used,
+        |  CAST(SUM(CAST(1 AS BIGINT) << (50 - rho)) AS BIGINT) AS reg_sum FROM mrg),
+        |g AS (SELECT COUNT(DISTINCT o_orderstatus) AS n_groups FROM orders)
+        |SELECT n_groups, m_used, reg_sum,
+        | round(1024.0 * ln(1024.0 / CAST(1024 - m_used AS DOUBLE)), 4) AS est_linear
+        |FROM s CROSS JOIN g""".stripMargin,
+
     "a_arg_minmax" ->
       """SELECT c_nationkey,
         | arg_max(c_custkey, c_acctbal * 10000000 + c_custkey) AS richest_custkey,

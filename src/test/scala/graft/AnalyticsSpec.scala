@@ -29,6 +29,13 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("merged per-group HLL registers equal the directly-built sketch") {
+    val direct = AnalyticsQueries.queries("a_hll_exact")(spark, sfDir).head()
+    val merged = AnalyticsQueries.queries("a_hll_merge")(spark, sfDir).head()
+    assert(merged.getAs[Long]("m_used") === direct.getAs[Long]("m_used"))
+    assert(merged.getAs[Long]("reg_sum") === direct.getAs[Long]("reg_sum"))
+  }
+
   test("a_arg_minmax matches a direct per-group sort") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("c_nationkey"))
