@@ -87,6 +87,53 @@ class LayoutSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".__bak_compact")))
   }
 
+  test("morton2 interleaves bits exactly") {
+    def ref(x: Long, y: Long): Long =
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        acc | ((x >> i & 1L) << (2 * i)) | ((y >> i & 1L) << (2 * i + 1))
+      }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L),
+      (0xFFFFFFFFL, 0L), (123456789L, 987654321L))
+    val got = spark.createDataFrame(cases).toDF("x", "y")
+      .select(col("x"), col("y"), Layout.morton2(col("x"), col("y")).as("z"))
+      .collect()
+    got.foreach(r => assert(r.getLong(2) === ref(r.getLong(0), r.getLong(1)),
+      s"morton2(${r.getLong(0)}, ${r.getLong(1)})"))
+  }
+
+  test("z-ordered layout keeps BOTH filter columns tight per file") {
+    val base = tmpDir("layout_z")
+    val df = Tables(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+
+    def fileSpans(path: String): Seq[(Long, Long)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("o_orderkey") - min("o_orderkey")).as("sk"),
+          (max("o_custkey") - min("o_custkey")).as("sc"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+
+    // Baseline: single-column sort — orderkey tight, custkey at full span.
+    df.repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey")
+      .write.parquet(s"$base/by_orderkey")
+    Layout.writeZOrdered(df, s"$base/zorder", "o_orderkey", "o_custkey")
+
+    val (gk, gc) = (
+      df.agg(max("o_orderkey") - min("o_orderkey")).head.getLong(0),
+      df.agg(max("o_custkey") - min("o_custkey")).head.getLong(0))
+    def avg(xs: Seq[Long]) = xs.sum.toDouble / xs.length
+    val single = fileSpans(s"$base/by_orderkey")
+    val z = fileSpans(s"$base/zorder")
+
+    // Single-column layout leaves the second dimension unclustered...
+    assert(avg(single.map(_._2)) > 0.8 * gc,
+      "baseline unexpectedly clustered custkey — test premise broken")
+    // ...while the Z-curve keeps BOTH dimensions well under global span.
+    assert(avg(z.map(_._1)) < 0.6 * gk,
+      s"z-order orderkey span ${avg(z.map(_._1))} vs global $gk")
+    assert(avg(z.map(_._2)) < 0.6 * gc,
+      s"z-order custkey span ${avg(z.map(_._2))} vs global $gc")
+  }
+
   test("versioned table: atomic publish, time travel, vacuum") {
     val root = tmpDir("vtab") + "/t"
     val v1 = VersionedTable.write(Tables(spark, sfDir, "region"), root)
