@@ -25,8 +25,27 @@ object AnalyticsQueries {
     "a_stats_moments" -> aStatsMoments,
     "a_arg_minmax" -> aArgMinmax,
     "a_hll_exact" -> aHllExact,
-    "a_hll_merge" -> aHllMerge
+    "a_hll_merge" -> aHllMerge,
+    "a_bit_aggs" -> aBitAggs
   )
+
+  /** Bitwise aggregates (bit_or/bit_and/bit_xor) — commutative and
+    * associative, so partial/final merge order can't change the result;
+    * SQL text uses GROUP BY ALL (the modern dialect shorthand both
+    * engines resolve to the non-aggregate select list). */
+  private val aBitAggs: Q = (s, dir) => {
+    // Per-invocation view name: concurrent runs on one session must not
+    // overwrite each other's view (round-2 review lesson). spark.sql
+    // analyzes eagerly, so dropping before returning is safe.
+    val v = "orders_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    Tables(s, dir, "orders").createOrReplaceTempView(v)
+    try s.sql(
+      s"""SELECT o_orderstatus, bit_or(o_custkey) AS b_or,
+         | bit_and(o_custkey) AS b_and, bit_xor(o_custkey) AS b_xor,
+         | COUNT(*) AS n
+         |FROM $v GROUP BY ALL ORDER BY o_orderstatus""".stripMargin)
+    finally s.catalog.dropTempView(v)
+  }
 
   /** ROLLUP over (status, priority): per-group, per-status, and grand
     * totals in one pass (Expand + single shuffle — no re-scan per level). */
@@ -207,6 +226,12 @@ object AnalyticsQueries {
   private val Pow250: Double = 1125899906842624.0 // 2^50
 
   def oracle: Map[String, String] = Map(
+    "a_bit_aggs" ->
+      """SELECT o_orderstatus, bit_or(o_custkey) AS b_or,
+        | bit_and(o_custkey) AS b_and, bit_xor(o_custkey) AS b_xor,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY ALL ORDER BY o_orderstatus""".stripMargin,
+
     "a_hll_merge" ->
       """WITH h AS (SELECT o_orderstatus,
         |  CAST(CONCAT('0x', SUBSTR(md5('hll_' || CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
