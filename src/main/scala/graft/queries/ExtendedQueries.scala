@@ -35,7 +35,8 @@ object ExtendedQueries {
     "sql_api_pipeline" -> sqlApiPipeline,
     "j_range_join" -> jRangeJoin,
     "j_part_revenue" -> jPartRevenue,
-    "j_full_outer" -> jFullOuter
+    "j_full_outer" -> jFullOuter,
+    "w4_rolling_median" -> w4RollingMedian
   )
 
   // ------------------------------------------------------------- as-of ----
@@ -136,6 +137,26 @@ object ExtendedQueries {
       rank().over(byStatus).as("rnk"),
       dense_rank().over(byStatus).as("drnk"))
       .orderBy($"o_orderkey")
+  }
+
+  // ------------------------------------------- ordered-set window agg ----
+  /** Rolling median — an ordered-set aggregate (percentile) evaluated over
+    * a sliding 3-row frame, the shape w2's sum/lag frames don't exercise.
+    * Interpolation operands are cast to double BEFORE the aggregate so
+    * both engines interpolate the same values; round(4) absorbs the
+    * last-ulp difference the two interpolation formulas may carry.
+    * One shuffle on the partition key, frame evaluation is per-partition
+    * streaming — linear at any scale. */
+  private val w4RollingMedian: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey").rowsBetween(-2, 0)
+    Tables(s, dir, "orders")
+      .filter($"o_custkey" % 100 === 7)
+      .select($"o_custkey", $"o_orderkey",
+        round(expr("percentile(cast(o_totalprice as double), 0.5)").over(w), 4)
+          .as("rolling_median"))
+      .orderBy($"o_custkey", $"o_orderkey")
   }
 
   // ------------------------------------------------ intersect / except ----
@@ -434,6 +455,14 @@ object ExtendedQueries {
         | COUNT(DISTINCT p_partkey) AS n_parts,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_type ORDER BY p_type""".stripMargin
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+
+    "w4_rolling_median" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS rolling_median
+        |FROM orders WHERE o_custkey % 100 = 7
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }
