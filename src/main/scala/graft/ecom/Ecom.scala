@@ -66,9 +66,12 @@ object Ecom {
   def stgProducts(raw: DataFrame): DataFrame = cast(raw,
     ("PRODUCT_ID", "product_id", "string"), ("CATEGORY_ID", "category_id", "string"),
     ("SUBCATEGORY_ID", "subcategory_id", "string"), ("PRODUCT_NAME", "product_name", "string"),
+    ("DESCRIPTION", "description", "string"),
     ("BASE_PRICE", "base_price", "decimal(12,2)"), ("SALE_PRICE", "sale_price", "decimal(12,2)"),
-    ("STOCK_QUANTITY", "stock_quantity", "int"), ("BRAND", "brand", "string"),
-    ("RATING", "rating", "decimal(3,1)"), ("IS_ACTIVE", "is_active", "boolean"))
+    ("STOCK_QUANTITY", "stock_quantity", "int"), ("WEIGHT_KG", "weight_kg", "decimal(8,2)"),
+    ("BRAND", "brand", "string"),
+    ("RATING", "rating", "decimal(3,1)"), ("IS_ACTIVE", "is_active", "boolean"),
+    ("CREATED_AT", "created_at", "timestamp"))
 
   def stgReviews(raw: DataFrame): DataFrame = cast(raw,
     ("REVIEW_ID", "review_id", "string"), ("PRODUCT_ID", "product_id", "string"),
@@ -77,17 +80,19 @@ object Ecom {
     ("LOADED_AT", "loaded_at", "timestamp"))
 
   def stgCategories(raw: DataFrame): DataFrame = cast(raw,
-    ("CATEGORY_ID", "category_id", "string"), ("CATEGORY_NAME", "category_name", "string"))
+    ("CATEGORY_ID", "category_id", "string"), ("CATEGORY_NAME", "category_name", "string"),
+    ("CREATED_AT", "created_at", "timestamp"))
 
   def stgSubcategories(raw: DataFrame): DataFrame = cast(raw,
     ("SUBCATEGORY_ID", "subcategory_id", "string"), ("CATEGORY_ID", "category_id", "string"),
-    ("SUBCATEGORY_NAME", "subcategory_name", "string"))
+    ("SUBCATEGORY_NAME", "subcategory_name", "string"),
+    ("CREATED_AT", "created_at", "timestamp"))
 
   def stgInteractions(raw: DataFrame): DataFrame = cast(raw,
     ("EVENT_ID", "event_id", "string"), ("CUSTOMER_ID", "customer_id", "string"),
     ("PRODUCT_ID", "product_id", "string"), ("EVENT_TYPE", "event_type", "string"),
     ("EVENT_DATE", "event_date", "timestamp"), ("DEVICE_TYPE", "device_type", "string"),
-    ("SESSION_ID", "session_id", "string"))
+    ("SESSION_ID", "session_id", "string"), ("CREATED_AT", "created_at", "timestamp"))
 
   // ------------------------------------------------------- intermediate --
 
@@ -197,28 +202,39 @@ object Ecom {
         col("loaded_at").as("created_at"))
   }
 
-  /** entities/products_enriched.sql:1-63 — brand join ON expression
-    * TRIM(brand) = brand_name (J4), category/subcategory joins, order and
-    * review aggregates. */
+  /** entities/products_enriched.sql:72-132 — brand join ON expression
+    * TRIM(brand) = brand_name (J4), order and review aggregates, NOT NULL
+    * PK filter. Reference column list at :100-117 reproduced 1:1.
+    *
+    * Two reference no-ops are folded, not translated literally: the
+    * `all_brands` CTE (:91-98) is the same DISTINCT TRIM(brand) set as the
+    * `brands` model, so `COALESCE(b.brand_id, ab.brand_id)` (:109) always
+    * resolves to the first operand — one broadcast join instead of two; and
+    * the category/subcategory joins (:123-127) contribute no columns and
+    * cannot multiply rows (unique join keys), so they are dropped. */
   def productsEnriched(stgProducts: DataFrame, stgOrderItems: DataFrame,
       stgReviews: DataFrame, brands: DataFrame): DataFrame = {
     val orderAgg = stgOrderItems.groupBy("product_id").agg(
       countDistinct(col("order_id")).as("total_orders"),
-      sum(col("quantity")).as("total_quantity_sold"))
+      sum(col("quantity")).as("total_quantity_sold"),
+      sum(col("total_price")).as("total_revenue"))
     val reviewAgg = stgReviews.groupBy("product_id").agg(
       count(lit(1)).as("review_count"),
       avg(col("review_score")).as("avg_review_score"))
-    stgProducts
-      .join(brands, trim(stgProducts("brand")) === brands("brand_name"), "left")
+    val b = brands.select(col("brand_id"), col("brand_name"))
+    stgProducts.filter(col("product_id").isNotNull)
+      .join(b, trim(stgProducts("brand")) === b("brand_name"), "left")
       .join(orderAgg, Seq("product_id"), "left")
       .join(reviewAgg, Seq("product_id"), "left")
-      .select(col("product_id"), col("category_id"), col("subcategory_id"),
-        col("product_name"), col("base_price"), col("sale_price"),
-        col("stock_quantity"), col("brand_id"), col("rating"), col("is_active"),
+      .select(col("product_id"), col("product_name"), col("description"),
+        col("base_price"), col("sale_price"), col("stock_quantity"),
+        col("weight_kg"), col("is_active"), col("brand_id"),
+        col("category_id"), col("subcategory_id"),
         coalesce(col("total_orders"), lit(0)).as("total_orders"),
         coalesce(col("total_quantity_sold"), lit(0)).as("total_quantity_sold"),
+        coalesce(col("total_revenue"), lit(0)).as("total_revenue"),
         coalesce(col("review_count"), lit(0)).as("review_count"),
-        col("avg_review_score"))
+        col("avg_review_score"), col("created_at"))
   }
 
   /** transactions/orders.sql:1-29 — lookups, DOUBLE-ROLE address join
@@ -275,6 +291,78 @@ object Ecom {
       .distinct()
   }
 
+  /** entities/categories_enriched.sql:1-12 — category rollup counting its
+    * subcategories and products. Both joins key on category_id, so the raw
+    * join fans out |subcats|×|products| per category; the COUNT(DISTINCT)s
+    * collapse it. Inputs are projected to the two counted key columns
+    * before the join so the fan-out carries 2 narrow columns, not whole
+    * rows. */
+  def categoriesEnriched(stgCategories: DataFrame, stgSubcategories: DataFrame,
+      stgProducts: DataFrame): DataFrame = {
+    val s = stgSubcategories.select(col("category_id"),
+      col("subcategory_id").as("s_subcategory_id"))
+    val p = stgProducts.select(col("category_id"),
+      col("product_id").as("p_product_id"))
+    stgCategories
+      .join(s, Seq("category_id"), "left")
+      .join(p, Seq("category_id"), "left")
+      .groupBy(col("category_id"), col("category_name"), col("created_at"))
+      .agg(countDistinct(col("s_subcategory_id")).as("subcategory_count"),
+        countDistinct(col("p_product_id")).as("product_count"))
+      .select(col("category_id"), col("category_name"),
+        col("subcategory_count"), col("product_count"), col("created_at"))
+  }
+
+  /** entities/subcategories_enriched.sql:1-9 — per-subcategory product
+    * count (join on subcategory_id only, as the reference does). */
+  def subcategoriesEnriched(stgSubcategories: DataFrame,
+      stgProducts: DataFrame): DataFrame =
+    stgSubcategories
+      .join(stgProducts.select(col("subcategory_id"), col("product_id")),
+        Seq("subcategory_id"), "left")
+      .groupBy(col("subcategory_id"), col("subcategory_name"),
+        col("category_id"), col("created_at"))
+      .agg(countDistinct(col("product_id")).as("product_count"))
+      .select(col("subcategory_id"), col("subcategory_name"), col("category_id"),
+        col("product_count"), col("created_at"))
+
+  /** entities/reviews_enriched.sql:1-17 — review denormalized with product,
+    * category, subcategory and brand names (J5 4-way left-join chain). The
+    * three name dims are small — Catalyst broadcasts them; the
+    * products_enriched join shuffles on product_id. */
+  def reviewsEnriched(stgReviews: DataFrame, productsEnriched: DataFrame,
+      categoriesEnriched: DataFrame, subcategoriesEnriched: DataFrame,
+      brands: DataFrame): DataFrame = {
+    val p = productsEnriched.select(col("product_id"), col("product_name"),
+      col("category_id").as("p_category_id"),
+      col("subcategory_id").as("p_subcategory_id"),
+      col("brand_id").as("p_brand_id"))
+    stgReviews
+      .join(p, Seq("product_id"), "left")
+      .join(categoriesEnriched.select(col("category_id").as("p_category_id"),
+        col("category_name")), Seq("p_category_id"), "left")
+      .join(subcategoriesEnriched.select(col("subcategory_id").as("p_subcategory_id"),
+        col("subcategory_name")), Seq("p_subcategory_id"), "left")
+      .join(brands.select(col("brand_id").as("p_brand_id"), col("brand_name")),
+        Seq("p_brand_id"), "left")
+      .select(col("review_id"), col("product_id"), col("order_id"),
+        col("customer_id"), col("review_score"), col("review_text"),
+        col("product_name"), col("category_name"), col("subcategory_name"),
+        col("brand_name"), col("loaded_at").as("created_at"))
+  }
+
+  /** transactions/customer_interactions.sql:1-14 — interactions ⟕ products
+    * (J6): events annotated with the product's category/subcategory. */
+  def customerInteractions(stgInteractions: DataFrame,
+      stgProducts: DataFrame): DataFrame =
+    stgInteractions
+      .join(stgProducts.select(col("product_id"), col("category_id"),
+        col("subcategory_id")), Seq("product_id"), "left")
+      .select(col("event_id"), col("customer_id"), col("product_id"),
+        col("category_id"), col("subcategory_id"), col("event_type"),
+        col("event_date"), col("device_type"), col("session_id"),
+        col("created_at"))
+
   // -------------------------------------------------------------- marts --
 
   /** ecom_marts/core/dim_customers.sql:1-58 — denormalized dim with the
@@ -299,7 +387,8 @@ object Ecom {
         col("education_type"), col("status_type").as("marital_status"),
         coalesce(col("total_orders"), lit(0)).as("total_orders"),
         coalesce(col("total_spent"), lit(0)).as("total_spent"),
-        coalesce(F.safeDiv(col("total_spent"), col("total_orders")), lit(0)).as("avg_order_value"),
+        coalesce(F.safeDiv(col("total_spent").cast("double"), col("total_orders")), lit(0))
+          .as("avg_order_value"),
         col("first_order_date"), col("last_order_date"),
         when(col("last_order_date") >= add_months(t, -3), lit("Active"))
           .when(col("last_order_date") >= add_months(t, -6), lit("At Risk"))
@@ -310,7 +399,10 @@ object Ecom {
         col("created_at"), lit(now).as("updated_at"))
   }
 
-  /** ecom_marts/sales/fct_sales_by_date.sql:1-17. */
+  /** ecom_marts/sales/fct_sales_by_date.sql:1-17. Ratio columns use the
+    * portable-average form (exact decimal SUM → double ÷ count) so the same
+    * value reproduces on any engine; plain AVG over DECIMAL is
+    * precision-scheme-specific (SURVEY §7.4 #4). */
   def fctSalesByDate(ordersInt: DataFrame, now: Timestamp): DataFrame =
     ordersInt
       .groupBy(expr("try_cast(order_date AS DATE)").as("sale_date"))
@@ -319,20 +411,278 @@ object Ecom {
         sum(col("total_amount")).as("total_revenue"),
         sum(col("shipping_cost")).as("total_shipping"),
         (sum(col("total_amount")) - sum(col("shipping_cost"))).as("net_revenue"),
-        avg(col("total_amount")).as("avg_order_value"),
-        (sum(col("total_amount")) / countDistinct(col("customer_id"))).as("revenue_per_customer"))
+        (sum(col("total_amount")).cast("double") / count(col("total_amount")))
+          .as("avg_order_value"),
+        (sum(col("total_amount")).cast("double") / countDistinct(col("customer_id")))
+          .as("revenue_per_customer"))
       .withColumn("updated_at", lit(now))
 
-  /** ecom_marts/customer/fct_customer_orders.sql — per-customer order
-    * metrics (the incremental mart; high-watermark handled by ModelGraph's
-    * Incremental materialization when run against a store). */
-  def fctCustomerOrders(ordersInt: DataFrame, now: Timestamp): DataFrame =
-    ordersInt.groupBy(col("customer_id"))
-      .agg(countDistinct(col("order_id")).as("total_orders"),
-        sum(col("total_amount")).as("total_spent"),
-        avg(col("total_amount")).as("avg_order_value"),
-        max(col("order_date")).as("last_order_date"))
+  /** ecom_marts/customer/fct_customer_orders.sql:6-21 — PER-ORDER grain
+    * (GROUP BY customer, order, date, amount) with item/review rollups.
+    * This is the reference's functional incremental mart: `order_date` is
+    * both selected and the high-watermark column (:18-20), so
+    * [[graft.plans.ModelGraph.Incremental]] appends exactly the new orders.
+    *
+    * Faithfully ported fan-out: reviews join on order_id alone (:17), so an
+    * order with k reviews repeats its items k times — total_items is
+    * k-inflated and avg_review_score is item-weighted, exactly as the
+    * reference computes them. */
+  def fctCustomerOrders(ordersInt: DataFrame, orderItemsInt: DataFrame,
+      reviewsEnriched: DataFrame): DataFrame =
+    ordersInt.select(col("customer_id"), col("order_id"), col("order_date"),
+        col("total_amount"))
+      .join(orderItemsInt.select(col("order_id"), col("product_id"),
+        col("quantity")), Seq("order_id"), "left")
+      .join(reviewsEnriched.select(col("order_id"), col("review_score")),
+        Seq("order_id"), "left")
+      .groupBy(col("customer_id"), col("order_id"), col("order_date"),
+        col("total_amount"))
+      .agg(countDistinct(col("product_id")).as("unique_products"),
+        sum(col("quantity")).as("total_items"),
+        avg(col("review_score")).as("avg_review_score"))
+      .select(col("customer_id"), col("order_id"), col("order_date"),
+        col("total_amount"), col("unique_products"), col("total_items"),
+        (col("total_amount").cast("double") /
+          F.nullIf(col("unique_products"), lit(0))).as("avg_order_value"),
+        col("avg_review_score"))
+
+  /** ecom_marts/core/dim_products.sql:6-26 — product dim denormalized with
+    * category/subcategory/brand names. Note the reference selects
+    * c.category_id (:8), not p's — NULL when the category dim misses. */
+  def dimProducts(productsEnriched: DataFrame, categoriesEnriched: DataFrame,
+      subcategoriesEnriched: DataFrame, brands: DataFrame, now: Timestamp): DataFrame =
+    productsEnriched
+      .join(categoriesEnriched.select(col("category_id").as("c_category_id"),
+        col("category_name")), col("category_id") === col("c_category_id"), "left")
+      .join(subcategoriesEnriched.select(col("subcategory_id").as("s_subcategory_id"),
+        col("subcategory_name")), col("subcategory_id") === col("s_subcategory_id"), "left")
+      .join(brands.select(col("brand_id").as("b_brand_id"), col("brand_name")),
+        col("brand_id") === col("b_brand_id"), "left")
+      .select(col("product_id"), col("c_category_id").as("category_id"),
+        col("product_name"), col("description"), col("base_price"),
+        col("sale_price"), col("stock_quantity"), col("category_name"),
+        col("subcategory_name"), col("brand_name"), col("is_active"),
+        col("created_at"), lit(now).as("updated_at"))
+
+  /** ecom_marts/core/dim_categories.sql:7-27 — category with its ordered,
+    * distinct subcategory list (A8 LISTAGG WITHIN GROUP port:
+    * sort_array(collect_set) ≡ STRING_AGG(DISTINCT … ORDER BY …); an empty
+    * group yields NULL, matching STRING_AGG over no rows). */
+  def dimCategories(categoriesEnriched: DataFrame,
+      subcategoriesEnriched: DataFrame): DataFrame = {
+    val hierarchy = categoriesEnriched.select(col("category_id"))
+      .join(subcategoriesEnriched.select(col("category_id"), col("subcategory_name")),
+        Seq("category_id"), "left")
+      .groupBy(col("category_id"))
+      .agg(collect_set(col("subcategory_name")).as("subs"))
+      .select(col("category_id"),
+        when(size(col("subs")) === 0, lit(null).cast("string"))
+          .otherwise(array_join(array_sort(col("subs")), ", ")).as("subcategories"))
+    categoriesEnriched
+      .join(hierarchy, Seq("category_id"), "left")
+      .select(col("category_id"), col("category_name"), col("subcategories"),
+        col("created_at"))
+  }
+
+  /** ecom_marts/core/dim_locations.sql:6-14 — the reference left-joins
+    * customers and orders purely as row multipliers and GROUP BYs all four
+    * selected columns; GROUP BY with no aggregates ≡ DISTINCT, and left
+    * joins cannot drop location rows, so the join chain is kept for model
+    * fidelity and deduped exactly as the reference does. */
+  def dimLocations(locations: DataFrame, customersEnriched: DataFrame,
+      ordersInt: DataFrame): DataFrame =
+    locations.select(col("location_id"), col("city"), col("state"), col("country"))
+      .join(customersEnriched.select(col("location_id"), col("customer_id")),
+        Seq("location_id"), "left")
+      .join(ordersInt.select(col("customer_id")), Seq("customer_id"), "left")
+      .select(col("location_id"), col("city"), col("state"), col("country"))
+      .distinct()
+
+  /** ecom_marts/core/dim_dates.sql:6-19 — date spine from the union of
+    * order and interaction timestamps with calendar attributes; DOW uses
+    * the DuckDB numbering (Sunday=0, [[F.dowSundayZero]]). */
+  def dimDates(ordersInt: DataFrame, customerInteractions: DataFrame): DataFrame =
+    ordersInt.select(col("order_date").as("date_day"))
+      .union(customerInteractions.select(col("event_date").as("date_day")))
+      .distinct()
+      .select(col("date_day"),
+        year(col("date_day")).as("year"),
+        month(col("date_day")).as("month"),
+        F.dowSundayZero(col("date_day")).as("day_of_week"),
+        date_trunc("month", col("date_day")).as("first_day_of_month"),
+        last_day(col("date_day").cast("date")).as("last_day_of_month"))
+
+  /** ecom_marts/sales/fct_order_details.sql:6-62 — the 9-way star flagship:
+    * order items inner-joined to orders, customers, customer locations,
+    * products, categories and brands, left-joined to statuses, payment
+    * methods, (empty) addresses + shipping locations, and reviews on the
+    * two-part (order, product) key. Dims broadcast; the fact-fact joins
+    * shuffle on their keys. */
+  def fctOrderDetails(ordersInt: DataFrame, orderItemsInt: DataFrame,
+      customersEnriched: DataFrame, locations: DataFrame,
+      productsEnriched: DataFrame, categoriesEnriched: DataFrame,
+      brands: DataFrame, orderStatuses: DataFrame, paymentMethods: DataFrame,
+      addresses: DataFrame, reviewsEnriched: DataFrame, now: Timestamp): DataFrame = {
+    val o = ordersInt.select(col("order_id"), col("order_date"),
+      col("customer_id"), col("status_id"), col("payment_method_id"),
+      col("shipping_address_id"), col("shipping_cost"),
+      col("total_amount").as("order_total"), col("created_at"))
+    val oi = orderItemsInt.select(col("order_id"), col("product_id"),
+      col("quantity"), col("unit_price"), col("total_price").as("item_total"))
+    val c = customersEnriched.select(col("customer_id"), col("email"),
+      col("location_id").as("c_location_id"))
+    val lc = locations.select(col("location_id").as("c_location_id"),
+      col("city").as("customer_city"), col("state").as("customer_state"))
+    val p = productsEnriched.select(col("product_id"), col("product_name"),
+      col("category_id").as("p_category_id"), col("brand_id").as("p_brand_id"))
+    val ca = categoriesEnriched.select(col("category_id").as("p_category_id"),
+      col("category_name"))
+    val b = brands.select(col("brand_id").as("p_brand_id"), col("brand_name"))
+    val os = orderStatuses.select(col("status_id"), col("status_name"))
+    val pm = paymentMethods.select(col("payment_method_id"),
+      col("method_name").as("payment_method"))
+    val sa = addresses.select(col("address_id").as("shipping_address_id"),
+      col("street_address").as("shipping_address"),
+      col("location_id").as("sa_location_id"))
+    val ls = locations.select(col("location_id").as("sa_location_id"),
+      col("city").as("shipping_city"), col("state").as("shipping_state"))
+    val r = reviewsEnriched.select(col("order_id"), col("product_id"),
+      col("review_score"))
+    o.join(oi, Seq("order_id"))
+      .join(c, Seq("customer_id"))
+      .join(lc, Seq("c_location_id"))
+      .join(p, Seq("product_id"))
+      .join(ca, Seq("p_category_id"))
+      .join(b, Seq("p_brand_id"))
+      .join(os, Seq("status_id"), "left")
+      .join(pm, Seq("payment_method_id"), "left")
+      .join(sa, Seq("shipping_address_id"), "left")
+      .join(ls, Seq("sa_location_id"), "left")
+      .join(r, Seq("order_id", "product_id"), "left")
+      .select(col("order_id"), col("order_date"), col("customer_id"),
+        col("email"), col("customer_city"), col("customer_state"),
+        col("product_id"), col("product_name"), col("category_name"),
+        col("brand_name"), col("status_name"), col("payment_method"),
+        col("shipping_address"), col("shipping_city"), col("shipping_state"),
+        col("quantity"), col("unit_price"), col("item_total"),
+        col("shipping_cost"), col("order_total"), col("review_score"),
+        col("created_at"), lit(now).as("updated_at"))
+  }
+
+  /** ecom_marts/customer/fct_customer_activity.sql:6-36 — per customer ×
+    * month interaction rollup. The WHERE on CAST(event_date AS DATE)
+    * IS NOT NULL (:32) silently turns the left join inner — ported as
+    * written. */
+  def fctCustomerActivity(customersEnriched: DataFrame,
+      customerInteractions: DataFrame, now: Timestamp): DataFrame =
+    customersEnriched.select(col("customer_id"), col("email"))
+      .join(customerInteractions.select(col("customer_id"), col("product_id"),
+        col("event_type"), col("event_date"), col("session_id"),
+        col("device_type")), Seq("customer_id"), "left")
+      .filter(col("event_date").cast("date").isNotNull)
+      .groupBy(col("customer_id"), col("email"),
+        trunc(col("event_date").cast("date"), "month").as("activity_month"))
+      .agg(
+        count(when(col("event_type") === "view", 1)).as("total_views"),
+        countDistinct(when(col("event_type") === "view", col("product_id")))
+          .as("unique_products_viewed"),
+        count(when(col("event_type") === "cart_add", 1)).as("cart_adds"),
+        countDistinct(when(col("event_type") === "cart_add", col("product_id")))
+          .as("unique_products_added"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"),
+        countDistinct(when(col("event_type") === "purchase", col("product_id")))
+          .as("unique_products_purchased"),
+        countDistinct(col("session_id")).as("total_sessions"),
+        countDistinct(col("device_type")).as("devices_used"))
       .withColumn("updated_at", lit(now))
+
+  /** ecom_marts/customer/fct_customer_reviews.sql:6-15 — reviews with the
+    * product's category keys. The reference declares it incremental on
+    * r.created_at (:16-18) but does not SELECT created_at, so {{this}} can
+    * never satisfy the watermark subquery — a reference bug; materialized
+    * as a plain table here and noted rather than reproduced as a crash. */
+  def fctCustomerReviews(reviewsEnriched: DataFrame,
+      productsEnriched: DataFrame): DataFrame =
+    reviewsEnriched.select(col("product_id"), col("customer_id"),
+        col("order_id"), col("review_score"), col("review_text"))
+      .join(productsEnriched.select(col("product_id"), col("category_id"),
+        col("subcategory_id")), Seq("product_id"))
+      .select(col("customer_id"), col("product_id"), col("order_id"),
+        col("review_score"), col("review_text"), col("category_id"),
+        col("subcategory_id"))
+
+  /** ecom_marts/sales/fct_product_performance.sql:6-18 — product × month
+    * sales/review rollup. Left-join chain keeps never-sold products (NULL
+    * month); the reviews join on product_id alone fans out across that
+    * product's order items (reference semantics, kept). review_count is
+    * COUNT(DISTINCT review_score) — distinct scores, as written (:13). */
+  def fctProductPerformance(productsEnriched: DataFrame, orderItemsInt: DataFrame,
+      ordersInt: DataFrame, reviewsEnriched: DataFrame): DataFrame =
+    productsEnriched.select(col("product_id"))
+      .join(orderItemsInt.select(col("product_id"), col("order_id"),
+        col("quantity"), col("total_price")), Seq("product_id"), "left")
+      .join(ordersInt.select(col("order_id"), col("order_date")),
+        Seq("order_id"), "left")
+      .join(reviewsEnriched.select(col("product_id"), col("review_score")),
+        Seq("product_id"), "left")
+      .groupBy(col("product_id"),
+        date_trunc("month", col("order_date")).as("month"))
+      .agg(countDistinct(col("order_id")).as("total_orders"),
+        sum(col("quantity")).as("units_sold"),
+        sum(col("total_price")).as("revenue"),
+        avg(col("review_score")).as("avg_rating"),
+        countDistinct(col("review_score")).as("review_count"))
+
+  /** ecom_marts/sales/fct_product_interactions.sql:6-14 — product × day
+    * event-type counts over customer_interactions. */
+  def fctProductInteractions(customerInteractions: DataFrame): DataFrame =
+    customerInteractions
+      .groupBy(col("product_id"),
+        date_trunc("day", col("event_date")).as("event_day"))
+      .agg(
+        countDistinct(when(col("event_type") === "view", col("event_id")))
+          .as("views"),
+        countDistinct(when(col("event_type") === "cart_add", col("event_id")))
+          .as("cart_adds"),
+        countDistinct(when(col("event_type") === "wishlist_add", col("event_id")))
+          .as("wishlist_adds"),
+        countDistinct(col("customer_id")).as("unique_customers"))
+
+  /** ecom_marts/sales/fct_sales_by_product.sql:6-17 — product × month sales
+    * (inner joins: only sold products). avg_selling_price uses the portable
+    * exact-sum/count form of AVG(unit_price). */
+  def fctSalesByProduct(productsEnriched: DataFrame, orderItemsInt: DataFrame,
+      ordersInt: DataFrame): DataFrame =
+    productsEnriched.select(col("product_id"), col("category_id"))
+      .join(orderItemsInt.select(col("product_id"), col("order_id"),
+        col("quantity"), col("unit_price"), col("total_price")),
+        Seq("product_id"))
+      .join(ordersInt.select(col("order_id"), col("order_date")), Seq("order_id"))
+      .groupBy(col("product_id"), col("category_id"),
+        date_trunc("month", col("order_date")).as("sales_month"))
+      .agg(countDistinct(col("order_id")).as("total_orders"),
+        sum(col("quantity")).as("units_sold"),
+        sum(col("total_price")).as("revenue"),
+        (sum(col("unit_price")).cast("double") / count(col("unit_price")))
+          .as("avg_selling_price"))
+
+  /** ecom_marts/sales/fct_sales_by_region.sql:6-17 — state/country × month
+    * revenue through the customer→location chain (inner joins). */
+  def fctSalesByRegion(ordersInt: DataFrame, customersEnriched: DataFrame,
+      locations: DataFrame): DataFrame =
+    ordersInt.select(col("customer_id"), col("order_id"), col("order_date"),
+        col("total_amount"))
+      .join(customersEnriched.select(col("customer_id"), col("location_id")),
+        Seq("customer_id"))
+      .join(locations.select(col("location_id"), col("state"), col("country")),
+        Seq("location_id"))
+      .groupBy(col("state"), col("country"),
+        date_trunc("month", col("order_date")).as("sales_month"))
+      .agg(countDistinct(col("order_id")).as("total_orders"),
+        countDistinct(col("customer_id")).as("unique_customers"),
+        sum(col("total_amount")).as("total_revenue"),
+        (sum(col("total_amount")).cast("double") / count(col("total_amount")))
+          .as("avg_order_value"))
 
   // -------------------------------------------------------------- graph --
 
@@ -372,11 +722,59 @@ object Ecom {
     Model("order_items", Seq("stg_order_items", "stg_orders", "products_enriched", "stg_reviews"),
       d => orderItemsInt(d("stg_order_items"), d("stg_orders"), d("products_enriched"),
         d("stg_reviews")), Table),
+    Model("categories_enriched", Seq("stg_categories", "stg_subcategories", "stg_products"),
+      d => categoriesEnriched(d("stg_categories"), d("stg_subcategories"),
+        d("stg_products")), Table),
+    Model("subcategories_enriched", Seq("stg_subcategories", "stg_products"),
+      d => subcategoriesEnriched(d("stg_subcategories"), d("stg_products")), Table),
+    Model("reviews_enriched", Seq("stg_reviews", "products_enriched",
+      "categories_enriched", "subcategories_enriched", "brands"),
+      d => reviewsEnriched(d("stg_reviews"), d("products_enriched"),
+        d("categories_enriched"), d("subcategories_enriched"), d("brands")), Table),
+    Model("customer_interactions", Seq("stg_interactions", "stg_products"),
+      d => customerInteractions(d("stg_interactions"), d("stg_products")), Table),
+    // marts — dims are views, facts tables, per dbt_project.yml:19-30;
+    // fct_customer_orders is the reference's one functional incremental
+    // (customer/fct_customer_orders.sql:18-20 watermarks on order_date).
     Model("dim_customers", Seq("customers_enriched", "locations", "education_types",
       "marital_statuses", "orders"),
       d => dimCustomers(d("customers_enriched"), d("locations"), d("education_types"),
         d("marital_statuses"), d("orders"), today, now)),
+    Model("dim_products", Seq("products_enriched", "categories_enriched",
+      "subcategories_enriched", "brands"),
+      d => dimProducts(d("products_enriched"), d("categories_enriched"),
+        d("subcategories_enriched"), d("brands"), now)),
+    Model("dim_categories", Seq("categories_enriched", "subcategories_enriched"),
+      d => dimCategories(d("categories_enriched"), d("subcategories_enriched"))),
+    Model("dim_locations", Seq("locations", "customers_enriched", "orders"),
+      d => dimLocations(d("locations"), d("customers_enriched"), d("orders"))),
+    Model("dim_dates", Seq("orders", "customer_interactions"),
+      d => dimDates(d("orders"), d("customer_interactions"))),
     Model("fct_sales_by_date", Seq("orders"), d => fctSalesByDate(d("orders"), now), Table),
-    Model("fct_customer_orders", Seq("orders"), d => fctCustomerOrders(d("orders"), now), Table)
+    Model("fct_customer_orders", Seq("orders", "order_items", "reviews_enriched"),
+      d => fctCustomerOrders(d("orders"), d("order_items"), d("reviews_enriched")),
+      ModelGraph.Incremental("order_date")),
+    Model("fct_customer_activity", Seq("customers_enriched", "customer_interactions"),
+      d => fctCustomerActivity(d("customers_enriched"), d("customer_interactions"), now),
+      Table),
+    Model("fct_customer_reviews", Seq("reviews_enriched", "products_enriched"),
+      d => fctCustomerReviews(d("reviews_enriched"), d("products_enriched")), Table),
+    Model("fct_order_details", Seq("orders", "order_items", "customers_enriched",
+      "locations", "products_enriched", "categories_enriched", "brands",
+      "order_statuses", "payment_methods", "addresses", "reviews_enriched"),
+      d => fctOrderDetails(d("orders"), d("order_items"), d("customers_enriched"),
+        d("locations"), d("products_enriched"), d("categories_enriched"), d("brands"),
+        d("order_statuses"), d("payment_methods"), d("addresses"),
+        d("reviews_enriched"), now), Table),
+    Model("fct_product_performance", Seq("products_enriched", "order_items",
+      "orders", "reviews_enriched"),
+      d => fctProductPerformance(d("products_enriched"), d("order_items"),
+        d("orders"), d("reviews_enriched")), Table),
+    Model("fct_product_interactions", Seq("customer_interactions"),
+      d => fctProductInteractions(d("customer_interactions")), Table),
+    Model("fct_sales_by_product", Seq("products_enriched", "order_items", "orders"),
+      d => fctSalesByProduct(d("products_enriched"), d("order_items"), d("orders")), Table),
+    Model("fct_sales_by_region", Seq("orders", "customers_enriched", "locations"),
+      d => fctSalesByRegion(d("orders"), d("customers_enriched"), d("locations")), Table)
   )
 }

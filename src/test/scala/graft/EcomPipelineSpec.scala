@@ -60,10 +60,13 @@ class EcomPipelineSpec extends SparkSpec {
           "TOTAL_PRICE", "CREATED_AT"),
 
       "raw_products" -> Seq(
-        ("P1", "1", "101", "Widget", "35.00", "30.00", "10", " Acme Corp ", "4.5", "true"),
-        ("P2", "2", "201", "Gadget", "70.00", "60.00", "5", "Acme Corp", "3.9", "true"))
+        ("P1", "1", "101", "Widget", "a widget", "35.00", "30.00", "10", "0.40",
+          " Acme Corp ", "4.5", "true", ts("2023-01-01 00:00:00")),
+        ("P2", "2", "201", "Gadget", "a gadget", "70.00", "60.00", "5", "1.20",
+          "Acme Corp", "3.9", "true", ts("2023-02-01 00:00:00")))
         .toDF("PRODUCT_ID", "CATEGORY_ID", "SUBCATEGORY_ID", "PRODUCT_NAME",
-          "BASE_PRICE", "SALE_PRICE", "STOCK_QUANTITY", "BRAND", "RATING", "IS_ACTIVE"),
+          "DESCRIPTION", "BASE_PRICE", "SALE_PRICE", "STOCK_QUANTITY", "WEIGHT_KG",
+          "BRAND", "RATING", "IS_ACTIVE", "CREATED_AT"),
 
       "raw_reviews" -> Seq(
         // two reviews for (O1, P1) with different LOADED_AT → latest (score 5) wins (W1)
@@ -73,14 +76,19 @@ class EcomPipelineSpec extends SparkSpec {
         .toDF("REVIEW_ID", "PRODUCT_ID", "ORDER_ID", "CUSTOMER_ID", "REVIEW_SCORE",
           "REVIEW_TEXT", "LOADED_AT"),
 
-      "raw_categories" -> Seq(("1", "Electronics"), ("2", "Fashion"))
-        .toDF("CATEGORY_ID", "CATEGORY_NAME"),
-      "raw_subcategories" -> Seq(("101", "1", "Phones"), ("201", "2", "Shoes"))
-        .toDF("SUBCATEGORY_ID", "CATEGORY_ID", "SUBCATEGORY_NAME"),
+      "raw_categories" -> Seq(
+        ("1", "Electronics", ts("2022-01-01 00:00:00")),
+        ("2", "Fashion", ts("2022-01-02 00:00:00")))
+        .toDF("CATEGORY_ID", "CATEGORY_NAME", "CREATED_AT"),
+      "raw_subcategories" -> Seq(
+        ("101", "1", "Phones", ts("2022-02-01 00:00:00")),
+        ("201", "2", "Shoes", ts("2022-02-02 00:00:00")))
+        .toDF("SUBCATEGORY_ID", "CATEGORY_ID", "SUBCATEGORY_NAME", "CREATED_AT"),
       "raw_interactions" -> Seq(
-        ("E1", "C1", "P1", "view", ts("2024-12-01 10:00:00"), "mobile", "session_1"))
+        ("E1", "C1", "P1", "view", ts("2024-12-01 10:00:00"), "mobile", "session_1",
+          ts("2024-12-01 10:00:00")))
         .toDF("EVENT_ID", "CUSTOMER_ID", "PRODUCT_ID", "EVENT_TYPE", "EVENT_DATE",
-          "DEVICE_TYPE", "SESSION_ID"))
+          "DEVICE_TYPE", "SESSION_ID", "CREATED_AT"))
   }
 
   // Materialized once: assertions over the composed lazy DAG would re-run
