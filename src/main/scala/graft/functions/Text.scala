@@ -51,10 +51,11 @@ object Text {
 
   // ---- minhash / simhash -------------------------------------------------
 
-  /** One md5-derived 60-bit hash per shingle — computed ONCE; permutations
-    * are cheap affine maps inside [[MinHashBandKeysExpr]]. */
+  /** One md5-derived 60-bit hash per shingle — computed ONCE in a compiled
+    * pass ([[ArrayHash60Expr]]); permutations are cheap affine maps inside
+    * [[MinHashBandKeysExpr]]. */
   def shingleHashes(shingles: Column): Column =
-    transform(shingles, s => Vectors.hash60(s))
+    HashExpr.arrayHash60(shingles)
 
   /** LSH band keys: `bands` strings, each `"<band>:<min>_..._<min>"`.
     * Docs sharing any band key become candidate pairs — the classic
@@ -68,8 +69,7 @@ object Text {
     * sum over tokens of (bit j of hash ? +1 : -1). Single-pass custom
     * expression over the hashed-token array. */
   def simhash32(c: Column): Column =
-    HashExpr.simhash32(transform(tokens(normalized(c)),
-      t => Vectors.hash60(concat(lit("simhash|"), t))))
+    HashExpr.simhash32(HashExpr.arrayHash60(tokens(normalized(c)), "simhash|"))
 
   // ---- language ID -------------------------------------------------------
   // Marker-word heuristic: count distinct marker hits per language over the

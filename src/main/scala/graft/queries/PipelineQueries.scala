@@ -209,13 +209,16 @@ object PipelineQueries {
     * the bloom only routes. */
   private val dedupBloomPrefilter: Q = (s, dir) => {
     import s.implicits._
+    import graft.functions.BloomExpr
     val keys = Tables(s, dir, "part").filter($"p_size" > 25).select($"p_partkey")
     val bloom = keys.stat.bloomFilter("p_partkey", math.max(keys.count(), 1L), 0.01)
     val bc = s.sparkContext.broadcast(bloom)
-    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContain(k.longValue()))
+    // native codegen'd predicate (BloomMightContain) — the filter stays
+    // inside the scan's WholeStageCodegen span instead of a UDF eval
+    // boundary (asserted in PlanAssertionsSpec)
     val li = Tables(s, dir, "lineitem")
-    val sure = li.filter(!might($"l_partkey"))
-    val maybe = li.filter(might($"l_partkey"))
+    val sure = li.filter(!BloomExpr.mightContain($"l_partkey", bc))
+    val maybe = li.filter(BloomExpr.mightContain($"l_partkey", bc))
       .join(keys, li("l_partkey") === keys("p_partkey"), "left_anti")
     sure.unionByName(maybe)
       .select($"l_orderkey", $"l_linenumber", $"l_partkey")

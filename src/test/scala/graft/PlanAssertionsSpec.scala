@@ -71,4 +71,30 @@ class PlanAssertionsSpec extends SparkSpec {
       "upsert delete-set must plan as an anti join")
   }
 
+  test("bloom prefilter is a native codegen'd predicate, not a UDF") {
+    val plan = planOf("dedup_bloom_prefilter")
+    assert(plan.contains("bloom_might_contain"),
+      s"prefilter must use the native BloomMightContain expression:\n$plan")
+    assert(!plan.contains("UDF") && !plan.contains("BatchEvalPython"),
+      s"no UDF eval boundary allowed around the bloom filter:\n$plan")
+    assert(plan.contains("*("),
+      s"filter stage fell out of whole-stage codegen:\n$plan")
+  }
+
+  test("sketch expressions keep their projection inside whole-stage codegen") {
+    // simhash32 (inline codegen) and minhash band keys (reference-object
+    // dispatch) both must NOT break the surrounding codegen stage.
+    for (name <- Seq("dedup_simhash", "dedup_minhash_lsh")) {
+      val plan = planOf(name)
+      // only application sites matter; scan lines echo pushed DataFilters
+      // and exchange lines echo attribute names — neither is codegen-prefixed
+      val projLines = plan.linesIterator.filter(l =>
+        (l.contains("simhash32(") || l.contains("minhash_band_keys(")) &&
+          !l.contains("FileScan")).toSeq
+      assert(projLines.nonEmpty, s"$name: sketch expression missing from plan:\n$plan")
+      assert(projLines.forall(_.contains("*(")),
+        s"$name: sketch projection fell out of whole-stage codegen:\n${projLines.mkString("\n")}")
+    }
+  }
+
 }
