@@ -27,20 +27,24 @@ import org.apache.spark.storage.StorageLevel
 object Components {
 
   /** @param edges DataFrame with two id columns (undirected edges)
+    * @param scratchDir where the final labeling is checkpointed (parquet).
+    *        Defaults to a JVM temp dir — fine on local mode; on a cluster
+    *        pass a shared-filesystem path. The checkpoint is what lets this
+    *        function release EVERY cached block before returning (ADVICE
+    *        r3: the old contract handed back a persisted frame that library
+    *        callers leaked until the context cleaner ran) while still
+    *        returning a cheap, lineage-free flat scan.
     * @return (id, component) — component = min id reachable; only ids that
     *         appear in `edges` are labeled (isolated vertices are the
     *         complement of the edge set; callers union them if needed).
-    *         The result is returned PERSISTED (it was materialized by the
-    *         convergence probes); lineage is intact, so callers may
-    *         `unpersist()` it after their terminal action — otherwise the
-    *         context cleaner reclaims it on GC.
     * @throws IllegalStateException if the labels have not converged after
     *         `maxIterations` rounds — a partially-propagated labeling would
     *         silently violate the min-id contract on graphs whose diameter
     *         exceeds the cap, so the failure must be loud. Raise
     *         `maxIterations` (rounds needed = graph diameter). */
   def connectedComponents(edges: DataFrame, src: String = "src",
-      dst: String = "dst", maxIterations: Int = 20): DataFrame = {
+      dst: String = "dst", maxIterations: Int = 20,
+      scratchDir: Option[String] = None): DataFrame = {
     // No .distinct() on sym and no distinct initial-label build: duplicate
     // edges/ids are absorbed by the min-aggregate each round anyway, and the
     // two distincts were one to two extra shuffle stages materialized in the
@@ -85,6 +89,15 @@ object Components {
         s"connectedComponents did not converge within $maxIterations iterations; " +
           "graph diameter exceeds the cap — raise maxIterations")
     }
+    // checkpoint-and-release: distributed parquet write of the (small)
+    // labeling, then drop the last cached generation. Callers get a flat
+    // scan with no lineage back into the iteration and the operator leaves
+    // zero retained blocks behind (asserted in ComponentsSpec).
+    val out = scratchDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_cc_").toString) + "/components"
     labels.select("id", "component")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    labels.unpersist(blocking = false)
+    edges.sparkSession.read.parquet(out)
   }
 }

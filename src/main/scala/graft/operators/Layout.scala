@@ -41,8 +41,12 @@ object Layout {
               targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val target = new Path(dir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(dir + ".__tmp_compact")
-    val bak = new Path(dir + ".__bak_compact")
+    // dot-prefixed LEAF names: Spark's partition discovery ignores hidden
+    // directories, so a compaction racing a reader of the table root can't
+    // surface '<partition>.__tmp' as a bogus extra partition (ADVICE r3),
+    // and compactPartitioned's census below skips them structurally.
+    val tmp = new Path(target.getParent, s".${target.getName}.__compact_tmp")
+    val bak = new Path(target.getParent, s".${target.getName}.__compact_bak")
     // Crash recovery FIRST — after a crash between the two swap renames the
     // target may not exist at all, and only then is the file census valid.
     if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -77,7 +81,8 @@ object Layout {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(rootPath).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=")
+        && !s.getPath.getName.startsWith("."))
       .map(s => s.getPath.getName -> compact(spark, s.getPath.toString, targetBytes))
       .toMap
   }
@@ -117,7 +122,16 @@ object Layout {
   def writeZOrdered(df: DataFrame, path: String, cx: String, cy: String,
                     files: Int = 8): Unit = {
     import org.apache.spark.sql.functions.{greatest, max, min}
-    val s = df.agg(min(col(cx)), max(col(cx)), min(col(cy)), max(col(cy))).head()
+    // cast inside the agg: min/max preserve the input's integer type, and
+    // getLong on an int column throws; longs also cover an empty input
+    // (null stats → plain write, nothing to cluster) (ADVICE r3)
+    val s = df.agg(
+      min(col(cx).cast("long")), max(col(cx).cast("long")),
+      min(col(cy).cast("long")), max(col(cy).cast("long"))).head()
+    if (s.isNullAt(0)) {
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     def norm(c: Column, lo: Long, hi: Long): Column =
       ((c - lit(lo)).cast("long") * 65535L / greatest(lit(hi - lo), lit(1L)))
         .cast("long")

@@ -140,13 +140,16 @@ object AnalyticsQueries {
 
   // ------------------------------------------------------- arg-min/arg-max
   /** min_by/max_by: per nation, the customer holding the extreme account
-    * balance. The ordering value is the composite acctbal·1e7 + custkey —
-    * unique by construction, so ties can't make the picked key
-    * nondeterministic (the raw acctbal is not unique). One partial+final
-    * hash aggregate, same cost as any groupBy on the key. */
+    * balance. The ordering value is the STRUCT (acctbal, custkey) —
+    * lexicographic comparison makes the pick unique without arithmetic
+    * (ADVICE r3: a numeric composite like acctbal·1e7 + custkey lets the
+    * tiebreak outweigh a real acctbal difference once custkey exceeds the
+    * multiplier/step ratio, and larger multipliers overflow double's 2^53
+    * integer range at scale; struct ordering has neither failure mode).
+    * One partial+final hash aggregate, same cost as any groupBy. */
   private val aArgMinmax: Q = (s, dir) => {
     import s.implicits._
-    val ord = $"c_acctbal" * 10000000 + $"c_custkey"
+    val ord = struct($"c_acctbal", $"c_custkey")
     Tables(s, dir, "customer")
       .groupBy($"c_nationkey")
       .agg(max_by($"c_custkey", ord).as("richest_custkey"),
@@ -182,8 +185,12 @@ object AnalyticsQueries {
       .select($"m_used", $"reg_sum",
         round(lit(AlphaM2) / (((lit(m.toLong) - $"m_used").cast("double") * Pow250
           + $"reg_sum".cast("double")) / Pow250), 4).as("est_raw"),
-        round(lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - $"m_used")
-          .cast("double")), 4).as("est_linear"))
+        // guarded: all m buckets occupied -> ln(m/0) = Infinity, which
+        // DuckDB renders engine-dependently (ADVICE r3); linear counting
+        // doesn't apply there anyway, so emit NULL on both engines
+        when($"m_used" < m,
+          round(lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - $"m_used")
+            .cast("double")), 4)).as("est_linear"))
       .withColumn("estimate",
         when($"est_raw" <= 2.5 * m && $"m_used" < m, $"est_linear")
           .otherwise($"est_raw"))
@@ -216,8 +223,9 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_groups"))
     merged.crossJoin(broadcast(nGroups))
       .select($"n_groups", $"m_used", $"reg_sum",
-        round(lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - $"m_used")
-          .cast("double")), 4).as("est_linear"))
+        when($"m_used" < m, // see aHllExact: saturated registers -> NULL
+          round(lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - $"m_used")
+            .cast("double")), 4)).as("est_linear"))
   }
 
   /** 0.7213/(1+1.079/m)·m² for m=1024 (Flajolet et al.'s alpha), computed
@@ -245,15 +253,23 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(1 AS BIGINT) << (50 - rho)) AS BIGINT) AS reg_sum FROM mrg),
         |g AS (SELECT COUNT(DISTINCT o_orderstatus) AS n_groups FROM orders)
         |SELECT n_groups, m_used, reg_sum,
-        | round(1024.0 * ln(1024.0 / CAST(1024 - m_used AS DOUBLE)), 4) AS est_linear
+        | CASE WHEN m_used < 1024
+        |  THEN round(1024.0 * ln(1024.0 / CAST(1024 - m_used AS DOUBLE)), 4) END AS est_linear
         |FROM s CROSS JOIN g""".stripMargin,
 
+    // DuckDB's arg_max can't order by a STRUCT; the window replay below is
+    // the same lexicographic (acctbal, custkey) extreme Spark's
+    // max_by/min_by-over-struct picks.
     "a_arg_minmax" ->
-      """SELECT c_nationkey,
-        | arg_max(c_custkey, c_acctbal * 10000000 + c_custkey) AS richest_custkey,
-        | arg_min(c_custkey, c_acctbal * 10000000 + c_custkey) AS poorest_custkey,
+      """WITH r AS (SELECT c_nationkey, c_custkey, c_acctbal,
+        |  ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey DESC) rmax,
+        |  ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC) rmin
+        | FROM customer)
+        |SELECT c_nationkey,
+        | MAX(CASE WHEN rmax = 1 THEN c_custkey END) AS richest_custkey,
+        | MAX(CASE WHEN rmin = 1 THEN c_custkey END) AS poorest_custkey,
         | CAST(max(c_acctbal) AS DOUBLE) AS max_acctbal
-        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+        |FROM r GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "a_hll_exact" -> {
       s"""WITH h AS (SELECT CAST(CONCAT('0x', SUBSTR(md5('hll_' || CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
@@ -266,7 +282,8 @@ object AnalyticsQueries {
          |SELECT m_used, reg_sum,
          | round(CAST($AlphaM2 AS DOUBLE)
          |   / ((CAST(1024 - m_used AS DOUBLE) * $Pow250 + CAST(reg_sum AS DOUBLE)) / $Pow250), 4) AS est_raw,
-         | round(1024.0 * ln(1024.0 / CAST(1024 - m_used AS DOUBLE)), 4) AS est_linear,
+         | CASE WHEN m_used < 1024
+         |  THEN round(1024.0 * ln(1024.0 / CAST(1024 - m_used AS DOUBLE)), 4) END AS est_linear,
          | CASE WHEN round(CAST($AlphaM2 AS DOUBLE)
          |   / ((CAST(1024 - m_used AS DOUBLE) * $Pow250 + CAST(reg_sum AS DOUBLE)) / $Pow250), 4) <= 2560.0
          |   AND m_used < 1024

@@ -49,7 +49,8 @@ object SimilarityQueries {
     "emb_neardup_cosine" -> embNeardup,
     "ann_cosine_topk" -> annTopK,
     "ann_lsh_bucket" -> annLshBucket,
-    "ann_ivf" -> annIvf
+    "ann_ivf" -> annIvf,
+    "ann_recall_at_k" -> annRecallAtK
   )
 
   /** documents/embeddings arrive as ONE parquet file at test scale, so a
@@ -282,6 +283,34 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Recall@3 of the two approximate ANN paths against brute-force ground
+    * truth (VERDICT r3 item 7) — grades APPROXIMATION QUALITY, not just
+    * determinism. One row per (method, query): `hits_at_3` ∈ {0..3} exact
+    * integers, oracle-replayable. A bucketing regression that tanks recall
+    * now flips integer counts and fails the hash compare. */
+  private val annRecallAtK: Q = (s, dir) => {
+    import s.implicits._
+    val approx = annLshBucket(s, dir).withColumn("method", lit("lsh"))
+      .unionByName(annIvf(s, dir).withColumn("method", lit("ivf")))
+      .select($"method", $"query_id", $"neighbor_id")
+    val emb = spread(Tables(s, dir, "embeddings"))
+      .select($"vec_id", $"embedding", Vectors.fnorm($"embedding").as("nrm"))
+    val q = emb.filter($"vec_id" < 50 || ($"vec_id" >= 100 && $"vec_id" < 110))
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"nrm".as("nn"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    val truth = broadcast(q).join(n, $"query_id" =!= $"neighbor_id")
+      .withColumn("cos",
+        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id", lit(1).as("hit"))
+    approx.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"method", $"query_id")
+      .agg(coalesce(sum($"hit"), lit(0)).cast("int").as("hits_at_3"))
+      .orderBy($"method", $"query_id")
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracles — each replays the SAME md5-based algorithm in SQL.
   // ---------------------------------------------------------------------
@@ -433,6 +462,54 @@ object SimilarityQueries {
          |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) rank
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
-         |ORDER BY query_id, rank""".stripMargin
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_recall_at_k" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
+         |   ${bucketSql("CAST(embedding AS DOUBLE[])")} bucket FROM embeddings),
+         |lsh_scored AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
+         |   (SELECT $cosineSql FROM (SELECT q.emb ea, n.emb eb)) cos
+         |  FROM e q JOIN e n ON q.bucket = n.bucket AND q.vec_id < 50 AND q.vec_id <> n.vec_id),
+         |lsh AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+         |  FROM lsh_scored) WHERE rank <= 3),
+         |cents AS (SELECT vec_id cent_id, emb ce FROM e WHERE vec_id < $IvfCentroids),
+         |adist AS (SELECT v.vec_id, c.cent_id,
+         |   (SELECT $cosineSql FROM (SELECT v.emb ea, c.ce eb)) ccos
+         |  FROM e v CROSS JOIN cents c),
+         |assign AS (SELECT vec_id, cent_id FROM (
+         |  SELECT vec_id, cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) crank
+         |  FROM adist) WHERE crank = 1),
+         |probes AS (SELECT vec_id query_id, cent_id FROM (
+         |  SELECT vec_id, cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) crank
+         |  FROM adist WHERE vec_id >= 100 AND vec_id < 110) WHERE crank <= $IvfProbe),
+         |ivf_scored AS (SELECT p.query_id, a.vec_id neighbor_id,
+         |   (SELECT $cosineSql FROM (SELECT q.emb ea, n.emb eb)) cos
+         |  FROM probes p JOIN assign a USING (cent_id)
+         |  JOIN e q ON q.vec_id = p.query_id
+         |  JOIN e n ON n.vec_id = a.vec_id
+         |  WHERE p.query_id <> a.vec_id),
+         |ivf AS (SELECT 'ivf' AS method, query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+         |  FROM ivf_scored) WHERE rank <= 3),
+         |approx AS (SELECT * FROM lsh UNION ALL SELECT * FROM ivf),
+         |t_scored AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
+         |   (SELECT $cosineSql FROM (SELECT q.emb ea, n.emb eb)) cos
+         |  FROM e q JOIN e n
+         |  ON (q.vec_id < 50 OR (q.vec_id >= 100 AND q.vec_id < 110)) AND q.vec_id <> n.vec_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+         |  FROM t_scored) WHERE rank <= 3)
+         |SELECT a.method, a.query_id,
+         | CAST(COALESCE(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 END), 0) AS INT) hits_at_3
+         |FROM approx a LEFT JOIN truth t
+         |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY a.method, a.query_id
+         |ORDER BY a.method, a.query_id""".stripMargin
   )
 }

@@ -27,4 +27,17 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(3L -> 3L, 7L -> 3L, 9L -> 3L))
   }
+
+  test("operator releases every cached block before returning (ADVICE r3)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val cc = Components.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst"))
+    assert(cc.count() == 5)
+    // unpersist(blocking=false) is async — bound the wait, don't race it
+    val deadline = System.currentTimeMillis() + 10000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    while (leaked.nonEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty, s"components left cached RDDs behind: $leaked")
+  }
 }

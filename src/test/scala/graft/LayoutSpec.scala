@@ -78,13 +78,15 @@ class LayoutSpec extends SparkSpec {
     // renamed in — only the backup survives.
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.rename(new org.apache.hadoop.fs.Path(dir),
-      new org.apache.hadoop.fs.Path(dir + ".__bak_compact"))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val bak = new org.apache.hadoop.fs.Path(target.getParent,
+      s".${target.getName}.__compact_bak")
+    fs.rename(target, bak)
+    assert(!fs.exists(target))
     // Next compact must first restore the backup, then proceed normally.
     Layout.compact(spark, dir, targetBytes = 1L << 30)
     assert(spark.read.parquet(dir).count() === cnt)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".__bak_compact")))
+    assert(!fs.exists(bak))
   }
 
   test("morton2 interleaves bits exactly") {

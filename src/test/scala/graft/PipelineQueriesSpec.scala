@@ -42,14 +42,22 @@ class PipelineQueriesSpec extends SparkSpec {
     // The physical plan must not contain an uncorrelated-loop subquery node;
     // EXISTS/IN compile to semi joins, the scalar subquery to an aggregate
     // plus outer join.
-    for (name <- Seq("sub_exists", "sub_in", "sub_scalar")) {
+    // ADVICE r3: assert the intended property DIRECTLY — the old disjunction
+    // was satisfied whenever 'InSubquery' was merely absent, i.e. always.
+    for (name <- Seq("sub_exists", "sub_in")) {
       val plan = PipelineQueries.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
-      assert(!plan.contains("Subquery") || name == "sub_scalar" || !plan.contains("InSubquery"),
-        s"$name kept an unplanned subquery:\n$plan")
-      if (name != "sub_scalar")
-        assert(plan.toLowerCase.contains("semi"), s"$name should plan a semi join")
+      assert(plan.contains("LeftSemi"),
+        s"$name must decorrelate to a left-semi join:\n$plan")
+      assert(!plan.contains("InSubqueryExec"),
+        s"$name kept a per-row subquery node:\n$plan")
     }
+    val scalar = PipelineQueries.queries("sub_scalar")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!scalar.contains("InSubqueryExec"),
+      s"sub_scalar kept a per-row subquery node:\n$scalar")
+    assert(scalar.contains("Join") && scalar.contains("HashAggregate"),
+      s"sub_scalar must plan as aggregate + join, not per-row re-execution:\n$scalar")
   }
 
   test("a_regr_fit matches a driver-side least-squares recomputation") {
