@@ -279,6 +279,54 @@ case class ArrayHash60Expr(child: Expression, prefix: String)
     copy(child = c)
 }
 
+/** Rabin–Karp rolling hash over an `array<string>` token column — the
+  * native form of `aggregate(transform(toks, t => hash60(t) % 1e6), 0,
+  * (acc,x) => (acc*31+x) % P)`: one compiled pass, md5 per token, no
+  * interpreted lambdas. Bit-identical to the HOF form (left fold, same
+  * modulus chain); a null token yields null, as null propagates through
+  * the HOF's arithmetic. */
+case class RollingHash60Expr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  // nullable even over a non-null child: a null ELEMENT nulls the result,
+  // and codegen needs a real isNull slot to assign
+  override def nullable: Boolean = true
+  override def prettyName: String = "rolling_hash60"
+
+  /** Public seam for generated code (nullSafeEval is protected). */
+  def compute(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val ref = ctx.addReferenceObj("rollingHash", this, classOf[RollingHash60Expr].getName)
+      s"""
+         |Object r = $ref.compute($x);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) r).longValue(); }
+         |""".stripMargin
+    })
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) return null
+      md.reset()
+      val d = md.digest(toks.getUTF8String(i).toString.getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        d.take(8).map("%02x".format(_)).mkString.take(15), 16) % 1000000L
+      acc = (acc * 31 + h) % HashSketch.MinHashPrime
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(c: Expression): RollingHash60Expr =
+    copy(child = c)
+}
+
 /** Fused dot product of an `array<float>` column with a CONSTANT double[]
   * (LSH hyperplanes): (double)vec[i] · w[i], summed left-to-right — the
   * same arithmetic an engine computing from the md5-derived plane gets. */
@@ -338,4 +386,8 @@ object HashExpr {
   def arrayHash60(arr: Column, prefix: String = ""): Column =
     org.apache.spark.sql.GraftExprBridge.column(
       ArrayHash60Expr(org.apache.spark.sql.GraftExprBridge.expression(arr), prefix))
+
+  def rollingHash60(tokens: Column): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      RollingHash60Expr(org.apache.spark.sql.GraftExprBridge.expression(tokens)))
 }

@@ -27,13 +27,12 @@ object Text {
 
   /** Order-sensitive polynomial rolling hash over the token stream
     * (Rabin–Karp): h ← (h·31 + hash60(token) mod 10^6) mod p. Unlike the
-    * set-based [[fingerprint]], token ORDER changes the value. Sequential
-    * fold — bit-identical in any engine with a left fold. */
+    * set-based [[fingerprint]], token ORDER changes the value. Single
+    * compiled pass ([[RollingHash60Expr]]) — the aggregate/transform HOF
+    * form ran an interpreted lambda per token; same left fold, same
+    * values, bit-identical in any engine. */
   def rollingHash(c: Column): Column =
-    aggregate(
-      transform(tokens(normalized(c)), t => Vectors.hash60(t) % lit(1000000L)),
-      lit(0L),
-      (acc, x) => (acc * 31 + x) % lit(1073741789L))
+    HashExpr.rollingHash60(tokens(normalized(c)))
 
   /** Canonical text: lowercase, whitespace collapsed. */
   def normalized(c: Column): Column =
