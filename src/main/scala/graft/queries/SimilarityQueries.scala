@@ -36,6 +36,9 @@ object SimilarityQueries {
   private val SimhashBands = 4 // 8 bits each over the 32-bit simhash
   private val HammingT = 3
   private val CosineT = 0.45
+  // looser than CosineT: semantic GROUPING wants clusters, not only the
+  // tightest near-dup pairs — 0.3 yields multi-member groups at test SFs
+  private val SemanticT = 0.3
   private val EmbDim = 64
   private val AnnK = 5
   private val LshBits = 4
@@ -50,7 +53,8 @@ object SimilarityQueries {
     "ann_cosine_topk" -> annTopK,
     "ann_lsh_bucket" -> annLshBucket,
     "ann_ivf" -> annIvf,
-    "ann_recall_at_k" -> annRecallAtK
+    "ann_recall_at_k" -> annRecallAtK,
+    "dedup_semantic" -> dedupSemantic
   )
 
   /** documents/embeddings arrive as ONE parquet file at test scale, so a
@@ -283,6 +287,31 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  /** SEMANTIC dedup end to end — the composition a 100 TB training
+    * pipeline actually runs: LSH-bucketed candidate pairs (never all-pairs;
+    * candidates shrink to same-bucket), cosine-threshold verification, and
+    * connected components to turn pairs into duplicate GROUPS with a
+    * canonical (min-id) representative to keep. Every stage is the
+    * already-proven scale path ([[annLshBucket]] bucketing,
+    * [[graft.operators.Components]] label propagation); this key proves
+    * they COMPOSE, oracle-replayed including the recursive-CTE components. */
+  private val dedupSemantic: Q = (s, dir) => {
+    import s.implicits._
+    val emb = spread(Tables(s, dir, "embeddings")).select($"vec_id", $"embedding",
+      Vectors.hyperplaneBucket($"embedding", EmbDim, LshBits, LshSeed).as("bucket"),
+      Vectors.fnorm($"embedding").as("nrm"))
+    val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"), $"bucket", $"nrm".as("na"))
+    val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"), $"bucket", $"nrm".as("nb"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter($"vec_a" < $"vec_b")
+      .filter(Vectors.cosinePrenormed(Vectors.fdot($"ea", $"eb"), $"na", $"nb") >= SemanticT)
+      .select($"vec_a".as("src"), $"vec_b".as("dst"))
+    graft.operators.Components.connectedComponents(pairs)
+      .select($"id".as("vec_id"), $"component".as("group_id"))
+      .withColumn("is_canonical", $"vec_id" === $"group_id")
+      .orderBy($"vec_id")
+  }
+
   /** Recall@3 of the two approximate ANN paths against brute-force ground
     * truth (VERDICT r3 item 7) — grades APPROXIMATION QUALITY, not just
     * determinism. One row per (method, query): `hits_at_3` ∈ {0..3} exact
@@ -463,6 +492,21 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
+         |   ${bucketSql("CAST(embedding AS DOUBLE[])")} bucket FROM embeddings),
+         |pairs AS (SELECT a.vec_id vec_a, b.vec_id vec_b
+         |  FROM (SELECT vec_id, emb ea, bucket FROM e) a
+         |  JOIN (SELECT vec_id, emb eb, bucket FROM e) b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE $cosineSql >= $SemanticT),
+         |edges AS (SELECT vec_a AS s, vec_b AS d FROM pairs
+         |          UNION SELECT vec_b, vec_a FROM pairs),
+         |reach AS (SELECT s AS id, s AS o FROM edges
+         |          UNION SELECT r.id, e2.d FROM reach r JOIN edges e2 ON r.o = e2.s)
+         |SELECT id AS vec_id, MIN(o) AS group_id, id = MIN(o) AS is_canonical
+         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
 
     "ann_recall_at_k" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
