@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, shiftleft}
+import org.apache.spark.sql.functions.{col, lit, shiftleft, when}
 
 /** Physical table layout — partitioned directories and file compaction.
   *
@@ -138,6 +138,37 @@ object Layout {
     df.withColumn("__z", morton2(
         norm(col(cx), s.getLong(0), s.getLong(1)),
         norm(col(cy), s.getLong(2), s.getLong(3))))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Rank-based Z-order — the skewed-column upgrade over
+    * [[writeZOrdered]]'s linear min/max scaling. Each dimension maps to
+    * its approximate QUANTILE bucket before interleaving, so a
+    * heavy-hitter-skewed or long-tailed key still spreads across the
+    * curve: equal ROW mass per curve segment, not equal VALUE range.
+    *
+    * Cut points come from `approxQuantile` (Greenwald–Khanna over a
+    * distributed pass — the same sampling family RangePartitioner uses),
+    * NOT a global rank window: `ntile() OVER (ORDER BY x)` funnels the
+    * whole table through one partition and is exactly the non-scalable
+    * form this method exists to avoid. Bucket assignment is `buckets`
+    * codegen'd comparisons per row against broadcast literal cuts — a
+    * narrow map. Cost: one stats pass per dimension + the range shuffle
+    * every clustered write pays. */
+  def writeZOrderedByRank(df: DataFrame, path: String, cx: String, cy: String,
+                          files: Int = 8, buckets: Int = 64): Unit = {
+    def bucketOf(c: String): Column = {
+      val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+      val cuts = df.stat.approxQuantile(c, probs, 0.001).distinct
+      cuts.foldLeft(lit(0L)) { (acc, cut) =>
+        acc + when(col(c).cast("double") >= cut, 1L).otherwise(0L)
+      }
+    }
+    if (df.isEmpty) { df.write.mode(SaveMode.Overwrite).parquet(path); return }
+    df.withColumn("__z", morton2(bucketOf(cx), bucketOf(cy)))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -89,6 +89,42 @@ class LayoutSpec extends SparkSpec {
     assert(!fs.exists(bak))
   }
 
+  test("rank-based z-order stays clustered under heavy value skew") {
+    import spark.implicits._
+    val base = tmpDir("layout_zrank")
+    // 95% of keys in [0, 1000], 5% outliers at ~1e9: linear min/max
+    // normalization collapses the bulk into bucket 0 and the curve loses
+    // the x dimension; quantile buckets don't care about magnitude.
+    val df = spark.range(0, 20000).select(
+      when($"id" % 20 === 0, $"id" * 50000L + 1000000000L)
+        .otherwise($"id" % 1000L).as("x"),
+      ($"id" % 4096L).as("y"))
+
+    Layout.writeZOrdered(df, s"$base/linear", "x", "y")
+    Layout.writeZOrderedByRank(df, s"$base/rank", "x", "y")
+
+    // files whose min/max straddle the predicate = files a data-skipping
+    // reader must open for WHERE x BETWEEN 100 AND 200 (a range inside one
+    // side of the curve's root split — ranges straddling the median hit
+    // every quadrant on ANY space-filling curve)
+    def filesOverlapping(path: String): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min("x").as("lo"), max("x").as("hi"))
+        .filter(col("lo") <= 200L && col("hi") >= 100L)
+        .count()
+
+    val linear = filesOverlapping(s"$base/linear")
+    val rank = filesOverlapping(s"$base/rank")
+    assert(linear >= 6, s"skew premise broken: linear layout pruned to $linear files")
+    // file boundaries don't align exactly with curve quadrants, so the
+    // honest bound is "meaningfully fewer", not a fixed fraction
+    assert(rank <= 5 && rank < linear,
+      s"rank z-order should prune skewed mid-range scans: rank=$rank linear=$linear")
+    // same rows either way
+    assert(spark.read.parquet(s"$base/rank").count() == 20000)
+  }
+
   test("morton2 interleaves bits exactly") {
     def ref(x: Long, y: Long): Long =
       (0 until 32).foldLeft(0L) { (acc, i) =>
