@@ -66,15 +66,33 @@ object ModelGraph {
     acc.toMap -- sources.keys
   }
 
+  /** Dependency levels: level(m) = 1 + max over deps — models in the same
+    * level are independent by construction. */
+  def levels(models: Seq[Model], sources: Set[String]): Seq[Seq[Model]] = {
+    val lvl = mutable.Map.empty[String, Int] ++ sources.map(_ -> 0)
+    val ordered = topoOrder(models, sources)
+    ordered.foreach(m => lvl(m.name) = 1 + m.deps.map(lvl).max)
+    ordered.groupBy(m => lvl(m.name)).toSeq.sortBy(_._1).map(_._2)
+  }
+
   /** Materialize the graph under `baseDir` honoring each model's
-    * materialization — the `dbt run` analog. */
+    * materialization — the `dbt run` analog.
+    *
+    * Models execute LEVEL-PARALLEL (like `dbt run --threads`): each
+    * dependency level's Table/Incremental writes run as concurrent Spark
+    * jobs, so the scheduler overlaps their stages across the cluster
+    * instead of draining it between sequential small writes. `parallelism`
+    * bounds concurrent jobs per level; results are identical to a
+    * sequential run — same-level models share no edges by construction. */
   def run(spark: SparkSession, models: Seq[Model],
-      sources: Map[String, DataFrame], baseDir: String): Map[String, DataFrame] = {
+      sources: Map[String, DataFrame], baseDir: String,
+      parallelism: Int = 4): Map[String, DataFrame] = {
     val acc = mutable.Map.empty[String, DataFrame] ++ sources
-    topoOrder(models, sources.keySet).foreach { m =>
+
+    def materialize(m: Model, deps: Map[String, DataFrame]): DataFrame = {
       val path = s"$baseDir/${m.name}"
-      val built = m.build(acc.toMap)
-      acc(m.name) = m.materialization match {
+      val built = m.build(deps)
+      m.materialization match {
         case View => built
         case Table =>
           built.write.mode(SaveMode.Overwrite).parquet(path)
@@ -93,6 +111,20 @@ object ModelGraph {
           spark.read.parquet(path)
       }
     }
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      levels(models, sources.keySet).foreach { level =>
+        val snapshot = acc.toMap
+        val built = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(level.map(m =>
+            scala.concurrent.Future(m.name -> materialize(m, snapshot)))),
+          scala.concurrent.duration.Duration.Inf)
+        acc ++= built
+      }
+    } finally pool.shutdown()
     acc.toMap -- sources.keys
   }
 }

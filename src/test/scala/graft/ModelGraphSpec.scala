@@ -61,4 +61,26 @@ class ModelGraphSpec extends SparkSpec {
       .select("order_id").as[Long].collect().sorted.toSeq
     assert(ids == Seq(1L, 2L, 3L, 4L)) // late row 0 filtered, no re-appends
   }
+
+  test("levels group independent models; parallel run matches sequential") {
+    import spark.implicits._
+    // diamond: stg -> (a, b) -> joined
+    val a = Model("a", Seq("stg_orders"),
+      d => d("stg_orders").select($"order_id", $"total"), Table)
+    val b = Model("b", Seq("stg_orders"),
+      d => d("stg_orders").select($"order_id", $"order_date"), Table)
+    val j = Model("j", Seq("a", "b"),
+      d => d("a").join(d("b"), "order_id"), Table)
+    val graph = Seq(staging, a, b, j)
+
+    val lv = ModelGraph.levels(graph, sources.keySet).map(_.map(_.name).toSet)
+    assert(lv == Seq(Set("stg_orders"), Set("a", "b"), Set("j")))
+
+    val par = ModelGraph.run(spark, graph, sources,
+      Files.createTempDirectory("mgpar").toString, parallelism = 4)
+    val seqv = ModelGraph.run(spark, graph, sources,
+      Files.createTempDirectory("mgseq").toString, parallelism = 1)
+    assert(par("j").collect().map(_.toString).sorted.toSeq ==
+      seqv("j").collect().map(_.toString).sorted.toSeq)
+  }
 }
