@@ -52,6 +52,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_bpe_token_count", "_FUNC_(text) - BPE-ish subword chunk count",
       Exactly(1),
       children => exprOf(Text.bpeTokenCount(colOf(children.head))))
+    register(ext, "graft_rolling_hash", "_FUNC_(text) - Rabin-Karp rolling hash of the token stream",
+      Exactly(1),
+      children => exprOf(Text.rollingHash(colOf(children.head))))
+    register(ext, "graft_array_hash60", "_FUNC_(arr) - per-element 60-bit md5 hash of a string array",
+      Exactly(1),
+      children => graft.functions.ArrayHash60Expr(children.head, ""))
   }
 }
 

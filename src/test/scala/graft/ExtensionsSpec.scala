@@ -21,7 +21,9 @@ class ExtensionsSpec extends SparkSpec {
         |  graft_simhash(txt) AS sh,
         |  graft_shingles(txt, 2) AS shingles,
         |  graft_token_count(txt) AS ntok,
-        |  graft_bpe_token_count(txt) AS nbpe
+        |  graft_bpe_token_count(txt) AS nbpe,
+        |  graft_rolling_hash(txt) AS rh,
+        |  graft_array_hash60(split(txt, ' ')) AS ah
         |FROM ext_spec_t ORDER BY id""".stripMargin).collect()
 
     val viaCols = df.select($"id",
@@ -31,7 +33,9 @@ class ExtensionsSpec extends SparkSpec {
       Text.simhash32($"txt").as("sh"),
       Text.shingleSet($"txt", 2).as("shingles"),
       Text.tokenCount($"txt").as("ntok"),
-      Text.bpeTokenCount($"txt").as("nbpe"))
+      Text.bpeTokenCount($"txt").as("nbpe"),
+      Text.rollingHash($"txt").as("rh"),
+      graft.functions.HashExpr.arrayHash60(split($"txt", " ")).as("ah"))
       .orderBy($"id").collect()
 
     assert(viaSql.toSeq == viaCols.toSeq)
