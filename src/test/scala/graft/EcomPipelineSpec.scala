@@ -165,6 +165,52 @@ class EcomPipelineSpec extends SparkSpec {
     assert(failures.isEmpty, s"failing checks: $failures")
   }
 
+  test("intermediate rollups: category/subcategory counts and review denorm") {
+    import spark.implicits._
+    val ce = out("categories_enriched")
+    val e = ce.filter($"category_id" === "1").head()
+    assert(e.getAs[Long]("subcategory_count") == 1 && e.getAs[Long]("product_count") == 1)
+    val se = out("subcategories_enriched").filter($"subcategory_id" === "101").head()
+    assert(se.getAs[Long]("product_count") == 1)
+    val re = out("reviews_enriched")
+    val r2 = re.filter($"review_id" === "R2").head()
+    assert(r2.getAs[String]("product_name") == "Widget")
+    assert(r2.getAs[String]("category_name") == "Electronics")
+    assert(r2.getAs[String]("brand_name") == "Acme Corp") // TRIM'd join
+    val ci = out("customer_interactions").head()
+    assert(ci.getAs[String]("category_id") == "1") // product annotation
+  }
+
+  test("new marts: dim denorms, date spine, per-order fct grain") {
+    import spark.implicits._
+    val dp = out("dim_products").filter($"product_id" === "P1").head()
+    assert(dp.getAs[String]("category_name") == "Electronics")
+    assert(dp.getAs[String]("subcategory_name") == "Phones")
+    assert(dp.getAs[String]("brand_name") == "Acme Corp")
+    val dc = out("dim_categories").filter($"category_id" === "1").head()
+    assert(dc.getAs[String]("subcategories") == "Phones") // LISTAGG port
+    assert(out("dim_locations").count() == 2) // Berlin + Munich, deduped
+    // spine: 3 order dates + 1 interaction date, DOW Sunday=0
+    val dd = out("dim_dates")
+    assert(dd.count() == 4)
+    val d = dd.filter($"date_day" === java.sql.Timestamp.valueOf("2024-12-01 10:00:00")).head()
+    assert(d.getAs[Int]("day_of_week") == 0) // 2024-12-01 was a Sunday
+    // per-order grain with the reference's reviews fan-out kept
+    val fco = out("fct_customer_orders")
+    assert(fco.count() == 3)
+    val o1 = fco.filter($"order_id" === "O1").head()
+    assert(o1.getAs[Long]("unique_products") == 2)
+    // reviews join on order_id ALONE (reference :17): O1's 2 items × its 3
+    // reviews (R1,R2,R3) = 6 joined rows, sum(quantity) = (2+1)·3 = 9 —
+    // the reference's fan-out, ported as written
+    assert(o1.getAs[Long]("total_items") == 9)
+    val fod = out("fct_order_details")
+    assert(fod.filter($"order_id" === "O1").count() >= 2)
+    assert(fod.filter($"shipping_address".isNotNull).count() == 0) // quirk survives
+    val fpi = out("fct_product_interactions").head()
+    assert(fpi.getAs[Long]("views") == 1 && fpi.getAs[Long]("unique_customers") == 1)
+  }
+
   test("materialized run writes tables and keeps views lazy") {
     val dir = java.nio.file.Files.createTempDirectory("ecom").toString
     val res = ModelGraph.run(spark, Ecom.models(now, today), raw, dir)
