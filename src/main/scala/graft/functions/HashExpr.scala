@@ -327,6 +327,46 @@ case class RollingHash60Expr(child: Expression)
     copy(child = c)
 }
 
+/** Occurrence count of a CONSTANT string set in an `array<string>` column —
+  * the native form of `size(filter(toks, t => array_contains(lit_set, t)))`.
+  * The HOF runs an interpreted lambda per token; this is one compiled loop
+  * over a hash set. Counts OCCURRENCES (array_intersect would dedup). */
+case class CountInSetExpr(child: Expression, values: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_in_set"
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    values.foreach(s.add)
+    s
+  }
+
+  /** Public seam for generated code (nullSafeEval is protected). */
+  def compute(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val ref = ctx.addReferenceObj("countInSet", this, classOf[CountInSetExpr].getName)
+      s"${ev.value} = ((java.lang.Integer) $ref.compute($x)).intValue();"
+    })
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i).toString)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def withNewChildInternal(c: Expression): CountInSetExpr =
+    copy(child = c)
+}
+
 /** Fused dot product of an `array<float>` column with a CONSTANT double[]
   * (LSH hyperplanes): (double)vec[i] · w[i], summed left-to-right — the
   * same arithmetic an engine computing from the md5-derived plane gets. */
@@ -390,4 +430,8 @@ object HashExpr {
   def rollingHash60(tokens: Column): Column =
     org.apache.spark.sql.GraftExprBridge.column(
       RollingHash60Expr(org.apache.spark.sql.GraftExprBridge.expression(tokens)))
+
+  def countInSet(arr: Column, values: Seq[String]): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      CountInSetExpr(org.apache.spark.sql.GraftExprBridge.expression(arr), values))
 }

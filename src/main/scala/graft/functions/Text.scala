@@ -107,8 +107,7 @@ object Text {
     length(c) - length(regexp_replace(c, "[.,!?;:]", ""))
 
   def stopwordCount(c: Column): Column =
-    size(filter(tokens(normalized(c)),
-      t => array_contains(array(stopwords.map(lit): _*), t)))
+    HashExpr.countInSet(tokens(normalized(c)), stopwords)
 
   /** Mean token length (double; identical IEEE ops on both engines). */
   def avgTokenLen(c: Column): Column = {

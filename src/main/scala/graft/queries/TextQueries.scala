@@ -89,9 +89,9 @@ object TextQueries {
         Text.tokenCount($"text").as("n_tokens"),
         round(Text.avgTokenLen($"text"), 6).as("avg_token_len"),
         Text.punctCount($"text").as("n_punct"),
-        Text.stopwordCount($"text").as("n_stopwords"),
-        round(Text.stopwordCount($"text").cast("double") / Text.tokenCount($"text"), 6)
-          .as("stopword_ratio"))
+        Text.stopwordCount($"text").as("n_stopwords"))
+      .withColumn("stopword_ratio",
+        round($"n_stopwords".cast("double") / $"n_tokens", 6))
       .withColumn("quality_band",
         when($"n_tokens" < 20, lit("short"))
           .when($"stopword_ratio" > 0.2, lit("boilerplate"))
