@@ -32,6 +32,13 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (8 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Bound plan-tree stringification (default ~2 GB): Dataset.persist
+      // computes the cache entry's NAME by toString-ing the whole physical
+      // plan, and a deep-lineage plan carrying constant-heavy expressions
+      // (e.g. unions over LSH hyperplane dots) turns that into minutes of
+      // driver CPU before any work starts. 64 KB keeps explain output
+      // useful and makes every toString O(1)-ish.
+      .config("spark.sql.maxPlanStringLength", (64 * 1024).toString)
       // events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type, so
       // read as long and convert to micros in Tables (truncation matches
       // DuckDB's nanos→micros cast).

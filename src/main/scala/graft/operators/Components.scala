@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Connected components over an edge list — the dedup-clustering step that
   * turns near-duplicate PAIRS (MinHash/SimHash/Jaccard output) into
@@ -17,26 +16,32 @@ import org.apache.spark.storage.StorageLevel
   * so the loop is short; each round is one join + one min-aggregate —
   * shuffle-bounded, no driver-side graph state.
   *
-  * Iterative-DataFrame mechanics that matter at scale:
-  *  - labels are persisted per round and the previous round unpersisted,
-  *    otherwise the lineage doubles every iteration and round k replays
-  *    all k-1 predecessors;
-  *  - the convergence probe is `limit(1).count` on the changed-rows join —
-  *    it stops at the first change instead of counting them all.
+  * Iterative-DataFrame mechanics that matter at scale — each generation is
+  * SPILLED TO PARQUET and read back as a leaf plan, not persist()ed:
+  *  - lineage is cut every round, so round k never replays (or even
+  *    re-PRINTS) rounds 0..k-1. With persist(), each generation's plan
+  *    nests the previous generation's cached plan; anything that renders
+  *    the tree (Dataset.persist itself computes the cache entry's name
+  *    from plan.toString) walks that nesting — measured MINUTES of driver
+  *    CPU by round ~5 over a constant-heavy LSH edge plan, before any
+  *    executor work;
+  *  - zero cached blocks are ever held (asserted in ComponentsSpec) — the
+  *    operator leaves only its final parquet labeling behind;
+  *  - the convergence probe is `limit(1).count` on the changed-rows filter
+  *    of the freshly written generation — it stops at the first change
+  *    instead of counting them all.
   */
 object Components {
 
   /** @param edges DataFrame with two id columns (undirected edges)
-    * @param scratchDir where the final labeling is checkpointed (parquet).
-    *        Defaults to a JVM temp dir — fine on local mode; on a cluster
-    *        pass a shared-filesystem path. The checkpoint is what lets this
-    *        function release EVERY cached block before returning (ADVICE
-    *        r3: the old contract handed back a persisted frame that library
-    *        callers leaked until the context cleaner ran) while still
-    *        returning a cheap, lineage-free flat scan.
+    * @param scratchDir where edge/generation parquet spills live. Defaults
+    *        to a JVM temp dir — fine on local mode; on a cluster pass a
+    *        shared-filesystem path.
     * @return (id, component) — component = min id reachable; only ids that
     *         appear in `edges` are labeled (isolated vertices are the
     *         complement of the edge set; callers union them if needed).
+    *         Backed by a flat parquet scan: no lineage into the iteration,
+    *         no retained cache.
     * @throws IllegalStateException if the labels have not converged after
     *         `maxIterations` rounds — a partially-propagated labeling would
     *         silently violate the min-id contract on graphs whose diameter
@@ -45,17 +50,31 @@ object Components {
   def connectedComponents(edges: DataFrame, src: String = "src",
       dst: String = "dst", maxIterations: Int = 20,
       scratchDir: Option[String] = None): DataFrame = {
-    // No .distinct() on sym and no distinct initial-label build: duplicate
-    // edges/ids are absorbed by the min-aggregate each round anyway, and the
-    // two distincts were one to two extra shuffle stages materialized in the
-    // first round (measured: round 0 was 5-8x the cost of later rounds, all
-    // setup). sym persists narrow (union is partition-local).
-    val sym = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
-      .union(edges.select(col(dst).cast("long").as("src"), col(src).cast("long").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = edges.sparkSession
+    val scratch = scratchDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_cc_").toString)
+    def spill(df: DataFrame, name: String): DataFrame = {
+      df.write.mode(SaveMode.Overwrite).parquet(s"$scratch/$name")
+      spark.read.parquet(s"$scratch/$name")
+    }
+    def drop(name: String): Unit =
+      org.apache.hadoop.fs.FileSystem
+        .get(new java.net.URI(s"$scratch/$name"), spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(s"$scratch/$name"), true)
+
+    // The (possibly expensive) edge plan — LSH bucket joins, cosine
+    // verification — executes exactly ONCE, into the sym spill; every round
+    // reads the flat file. No .distinct(): duplicate edges/ids are absorbed
+    // by the min-aggregate each round, and a distinct would be an extra
+    // shuffle of the biggest intermediate.
+    val sym = spill(
+      edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+        .union(edges.select(col(dst).cast("long").as("src"), col(src).cast("long").as("dst"))),
+      "sym")
+
     // labels carries (id, component, prev): prev = the component this id had
     // at the START of the round that produced the row. Folding prev into the
-    // min-aggregate lets the convergence probe be a filter on the persisted
+    // min-aggregate lets the convergence probe be a filter on the spilled
     // result instead of a join back against the previous generation —
     // one shuffle per round instead of two. The initial generation may hold
     // duplicate ids (one per incident edge); round 0's groupBy collapses
@@ -70,34 +89,26 @@ object Components {
         .select(col("dst").as("id"), col("component"), lit(null).cast("long").as("self"))
       // Each id appears exactly once in `self`, so min("self") (nulls
       // ignored) recovers the round-start label alongside the new min.
-      val next = self.union(prop)
-        .groupBy("id").agg(min("component").as("component"), min("self").as("prev"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
       val t0 = System.nanoTime()
+      val next = spill(
+        self.union(prop)
+          .groupBy("id").agg(min("component").as("component"), min("self").as("prev")),
+        s"gen_$i")
       val changed = next.filter(col("component") < col("prev")).limit(1).count()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(f"[cc] round $i: ${(System.nanoTime() - t0) / 1e9}%.2fs changed=$changed")
-      labels.unpersist(blocking = false)
+      if (i > 0) drop(s"gen_${i - 1}")
       labels = next
       converged = changed == 0L
       i += 1
     }
-    sym.unpersist(blocking = false)
-    if (!converged) {
-      labels.unpersist(blocking = false)
+    if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIterations iterations; " +
           "graph diameter exceeds the cap — raise maxIterations")
-    }
-    // checkpoint-and-release: distributed parquet write of the (small)
-    // labeling, then drop the last cached generation. Callers get a flat
-    // scan with no lineage back into the iteration and the operator leaves
-    // zero retained blocks behind (asserted in ComponentsSpec).
-    val out = scratchDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_cc_").toString) + "/components"
-    labels.select("id", "component")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
-    labels.unpersist(blocking = false)
-    edges.sparkSession.read.parquet(out)
+    val out = spill(labels.select("id", "component"), "components")
+    drop("sym")
+    drop(s"gen_${i - 1}")
+    out
   }
 }

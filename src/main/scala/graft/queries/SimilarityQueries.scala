@@ -306,7 +306,9 @@ object SimilarityQueries {
       .filter($"vec_a" < $"vec_b")
       .filter(Vectors.cosinePrenormed(Vectors.fdot($"ea", $"eb"), $"na", $"nb") >= SemanticT)
       .select($"vec_a".as("src"), $"vec_b".as("dst"))
-    graft.operators.Components.connectedComponents(pairs)
+    // loose-threshold semantic graphs chain: diameter ~15 measured at
+    // sf0.1, so give propagation headroom over the default cap
+    graft.operators.Components.connectedComponents(pairs, maxIterations = 60)
       .select($"id".as("vec_id"), $"component".as("group_id"))
       .withColumn("is_canonical", $"vec_id" === $"group_id")
       .orderBy($"vec_id")
