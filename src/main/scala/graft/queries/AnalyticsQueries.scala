@@ -113,7 +113,14 @@ object AnalyticsQueries {
     * from exact decimal/integer power sums, converted to double only in the
     * final closed-form formulas. Built-in stddev/corr merge partial states
     * in partition order (float, nondeterministic across engines/runs);
-    * exact sums are order-free, so this matches any engine bit-for-bit. */
+    * exact sums are order-free, so this matches any engine bit-for-bit.
+    *
+    * Oracle-side subtlety: once a sum's unscaled value exceeds 2^53,
+    * DuckDB's direct DECIMAL→DOUBLE cast double-rounds (int128→double,
+    * then ÷10^scale) while Spark's BigDecimal path rounds once — a
+    * last-ulp divergence that surfaced at sf0.1 on the x² sum. The oracle
+    * therefore converts via VARCHAR (strtod: correctly rounded, same as
+    * Java) so both engines make ONE rounding from the same exact decimal. */
   private val aStatsMoments: Q = (s, dir) => {
     import s.implicits._
     Tables(s, dir, "orders")
@@ -296,19 +303,18 @@ object AnalyticsQueries {
     "a_stats_moments" ->
       """WITH sums AS (
         | SELECT o_orderstatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sx,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sxx,
-        |  SUM(o_custkey) AS sy,
-        |  SUM(o_custkey * o_custkey) AS syy,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * o_custkey) AS DECIMAL(38,2)) AS sxy
+        |  CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(SUM(o_custkey) AS DOUBLE) AS sy,
+        |  CAST(SUM(o_custkey * o_custkey) AS DOUBLE) AS syy,
+        |  CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * o_custkey) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sxy
         | FROM orders GROUP BY 1)
         |SELECT o_orderstatus, n,
-        | CAST(sx AS DOUBLE) / n AS mean_price,
-        | (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS var_price,
-        | sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) AS std_price,
-        | (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-        |  / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-        |         * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS corr_price_cust
+        | sx / n AS mean_price,
+        | (sxx - sx * sx / n) / (n - 1) AS var_price,
+        | sqrt((sxx - sx * sx / n) / (n - 1)) AS std_price,
+        | (sxy - sx * sy / n)
+        |  / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_price_cust
         |FROM sums ORDER BY o_orderstatus""".stripMargin,
 
     "agg_rollup" ->
