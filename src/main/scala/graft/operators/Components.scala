@@ -90,9 +90,22 @@ object Components {
       // Each id appears exactly once in `self`, so min("self") (nulls
       // ignored) recovers the round-start label alongside the new min.
       val t0 = System.nanoTime()
+      val hopped = self.union(prop)
+        .groupBy("id").agg(min("component").as("component"), min("self").as("prev"))
+      // POINTER JUMP (label doubling): follow each row's label to that
+      // vertex's OWN label and keep the smaller — labels now travel 2^k
+      // hops after k rounds, so convergence is O(log diameter) rounds, not
+      // O(diameter). A chain that took 16 edge-propagation rounds closes in
+      // 5. Invariant-safe: every label is a vertex id present in `hopped`,
+      // and labels only ever decrease. Costs one extra self-join shuffle
+      // per round and saves ~3× the rounds.
+      val jump = hopped.select(col("id").as("j_id"), col("component").as("j_label"))
       val next = spill(
-        self.union(prop)
-          .groupBy("id").agg(min("component").as("component"), min("self").as("prev")),
+        hopped.join(jump, col("component") === col("j_id"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("j_label"), col("component")))
+              .as("component"),
+            col("prev")),
         s"gen_$i")
       val changed = next.filter(col("component") < col("prev")).limit(1).count()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
