@@ -176,16 +176,19 @@ object EcomFixture {
       "raw_interactions" -> rawInteractions)
   }
 
-  // One materialized medallion run per (JVM, sf dir): Table/Incremental
+  // One materialized medallion run per (session, sf dir): Table/Incremental
   // models land in a temp dir once; every ecom_* query then reads flat
   // mart scans instead of re-deriving the 30+-model Catalyst plan.
+  // Keyed by the SparkSession too — a stop/recreate in the same JVM must
+  // not hand back DataFrames bound to the dead session.
   // Synchronized compute-once — Verify fans queries across threads.
-  private val cache = scala.collection.mutable.Map.empty[String, Map[String, DataFrame]]
+  private val cache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), Map[String, DataFrame]]
 
   /** All model outputs (staging → marts), materialized via ModelGraph.run. */
   def marts(spark: SparkSession, dir: String): Map[String, DataFrame] =
     cache.synchronized {
-      cache.getOrElseUpdate(dir, {
+      cache.getOrElseUpdate((spark, dir), {
         val out = java.nio.file.Files.createTempDirectory("graft_ecom_").toString
         ModelGraph.run(spark, Ecom.models(now, today), raw(spark, dir), out)
       })

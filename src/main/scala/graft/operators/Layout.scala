@@ -40,6 +40,9 @@ object Layout {
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val target = new Path(dir)
+    // getParent is null only for a filesystem root — compacting / would
+    // also mean siblings don't exist; refuse loudly instead of NPEing.
+    require(target.getParent != null, s"cannot compact a filesystem root: $dir")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // dot-prefixed LEAF names: Spark's partition discovery ignores hidden
     // directories, so a compaction racing a reader of the table root can't
@@ -47,13 +50,21 @@ object Layout {
     // and compactPartitioned's census below skips them structurally.
     val tmp = new Path(target.getParent, s".${target.getName}.__compact_tmp")
     val bak = new Path(target.getParent, s".${target.getName}.__compact_bak")
+    // Leftovers from the pre-r4 naming scheme ('<dir>.__tmp_compact' /
+    // '<dir>.__bak_compact', non-hidden siblings): a compaction that
+    // crashed before the upgrade must still be recovered, not stranded.
+    val legacyTmp = new Path(dir + ".__tmp_compact")
+    val legacyBak = new Path(dir + ".__bak_compact")
     // Crash recovery FIRST — after a crash between the two swap renames the
     // target may not exist at all, and only then is the file census valid.
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    if (fs.exists(bak)) {
-      if (!fs.exists(target))
-        require(fs.rename(bak, target), s"failed to restore backup $bak")
-      else fs.delete(bak, true)
+    if (fs.exists(legacyTmp)) fs.delete(legacyTmp, true)
+    Seq(bak, legacyBak).foreach { b =>
+      if (fs.exists(b)) {
+        if (!fs.exists(target))
+          require(fs.rename(b, target), s"failed to restore backup $b")
+        else fs.delete(b, true)
+      }
     }
 
     val parts = leafParquetFiles(fs, target)

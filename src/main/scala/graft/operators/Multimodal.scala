@@ -36,7 +36,9 @@ object Multimodal {
   /** Byte-budget repartition: media payloads are heavy, so partition count
     * derives from total bytes, not rows. */
   def repartitionForMedia(df: DataFrame, targetBytesPerPartition: Long = 128L << 20): DataFrame = {
-    val totalBytes = df.agg(sum(length(col("content")))).head().getLong(0)
+    // coalesce: sum over zero rows is NULL — an empty media frame sizes to 0
+    val totalBytes = df.agg(coalesce(sum(length(col("content"))), lit(0L)))
+      .head().getLong(0)
     val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
     df.repartition(parts, col("media_id"))
   }

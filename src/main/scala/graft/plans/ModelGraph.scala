@@ -71,9 +71,23 @@ object ModelGraph {
   def levels(models: Seq[Model], sources: Set[String]): Seq[Seq[Model]] = {
     val lvl = mutable.Map.empty[String, Int] ++ sources.map(_ -> 0)
     val ordered = topoOrder(models, sources)
-    ordered.foreach(m => lvl(m.name) = 1 + m.deps.map(lvl).max)
+    // foldLeft, not .max: a source-free model (empty deps — valid input,
+    // e.g. a seed/constant table) sits at level 1, not in an exception.
+    ordered.foreach(m => lvl(m.name) = 1 + m.deps.map(lvl).foldLeft(0)(math.max))
     ordered.groupBy(m => lvl(m.name)).toSeq.sortBy(_._1).map(_._2)
   }
+
+  /** Incremental bootstrap probe. Only genuine absence returns false; a
+    * transient FS/permission error (or an OOM) must NOT be silently read
+    * as "table missing" and trigger a full Overwrite where an append was
+    * intended — anything but AnalysisException/FileNotFoundException
+    * propagates. */
+  private[graft] def tableExists(spark: SparkSession, path: String): Boolean =
+    try { spark.read.parquet(path).limit(1).count() >= 0 }
+    catch {
+      case _: org.apache.spark.sql.AnalysisException |
+           _: java.io.FileNotFoundException => false
+    }
 
   /** Materialize the graph under `baseDir` honoring each model's
     * materialization — the `dbt run` analog.
@@ -98,9 +112,7 @@ object ModelGraph {
           built.write.mode(SaveMode.Overwrite).parquet(path)
           spark.read.parquet(path)
         case Incremental(wm) =>
-          val exists = try { spark.read.parquet(path).limit(1).count() >= 0 }
-            catch { case _: Throwable => false }
-          if (!exists) { // first run bootstraps the full build (SURVEY §7.4 #5)
+          if (!tableExists(spark, path)) { // first run bootstraps the full build (SURVEY §7.4 #5)
             built.write.mode(SaveMode.Overwrite).parquet(path)
           } else {
             val watermark = spark.read.parquet(path).agg(max(col(wm)).as("wm"))

@@ -62,6 +62,19 @@ class ModelGraphSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L, 4L)) // late row 0 filtered, no re-appends
   }
 
+  test("incremental probe: absence bootstraps, corrupt data rethrows") {
+    val dir = Files.createTempDirectory("mgprobe").toString
+    // genuine absence → false → bootstrap is the right call
+    assert(!ModelGraph.tableExists(spark, s"$dir/missing"))
+    // a path that EXISTS but fails to read is NOT absence: silently
+    // treating it as missing would Overwrite (destroy) data an append
+    // was intended for — the error must propagate to the caller
+    new java.io.File(s"$dir/tbl").mkdirs()
+    Files.write(java.nio.file.Paths.get(s"$dir/tbl/part-0.parquet"),
+      "definitely not parquet".getBytes)
+    intercept[Exception](ModelGraph.tableExists(spark, s"$dir/tbl"))
+  }
+
   test("levels group independent models; parallel run matches sequential") {
     import spark.implicits._
     // diamond: stg -> (a, b) -> joined

@@ -52,4 +52,10 @@ class MultimodalSpec extends SparkSpec {
     val df = Multimodal.repartitionForMedia(mediaDf, targetBytesPerPartition = 200)
     assert(df.rdd.getNumPartitions == 2) // 480 bytes total / 200 → 2
   }
+
+  test("repartitionForMedia handles an empty frame (sum over zero rows is null)") {
+    val empty = mediaDf.filter(col("media_id") < 0)
+    val df = Multimodal.repartitionForMedia(empty, targetBytesPerPartition = 200)
+    assert(df.rdd.getNumPartitions == 1 && df.count() == 0)
+  }
 }
