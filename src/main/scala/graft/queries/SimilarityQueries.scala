@@ -23,7 +23,10 @@ import graft.functions.{HashSketch, Text, Vectors}
   *    pair within distance 3 shares at least one intact band, so the
   *    band-join loses nothing while avoiding the n² compare;
   *  - ANN brute force is the correctness baseline; the hyperplane-LSH
-  *    variant shrinks the candidate set to one bucket (tunable bits).
+  *    variant shrinks the candidate set to one bucket, with the bit count
+  *    derived from corpus size ([[lshBitsFor]]) so bucket size — and with
+  *    it per-query cost and pair-generation cost — stays constant as the
+  *    corpus grows.
   */
 object SimilarityQueries {
 
@@ -41,8 +44,26 @@ object SimilarityQueries {
   private val SemanticT = 0.3
   private val EmbDim = 64
   private val AnnK = 5
-  private val LshBits = 4
   private val LshSeed = 7
+  // Scale-aware hyperplane-LSH width (VERDICT r4 #1): a FIXED bit count
+  // makes same-bucket pair generation ~n²/2^bits — invisible at test SFs,
+  // quadratic (fatal) at 100×. Instead the bucket count tracks the corpus:
+  // bits = smallest b with 2^b · targetBucket ≥ n, so expected bucket size
+  // stays ~targetBucket and pair work is O(n · targetBucket) — LINEAR in n.
+  private val LshTargetBucket = 128L
+  private val LshBitsMin = 2 // floor: tiny corpora still split once or twice
+  private val LshBitsMax = 16 // 65k buckets; lift with corpus growth beyond 8M docs
+  /** Pure integer ladder — no float log2 — so the DuckDB oracle replays the
+    * derivation bit-for-bit (`bitsCte` below is the same MIN-over-range). */
+  private[graft] def lshBitsFor(n: Long): Int =
+    (LshBitsMin to LshBitsMax)
+      .find(b => (1L << b) * LshTargetBucket >= n).getOrElse(LshBitsMax)
+
+  // one count() per sf dir per JVM — the probe is parquet-metadata cheap,
+  // but Verify fans 10 similarity queries over the same dir concurrently
+  private val bitsCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def lshBits(s: SparkSession, dir: String): Int =
+    bitsCache.getOrElseUpdate(dir, lshBitsFor(Tables(s, dir, "embeddings").count()))
 
   def queries: Map[String, Q] = Map(
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -218,12 +239,13 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rank")
   }
 
-  /** LSH-bucketed ANN — the scale path: 4 hyperplane bits → 16 buckets;
+  /** LSH-bucketed ANN — the scale path: corpus-derived hyperplane bits
+    * ([[lshBitsFor]]) keep bucket size ~[[LshTargetBucket]] at any n;
     * neighbors are ranked only within the query's bucket. */
   private val annLshBucket: Q = (s, dir) => {
     import s.implicits._
     val emb = spread(Tables(s, dir, "embeddings")).select($"vec_id", $"embedding",
-      Vectors.hyperplaneBucket($"embedding", EmbDim, LshBits, LshSeed).as("bucket"),
+      Vectors.hyperplaneBucket($"embedding", EmbDim, lshBits(s, dir), LshSeed).as("bucket"),
       Vectors.fnorm($"embedding").as("nrm"))
     val q = emb.filter($"vec_id" < 50)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket", $"nrm".as("qn"))
@@ -298,7 +320,7 @@ object SimilarityQueries {
   private val dedupSemantic: Q = (s, dir) => {
     import s.implicits._
     val emb = spread(Tables(s, dir, "embeddings")).select($"vec_id", $"embedding",
-      Vectors.hyperplaneBucket($"embedding", EmbDim, LshBits, LshSeed).as("bucket"),
+      Vectors.hyperplaneBucket($"embedding", EmbDim, lshBits(s, dir), LshSeed).as("bucket"),
       Vectors.fnorm($"embedding").as("nrm"))
     val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"), $"bucket", $"nrm".as("na"))
     val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"), $"bucket", $"nrm".as("nb"))
@@ -375,10 +397,20 @@ object SimilarityQueries {
   private def planeDotSql(vec: String, seed: String): String =
     s"list_sum([$vec[i + 1] * ${planeSql(seed, "i")} FOR i IN range(0, $EmbDim)])"
 
+  /** CTEs deriving the scale-aware bit count — same integer MIN-over-range
+    * ladder as [[lshBitsFor]]. Prepend to any oracle using [[bucketSql]];
+    * the `e` CTE must add `, bits` to its FROM. */
+  private val bitsCte =
+    s"""nb AS (SELECT COUNT(*) n FROM embeddings),
+       |bits AS (SELECT COALESCE((SELECT MIN(b)
+       |  FROM range($LshBitsMin, ${LshBitsMax + 1}) t(b), nb
+       |  WHERE (1::BIGINT << b) * $LshTargetBucket >= nb.n), $LshBitsMax) bits)""".stripMargin
+
+  /** Bucket key over `bits` (a column from [[bitsCte]]) hyperplanes —
+    * replays Vectors.hyperplaneBucket with seed 7000 + b. */
   private def bucketSql(vec: String): String =
-    (0 until LshBits).map { b =>
-      s"(CASE WHEN ${planeDotSql(vec, (LshSeed * 1000 + b).toString)} >= 0 THEN '1' ELSE '0' END)"
-    }.mkString("CONCAT(", ", ", ")")
+    s"""array_to_string([CASE WHEN ${planeDotSql(vec, s"${LshSeed * 1000} + b")} >= 0
+       |  THEN '1' ELSE '0' END FOR b IN range(0, bits)], '')""".stripMargin
 
   private val cosineSql =
     s"""list_sum([ea[i + 1] * eb[i + 1] FOR i IN range(0, $EmbDim)])
@@ -484,8 +516,9 @@ object SimilarityQueries {
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "ann_lsh_bucket" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
-         |   ${bucketSql("CAST(embedding AS DOUBLE[])")} bucket FROM embeddings),
+      s"""WITH $bitsCte,
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
+         |   ${bucketSql("CAST(embedding AS DOUBLE[])")} bucket FROM embeddings, bits),
          |scored AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
          |   (SELECT $cosineSql FROM (SELECT q.emb ea, n.emb eb)) cos
          |  FROM e q JOIN e n ON q.bucket = n.bucket AND q.vec_id < 50 AND q.vec_id <> n.vec_id),
@@ -496,8 +529,9 @@ object SimilarityQueries {
          |ORDER BY query_id, rank""".stripMargin,
 
     "dedup_semantic" ->
-      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
-         |   ${bucketSql("CAST(embedding AS DOUBLE[])")} bucket FROM embeddings),
+      s"""WITH RECURSIVE $bitsCte,
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
+         |   ${bucketSql("CAST(embedding AS DOUBLE[])")} bucket FROM embeddings, bits),
          |pairs AS (SELECT a.vec_id vec_a, b.vec_id vec_b
          |  FROM (SELECT vec_id, emb ea, bucket FROM e) a
          |  JOIN (SELECT vec_id, emb eb, bucket FROM e) b
@@ -511,8 +545,9 @@ object SimilarityQueries {
          |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
 
     "ann_recall_at_k" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
-         |   ${bucketSql("CAST(embedding AS DOUBLE[])")} bucket FROM embeddings),
+      s"""WITH $bitsCte,
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
+         |   ${bucketSql("CAST(embedding AS DOUBLE[])")} bucket FROM embeddings, bits),
          |lsh_scored AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
          |   (SELECT $cosineSql FROM (SELECT q.emb ea, n.emb eb)) cos
          |  FROM e q JOIN e n ON q.bucket = n.bucket AND q.vec_id < 50 AND q.vec_id <> n.vec_id),

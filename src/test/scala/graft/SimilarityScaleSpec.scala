@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+import graft.queries.SimilarityQueries
+
+/** Scale contract of the corpus-derived LSH width (VERDICT r4 #1): with
+  * bits = f(n), same-bucket candidate-pair count must grow ~linearly with
+  * the corpus, not quadratically the way any fixed bucket count does.
+  */
+class SimilarityScaleSpec extends SparkSpec {
+
+  // must match SimilarityQueries' private constants
+  private val EmbDim = 64
+  private val LshSeed = 7
+
+  test("lshBitsFor ladder: target-bucket sizing, floored and capped") {
+    assert(SimilarityQueries.lshBitsFor(1) == 2) // floor
+    assert(SimilarityQueries.lshBitsFor(500) == 2) // 4 * 128 = 512 >= 500
+    assert(SimilarityQueries.lshBitsFor(513) == 3)
+    assert(SimilarityQueries.lshBitsFor(2000) == 4) // 16 * 128 = 2048
+    assert(SimilarityQueries.lshBitsFor(Long.MaxValue) == 16) // cap
+    // monotone: more docs never means fewer buckets
+    val ns = Seq(1L, 100L, 512L, 513L, 2048L, 2049L, 1000000L)
+    assert(ns.map(SimilarityQueries.lshBitsFor) == ns.map(SimilarityQueries.lshBitsFor).sorted)
+  }
+
+  /** (n, derived bits, Σ per-bucket k·(k−1)/2) for one sf dir. */
+  private def candidatePairs(dir: String): (Long, Int, Long) = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    val bits = SimilarityQueries.lshBitsFor(n)
+    val pairSum = emb
+      .select(Vectors.hyperplaneBucket(col("embedding"), EmbDim, bits, LshSeed).as("bucket"))
+      .groupBy("bucket").count()
+      .agg(sum(expr("count * (count - 1) DIV 2")).as("pairs"))
+      .head().getLong(0)
+    (n, bits, pairSum)
+  }
+
+  test("candidate pairs grow ~linearly from sf0.01 to sf0.1 (derived bits differ)") {
+    val (n1, bits1, pairs1) = candidatePairs("/root/testdata/sf0.01")
+    val (n2, bits2, pairs2) = candidatePairs("/root/testdata/sf0.1")
+    assert(n2 > n1)
+    assert(bits2 > bits1, "a larger corpus must derive a wider LSH key")
+    val nRatio = n2.toDouble / n1
+    val pairRatio = pairs2.toDouble / pairs1
+    // linear-with-slack: fixed bits would make this ~nRatio² (16x for 4x n);
+    // derived bits keep expected bucket size constant, so pairs track n.
+    assert(pairRatio <= 2.0 * nRatio,
+      s"candidate pairs grew ${pairRatio}x for ${nRatio}x docs — quadratic blowup")
+  }
+}
