@@ -33,9 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_fingerprint", "_FUNC_(text) - md5 fingerprint of normalized text",
       Exactly(1),
       children => exprOf(Text.fingerprint(colOf(children.head))))
-    register(ext, "graft_simhash", "_FUNC_(text) - 32-bit simhash of normalized text",
+    register(ext, "graft_simhash", "_FUNC_(text) - 60-bit simhash of normalized text",
       Exactly(1),
-      children => exprOf(Text.simhash32(colOf(children.head))))
+      children => exprOf(Text.simhash60(colOf(children.head))))
     register(ext, "graft_shingles", "_FUNC_(text, n) - distinct word n-gram shingles",
       Exactly(2),
       children => exprOf(Text.shingleSet(colOf(children.head), intArg(children, 1))))

@@ -50,12 +50,17 @@ object HashSketch {
     Array.tabulate(dim)(i => (hash60(s"${seed}_$i") % 2000001L).toDouble / 1000000.0 - 1.0)
 }
 
-/** 32-bit frequency-weighted SimHash from an `array<long>` of token hashes:
-  * bit j = sign of Σ_tokens (bit j of hash ? +1 : -1). One pass. */
-case class SimHash32Expr(child: Expression)
+/** Frequency-weighted SimHash from an `array<long>` of token hashes:
+  * bit j = sign of Σ_tokens (bit j of hash ? +1 : -1). One pass.
+  *
+  * `bits` must not exceed the entropy of the token-hash family (60 for
+  * [[HashSketch.hash60]]) — a wider output would carry constant bits that
+  * halve every band's effective bucket count without adding selectivity. */
+case class SimHashExpr(child: Expression, bits: Int)
     extends UnaryExpression {
+  require(bits > 0 && bits <= 60, s"simhash width must be in 1..60, got $bits")
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash32"
+  override def prettyName: String = "simhash"
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x => {
@@ -67,17 +72,17 @@ case class SimHash32Expr(child: Expression)
       val j = ctx.freshName("j")
       s"""
          |int $n = $x.numElements();
-         |int[] $w = new int[32];
+         |int[] $w = new int[$bits];
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$x.isNullAt($i)) {
          |    long $h = $x.getLong($i);
-         |    for (int $j = 0; $j < 32; $j++) {
+         |    for (int $j = 0; $j < $bits; $j++) {
          |      $w[$j] += ((($h >> $j) & 1L) == 1L) ? 1 : -1;
          |    }
          |  }
          |}
          |long $out = 0L;
-         |for (int $j = 0; $j < 32; $j++) {
+         |for (int $j = 0; $j < $bits; $j++) {
          |  if ($w[$j] >= 0) $out |= (1L << $j);
          |}
          |${ev.value} = $out;
@@ -87,13 +92,13 @@ case class SimHash32Expr(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
-    val weights = new Array[Int](32)
+    val weights = new Array[Int](bits)
     var i = 0
     while (i < n) {
       if (!hs.isNullAt(i)) {
         val h = hs.getLong(i)
         var j = 0
-        while (j < 32) {
+        while (j < bits) {
           weights(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
           j += 1
         }
@@ -102,14 +107,14 @@ case class SimHash32Expr(child: Expression)
     }
     var out = 0L
     var j = 0
-    while (j < 32) {
+    while (j < bits) {
       if (weights(j) >= 0) out |= (1L << j)
       j += 1
     }
     out
   }
 
-  override protected def withNewChildInternal(c: Expression): SimHash32Expr = copy(c)
+  override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(child = c)
 }
 
 /** MinHash LSH band keys from an `array<long>` of shingle hashes.
@@ -412,8 +417,9 @@ object HashExpr {
     org.apache.spark.sql.GraftExprBridge.column(
       ShingleSetExpr(org.apache.spark.sql.GraftExprBridge.expression(tokens), n))
 
-  def simhash32(tokenHashes: Column): Column =
-    org.apache.spark.sql.GraftExprBridge.column(SimHash32Expr(org.apache.spark.sql.GraftExprBridge.expression(tokenHashes)))
+  def simhash(tokenHashes: Column, bits: Int): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      SimHashExpr(org.apache.spark.sql.GraftExprBridge.expression(tokenHashes), bits))
 
   def minhashBandKeys(shingleHashes: Column, perms: Int, bands: Int): Column =
     org.apache.spark.sql.GraftExprBridge.column(

@@ -63,12 +63,14 @@ object Text {
   def minhashBands(shingles: Column, perms: Int, bands: Int): Column =
     HashExpr.minhashBandKeys(shingleHashes(shingles), perms, bands)
 
-  /** Frequency-weighted 32-bit SimHash over whitespace tokens. Each token
+  /** Frequency-weighted 60-bit SimHash over whitespace tokens. Each token
     * hashes to 60 bits; bit j of the result is the sign of
     * sum over tokens of (bit j of hash ? +1 : -1). Single-pass custom
-    * expression over the hashed-token array. */
-  def simhash32(c: Column): Column =
-    HashExpr.simhash32(HashExpr.arrayHash60(tokens(normalized(c)), "simhash|"))
+    * expression over the hashed-token array. 60 bits = the full entropy of
+    * the md5-derived token hash, supporting 4×15-bit LSH bands (32k
+    * buckets/band) for hamming-≤3 dedup at scale. */
+  def simhash60(c: Column): Column =
+    HashExpr.simhash(HashExpr.arrayHash60(tokens(normalized(c)), "simhash|"), 60)
 
   // ---- language ID -------------------------------------------------------
   // Marker-word heuristic: count distinct marker hits per language over the

@@ -19,9 +19,11 @@ import graft.functions.{HashSketch, Text, Vectors}
   *  - the inverted-index Jaccard join is exact but its candidate set grows
   *    with shingle collisions; MinHash+LSH bounds work at
   *    O(docs × bands) join keys and is the path at scale;
-  *  - SimHash's 4×8-bit banding is pigeonhole-exact for hamming ≤ 3: any
+  *  - SimHash's 4×15-bit banding is pigeonhole-exact for hamming ≤ 3: any
   *    pair within distance 3 shares at least one intact band, so the
-  *    band-join loses nothing while avoiding the n² compare;
+  *    band-join loses nothing while avoiding the n² compare — and 32k
+  *    buckets per band keep candidate growth near-linear on dissimilar
+  *    corpora;
   *  - ANN brute force is the correctness baseline; the hyperplane-LSH
   *    variant shrinks the candidate set to one bucket, with the bit count
   *    derived from corpus size ([[lshBitsFor]]) so bucket size — and with
@@ -36,7 +38,12 @@ object SimilarityQueries {
   private val Perms = 32
   private val Bands = 8
   private val JaccardT = 0.5
-  private val SimhashBands = 4 // 8 bits each over the 32-bit simhash
+  // 4 bands × 15 bits over the 60-bit simhash: pigeonhole-complete for
+  // hamming ≤ 3 (4 bands, ≤3 flipped bits ⇒ ≥1 band intact) with 2^15 =
+  // 32k buckets per band — the r4 8-bit banding capped pruning at 256
+  // buckets/band, letting candidates grow ~n²/256 on dissimilar corpora.
+  private val SimhashBands = 4
+  private val SimhashBandBits = 15
   private val HammingT = 3
   private val CosineT = 0.45
   // looser than CosineT: semantic GROUPING wants clusters, not only the
@@ -171,16 +178,17 @@ object SimilarityQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** SimHash near-dup pairs within hamming ≤ 3, candidates via 4×8-bit
+  /** SimHash near-dup pairs within hamming ≤ 3, candidates via 4×15-bit
     * band join (pigeonhole-complete for that radius). */
   private val dedupSimhash: Q = (s, dir) => {
     import s.implicits._
+    val bandMask = (1L << SimhashBandBits) - 1
     val sh = spread(Tables(s, dir, "documents"))
-      .select($"doc_id", Text.simhash32($"text").as("simhash"))
+      .select($"doc_id", Text.simhash60($"text").as("simhash"))
     val banded = sh.select($"doc_id", $"simhash",
       explode(array((0 until SimhashBands).map { b =>
         struct(lit(b).as("band_id"),
-          shiftright($"simhash", 8 * b).bitwiseAND(lit(255L)).as("band_val"))
+          shiftright($"simhash", SimhashBandBits * b).bitwiseAND(lit(bandMask)).as("band_val"))
       }: _*)).as("band"))
       .select($"doc_id", $"simhash",
         $"band.band_id".as("band_id"), $"band.band_val".as("band_val"))
@@ -458,10 +466,10 @@ object SimilarityQueries {
          |th AS (SELECT doc_id, [${hash60Sql("CONCAT('simhash|', x)")} FOR x IN t] th FROM toks),
          |sh AS (SELECT doc_id, CAST(list_sum([CASE WHEN
          |    list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END FOR h IN th]) >= 0
-         |    THEN (1::BIGINT << j) ELSE 0 END FOR j IN range(0, 32)]) AS BIGINT) simhash
+         |    THEN (1::BIGINT << j) ELSE 0 END FOR j IN range(0, 60)]) AS BIGINT) simhash
          |  FROM th),
          |banded AS (SELECT doc_id, simhash, b.range band_id,
-         |    (simhash >> (8 * b.range)) & 255 band_val
+         |    (simhash >> ($SimhashBandBits * b.range)) & ${(1L << SimhashBandBits) - 1} band_val
          |  FROM sh CROSS JOIN range(0, $SimhashBands) b)
          |SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) hamming

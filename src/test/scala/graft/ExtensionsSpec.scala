@@ -30,7 +30,7 @@ class ExtensionsSpec extends SparkSpec {
       F.surrogateKey($"id", $"status").as("sk"),
       Vectors.hash60($"txt").as("h60"),
       Text.fingerprint($"txt").as("fp"),
-      Text.simhash32($"txt").as("sh"),
+      Text.simhash60($"txt").as("sh"),
       Text.shingleSet($"txt", 2).as("shingles"),
       Text.tokenCount($"txt").as("ntok"),
       Text.bpeTokenCount($"txt").as("nbpe"),

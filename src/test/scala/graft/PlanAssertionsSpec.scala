@@ -82,14 +82,14 @@ class PlanAssertionsSpec extends SparkSpec {
   }
 
   test("sketch expressions keep their projection inside whole-stage codegen") {
-    // simhash32 (inline codegen) and minhash band keys (reference-object
+    // simhash (inline codegen) and minhash band keys (reference-object
     // dispatch) both must NOT break the surrounding codegen stage.
     for (name <- Seq("dedup_simhash", "dedup_minhash_lsh")) {
       val plan = planOf(name)
       // only application sites matter; scan lines echo pushed DataFilters
       // and exchange lines echo attribute names — neither is codegen-prefixed
       val projLines = plan.linesIterator.filter(l =>
-        (l.contains("simhash32(") || l.contains("minhash_band_keys(")) &&
+        (l.contains("simhash(") || l.contains("minhash_band_keys(")) &&
           !l.contains("FileScan")).toSeq
       assert(projLines.nonEmpty, s"$name: sketch expression missing from plan:\n$plan")
       assert(projLines.forall(_.contains("*(")),
