@@ -597,19 +597,23 @@ object Ecom {
       .withColumn("updated_at", lit(now))
 
   /** ecom_marts/customer/fct_customer_reviews.sql:6-15 — reviews with the
-    * product's category keys. The reference declares it incremental on
-    * r.created_at (:16-18) but does not SELECT created_at, so {{this}} can
-    * never satisfy the watermark subquery — a reference bug; materialized
-    * as a plain table here and noted rather than reproduced as a crash. */
+    * product's category keys, incremental on r.created_at (:16-18). The
+    * reference's own watermark can never fire — it filters on created_at
+    * but does not SELECT it, so {{this}} has no created_at column (a
+    * reference bug). Carrying created_at into the output makes the declared
+    * incremental contract actually functional; the mart grain is per
+    * review, and the products join is review-local, so rows past the
+    * watermark are complete on their own. */
   def fctCustomerReviews(reviewsEnriched: DataFrame,
       productsEnriched: DataFrame): DataFrame =
     reviewsEnriched.select(col("product_id"), col("customer_id"),
-        col("order_id"), col("review_score"), col("review_text"))
+        col("order_id"), col("review_score"), col("review_text"),
+        col("created_at"))
       .join(productsEnriched.select(col("product_id"), col("category_id"),
         col("subcategory_id")), Seq("product_id"))
       .select(col("customer_id"), col("product_id"), col("order_id"),
         col("review_score"), col("review_text"), col("category_id"),
-        col("subcategory_id"))
+        col("subcategory_id"), col("created_at"))
 
   /** ecom_marts/sales/fct_product_performance.sql:6-18 — product × month
     * sales/review rollup. Left-join chain keeps never-sold products (NULL
@@ -754,11 +758,16 @@ object Ecom {
     Model("fct_customer_orders", Seq("orders", "order_items", "reviews_enriched"),
       d => fctCustomerOrders(d("orders"), d("order_items"), d("reviews_enriched")),
       ModelGraph.Incremental("order_date")),
+    // fct_customer_activity is declared incremental by the reference
+    // (fct_customer_activity.sql:2) at month grain — an aggregate, so the
+    // store merges by replacing months at/past the watermark rather than
+    // appending (the boundary month keeps accreting interactions).
     Model("fct_customer_activity", Seq("customers_enriched", "customer_interactions"),
       d => fctCustomerActivity(d("customers_enriched"), d("customer_interactions"), now),
-      Table),
+      ModelGraph.IncrementalMerge("activity_month")),
     Model("fct_customer_reviews", Seq("reviews_enriched", "products_enriched"),
-      d => fctCustomerReviews(d("reviews_enriched"), d("products_enriched")), Table),
+      d => fctCustomerReviews(d("reviews_enriched"), d("products_enriched")),
+      ModelGraph.Incremental("created_at")),
     Model("fct_order_details", Seq("orders", "order_items", "customers_enriched",
       "locations", "products_enriched", "categories_enriched", "brands",
       "order_statuses", "payment_methods", "addresses", "reviews_enriched"),

@@ -26,6 +26,17 @@ object ModelGraph {
   case object Table extends Materialization
   final case class Incremental(watermarkCol: String) extends Materialization
 
+  /** Partition-replace merge for AGGREGATED incremental models (ref:
+    * fct_customer_activity.sql:2, month-grain). High-watermark APPEND is
+    * wrong for aggregates: the boundary group (e.g. the current month)
+    * keeps accreting source rows, so its row must be re-derived, not
+    * appended next to a stale copy. Refresh recomputes every group at or
+    * past MAX(watermarkCol) of the store and replaces that range, carrying
+    * strictly-older groups forward untouched. Because the filter lands on
+    * a grouping column, Catalyst pushes it below the aggregate — the
+    * recompute scans only the affected range of the source, not all of it. */
+  final case class IncrementalMerge(watermarkCol: String) extends Materialization
+
   final case class Model(
       name: String,
       deps: Seq[String],
@@ -119,6 +130,45 @@ object ModelGraph {
             built.crossJoin(broadcast(watermark))
               .filter(col(wm) > col("wm")).drop("wm")
               .write.mode(SaveMode.Append).parquet(path)
+          }
+          spark.read.parquet(path)
+        case IncrementalMerge(wm) =>
+          val target = new org.apache.hadoop.fs.Path(path)
+          val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val tmp = new org.apache.hadoop.fs.Path(
+            target.getParent, s".${target.getName}.__merge_tmp")
+          val bak = new org.apache.hadoop.fs.Path(
+            target.getParent, s".${target.getName}.__merge_bak")
+          // crash recovery FIRST: a merge that died between the two swap
+          // renames leaves bak without target — restore it rather than
+          // letting the existence probe trigger a fresh full rebuild.
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          if (fs.exists(bak)) {
+            if (!fs.exists(target))
+              require(fs.rename(bak, target), s"merge swap: failed to restore $bak")
+            else fs.delete(bak, true)
+          }
+          if (!tableExists(spark, path)) {
+            built.write.mode(SaveMode.Overwrite).parquet(path)
+          } else {
+            val existing = spark.read.parquet(path)
+            val watermark = existing.agg(max(col(wm)).as("wm"))
+            val keep = existing.crossJoin(broadcast(watermark))
+              .filter(col(wm) < col("wm")).drop("wm")
+            // >= (not >): the boundary group is the one that accretes; an
+            // all-null/empty store recomputes everything (isNull arm)
+            val fresh = built.crossJoin(broadcast(watermark))
+              .filter(col(wm) >= col("wm") || col("wm").isNull).drop("wm")
+            // keep reads from `path`, so the merge lands in a sibling tmp
+            // dir first and swaps via rename — never overwrite what a plan
+            // still scans. Same hidden-leaf naming discipline as
+            // Layout.compact: partition discovery skips dot-dirs, and a
+            // crashed merge leaves the store either intact or restorable.
+            keep.unionByName(fresh)
+              .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+            require(fs.rename(target, bak), s"merge swap: failed to back up $target")
+            require(fs.rename(tmp, target), s"merge swap: failed to publish $tmp")
+            fs.delete(bak, true)
           }
           spark.read.parquet(path)
       }

@@ -519,7 +519,7 @@ customer_interactions AS (
 
     "ecom_fct_customer_reviews" -> (stagePrefix +
       """SELECT r.customer_id, r.product_id, r.order_id, r.review_score, r.review_text,
-        | p.category_id, p.subcategory_id
+        | p.category_id, p.subcategory_id, r.created_at
         |FROM reviews_enriched r JOIN products_enriched p ON r.product_id = p.product_id
         |ORDER BY r.customer_id, r.product_id, r.order_id, r.review_score, r.review_text""".stripMargin),
 

@@ -41,10 +41,28 @@ class EcomIncrementalSpec extends SparkSpec {
     ("O4", "C1", "2025-01-10 08:00:00", "Pending", "50.00", "5.00",
       "PayPal", "7 Oak Street", "7 Oak Street", "2025-01-10 08:00:00"))
 
-  /** Raw sources; items/reviews cover BOTH eras in every run — staging is
-    * always fully recomputed, only the mart store is incremental. */
+  private val oldReviews = Seq(
+    ("R1", "P1", "O1", "C1", "5", "great", "2024-12-25 00:00:00"))
+  private val newReviews = Seq(
+    ("R2", "P2", "O3", "C2", "3", "ok", "2025-01-03 00:00:00"))
+
+  private val oldInteractions = Seq(
+    ("E1", "C1", "P1", "view", "2024-12-01 10:00:00", "mobile", "s1", "2024-12-01 10:00:00"))
+  // one event in a NEW month and one landing in the BOUNDARY month
+  // (2024-12) — the case month-replace merge must re-derive and
+  // high-watermark append would get wrong
+  private val newInteractions = Seq(
+    ("E2", "C1", "P1", "view", "2025-01-05 09:00:00", "desktop", "s2", "2025-01-05 09:00:00"),
+    ("E3", "C1", "P2", "purchase", "2024-12-15 18:00:00", "mobile", "s3", "2024-12-15 18:00:00"))
+
+  /** Raw sources; items cover BOTH eras in every run — staging is
+    * always fully recomputed, only the mart stores are incremental. */
   private def raw(orders: Seq[(String, String, String, String, String, String,
-      String, String, String, String)]): Map[String, DataFrame] = {
+      String, String, String, String)],
+      reviews: Seq[(String, String, String, String, String, String, String)] =
+        oldReviews ++ newReviews,
+      interactions: Seq[(String, String, String, String, String, String,
+        String, String)] = oldInteractions): Map[String, DataFrame] = {
     import spark.implicits._
     Map(
       "raw_customers" -> Seq(
@@ -75,9 +93,7 @@ class EcomIncrementalSpec extends SparkSpec {
         .toDF("PRODUCT_ID", "CATEGORY_ID", "SUBCATEGORY_ID", "PRODUCT_NAME",
           "DESCRIPTION", "BASE_PRICE", "SALE_PRICE", "STOCK_QUANTITY", "WEIGHT_KG",
           "BRAND", "RATING", "IS_ACTIVE", "CREATED_AT"),
-      "raw_reviews" -> Seq(
-        ("R1", "P1", "O1", "C1", "5", "great", "2024-12-25 00:00:00"),
-        ("R2", "P2", "O3", "C2", "3", "ok", "2025-01-03 00:00:00"))
+      "raw_reviews" -> reviews
         .toDF("REVIEW_ID", "PRODUCT_ID", "ORDER_ID", "CUSTOMER_ID", "REVIEW_SCORE",
           "REVIEW_TEXT", "LOADED_AT"),
       "raw_categories" -> Seq(
@@ -86,8 +102,7 @@ class EcomIncrementalSpec extends SparkSpec {
       "raw_subcategories" -> Seq(
         ("101", "1", "Phones", "2022-02-01 00:00:00"), ("201", "2", "Shoes", "2022-02-02 00:00:00"))
         .toDF("SUBCATEGORY_ID", "CATEGORY_ID", "SUBCATEGORY_NAME", "CREATED_AT"),
-      "raw_interactions" -> Seq(
-        ("E1", "C1", "P1", "view", "2024-12-01 10:00:00", "mobile", "s1", "2024-12-01 10:00:00"))
+      "raw_interactions" -> interactions
         .toDF("EVENT_ID", "CUSTOMER_ID", "PRODUCT_ID", "EVENT_TYPE", "EVENT_DATE",
           "DEVICE_TYPE", "SESSION_ID", "CREATED_AT"))
   }
@@ -157,6 +172,46 @@ class EcomIncrementalSpec extends SparkSpec {
     drain() // checkpoint ensures only the new wave is reprocessed
     assert(rows(spark.read.parquet(target)) == rows(statics("fct_customer_orders")),
       "streamed mart state must equal the one-shot batch build")
+  }
+
+  test("fct_customer_reviews: created_at watermark refresh == one-shot rebuild") {
+    val store = java.nio.file.Files.createTempDirectory("ecom_rev_inc").toString
+    val oneShot = java.nio.file.Files.createTempDirectory("ecom_rev_full").toString
+    val models = Ecom.models(now, today)
+    val allOrders = oldOrders ++ newOrders
+
+    val boot = ModelGraph.run(spark, models,
+      raw(allOrders, reviews = oldReviews), store)("fct_customer_reviews")
+    assert(boot.count() == 1)
+
+    val merged = ModelGraph.run(spark, models, raw(allOrders), store)("fct_customer_reviews")
+    val full = ModelGraph.run(spark, models, raw(allOrders), oneShot)("fct_customer_reviews")
+    assert(merged.count() == 2) // R2 appended past the created_at watermark
+    assert(rows(merged) == rows(full))
+  }
+
+  test("fct_customer_activity: boundary-month merge refresh == one-shot rebuild") {
+    import org.apache.spark.sql.functions.col
+    val store = java.nio.file.Files.createTempDirectory("ecom_act_inc").toString
+    val oneShot = java.nio.file.Files.createTempDirectory("ecom_act_full").toString
+    val models = Ecom.models(now, today)
+
+    val boot = ModelGraph.run(spark, models,
+      raw(oldOrders, interactions = oldInteractions), store)("fct_customer_activity")
+    assert(boot.count() == 1) // C1 × 2024-12, views only
+
+    // refresh: one event in a NEW month, one MORE event in the boundary
+    // month — the December aggregate must be re-derived, not left stale
+    // (or duplicated, as a plain high-watermark append would)
+    val src = raw(oldOrders, interactions = oldInteractions ++ newInteractions)
+    val merged = ModelGraph.run(spark, models, src, store)("fct_customer_activity")
+    val full = ModelGraph.run(spark, models, src, oneShot)("fct_customer_activity")
+    assert(merged.count() == 2) // C1 × {2024-12, 2025-01}
+    assert(rows(merged) == rows(full))
+    val dec = merged.filter(col("activity_month") === java.sql.Date.valueOf("2024-12-01"))
+      .select("total_views", "purchases").head()
+    assert(dec.getLong(0) == 1 && dec.getLong(1) == 1,
+      "boundary month must include the late purchase after the merge")
   }
 
   test("refresh with no new orders appends nothing (idempotent)") {
