@@ -52,7 +52,21 @@ object EcomQueries {
         count(col("billing_address_id")).as("n_billing_fk")))
   }
 
+  /** The reference's full declared schema.yml test matrix (150 tests) as
+    * one result frame — see [[graft.ecom.EcomSchemaTests]]. Source-tier
+    * checks run against the raw frames (column names lowered; the raw
+    * fixture is uppercase like the warehouse it models). */
+  private val qaSchemaTests: Q = (s, dir) => {
+    val m = EcomFixture.marts(s, dir)
+    val src = EcomFixture.raw(s, dir).map { case (k, v) =>
+      ("src_" + k.stripPrefix("raw_")) ->
+        v.toDF(v.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toIndexedSeq: _*)
+    }
+    graft.ecom.EcomSchemaTests.frame(s, src ++ m)
+  }
+
   def queries: Map[String, Q] = Map(
+    "qa_schema_tests" -> qaSchemaTests,
     "ecom_locations" -> model("locations", "location_id"),
     "ecom_addresses_quirk" -> addressesQuirk,
     "ecom_customers_enriched" -> model("customers_enriched", "customer_id"),
@@ -345,7 +359,7 @@ customer_interactions AS (
   LEFT JOIN stg_products p ON i.product_id = p.product_id)
 """
 
-  def oracle: Map[String, String] = Map(
+  private val baseOracle: Map[String, String] = Map(
     "ecom_locations" -> (stagePrefix +
       "SELECT location_id, city, state, country, created_at FROM locations ORDER BY location_id"),
 
@@ -609,4 +623,35 @@ customer_interactions AS (
         | GROUP BY l.state, l.country, CAST(date_trunc('month', o.order_date) AS TIMESTAMP)) x
         |ORDER BY state, country, sales_month""".stripMargin)
   )
+
+  // ------------------------------------------------- qa_schema_tests ----
+
+  /** Mart CTEs for the schema-test oracle, recovered VERBATIM from the
+    * per-model oracle bodies above (each entry is stagePrefix + body, so
+    * the body strips back out) — the qa matrix audits the exact same
+    * derivations the per-model hash compares certify. */
+  private val qaMartCtes: String = Seq(
+    "dim_dates", "dim_categories", "dim_products", "dim_customers",
+    "fct_customer_activity", "fct_order_details", "fct_sales_by_date",
+    "fct_sales_by_product", "fct_sales_by_region", "fct_customer_orders",
+    "fct_customer_reviews", "fct_product_performance",
+    "fct_product_interactions")
+    .map(m => s"qa_$m AS (${baseOracle(s"ecom_$m").stripPrefix(stagePrefix)})")
+    .mkString(",\n")
+
+  /** Logical table id → oracle CTE name. src_* resolves to stg_* — staging
+    * is a row-preserving pure cast (Ecom.cast) and every source-tier
+    * tested column is a string passthrough, so the raw-tier counts are
+    * identical by construction. */
+  private val qaRel: String => String = {
+    case s if s.startsWith("src_") => "stg_" + s.stripPrefix("src_")
+    case "orders" => "int_orders"
+    case "order_items" => "int_order_items"
+    case m if m.startsWith("dim_") || m.startsWith("fct_") => s"qa_$m"
+    case other => other
+  }
+
+  def oracle: Map[String, String] = baseOracle +
+    ("qa_schema_tests" -> (stagePrefix + ",\n" + qaMartCtes + "\n" +
+      graft.ecom.EcomSchemaTests.oracleSelect(qaRel)))
 }

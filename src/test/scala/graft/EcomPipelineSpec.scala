@@ -165,6 +165,19 @@ class EcomPipelineSpec extends SparkSpec {
     assert(failures.isEmpty, s"failing checks: $failures")
   }
 
+  test("declared schema.yml matrix is fully transcribed: 150 tests") {
+    import graft.ecom.EcomSchemaTests
+    val checks = EcomSchemaTests.checks
+    // 38 source-tier + 27 staging + 50 intermediate + 35 marts
+    assert(checks.size == 150)
+    assert(checks.map(_.name).distinct.size == checks.size, "test ids must be unique")
+    // the matrix's single declared severity: warn
+    // (ecom_intermediate/schema.yml:184 order_items.product_id)
+    val warns = checks.filter(_.severity == "warn")
+    assert(warns.map(_.name) ==
+      Seq("relationships__order_items__product_id__products_enriched__product_id"))
+  }
+
   test("intermediate rollups: category/subcategory counts and review denorm") {
     import spark.implicits._
     val ce = out("categories_enriched")
