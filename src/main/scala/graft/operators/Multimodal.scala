@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample operators.
   *
-  * The actual codec work is STUBBED (no image/audio libs in this
-  * environment): [[fakeDecode]] derives deterministic pseudo-features from
-  * the bytes so the pipeline shape — schema, partition sizing, batch
-  * iteration, explode fan-out — is real and testable. Swapping in a real
-  * decoder only replaces the marked function bodies.
+  * Header decoding is REAL: [[decode]] parses PNG/JPEG/GIF/WAV container
+  * headers in pure JVM byte arithmetic
+  * ([[graft.functions.MediaHeader]]) — format, dimensions, sample rate.
+  * Only pixel/sample-level work (frame extraction, re-encode) remains a
+  * marked codec seam: those need a real codec library, and the seam
+  * ([[decodeViaPartitions]], [[sampleFrames]]' payload slice) is where a
+  * JNI decoder plugs in without changing any plan shape.
   *
   * Scale design: media rows are large (MBs); [[repartitionForMedia]] sizes
   * partitions by byte budget, not row count, so executors never hold more
@@ -43,25 +45,28 @@ object Multimodal {
     df.repartition(parts, col("media_id"))
   }
 
-  /** STUB decode: deterministic pseudo-features from the raw bytes — a
-    * real decoder would parse the codec here. Pure Column expressions
-    * (codegen'd, no serialization boundary). */
-  def fakeDecode(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  /** REAL header decode: PNG/JPEG/GIF/WAV magic bytes → format,
+    * dimensions, sample rate ([[graft.functions.MediaHeader]]) plus
+    * payload stats — all codegen'd, no serialization boundary. */
+  def decode(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     struct(
       length(content).as("n_bytes"),
       crc32(content).as("checksum"),
-      // STUB: stand-ins for decoded plane statistics
-      (pmod(xxhash64(content), lit(256L))).cast("int").as("mean_luma"),
-      (pmod(xxhash64(content, lit(1)), lit(100L)).cast("double") / 100.0).as("sharpness"))
+      graft.functions.MediaHeader.mediaHeader(content).as("header"))
 
-  /** Image feature extraction over the media table (schema in, schema out —
-    * the declared output contract a real model/codec would fill). */
+  /** Image feature extraction over the media table: declared metadata
+    * alongside the header fields ACTUALLY parsed from the payload — the
+    * ingest-time cross-check a real pipeline runs (declared w×h vs
+    * container w×h). */
   def imageFeatures(media: DataFrame): DataFrame =
     media.filter(col("kind") === "image")
       .select(col("media_id"), col("meta.width").as("width"),
-        col("meta.height").as("height"), fakeDecode(col("content")).as("f"))
+        col("meta.height").as("height"), decode(col("content")).as("f"))
       .select(col("media_id"), col("width"), col("height"),
-        col("f.n_bytes"), col("f.checksum"), col("f.mean_luma"), col("f.sharpness"))
+        col("f.n_bytes"), col("f.checksum"),
+        col("f.header.format").as("format"),
+        col("f.header.width").as("decoded_width"),
+        col("f.header.height").as("decoded_height"))
 
   /** "Resize": metadata transform + STUB re-encode (identity bytes). A real
     * implementation swaps the content expression for a codec call; the
@@ -84,19 +89,22 @@ object Multimodal {
           .as("frame_bytes"))
 
   final case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
-  final case class DecodedRow(media_id: Long, n_bytes: Int, head_sum: Long)
+  final case class DecodedRow(media_id: Long, n_bytes: Int, format: String)
 
   /** The imperative per-partition seam — where a JNI/native decoder that
     * needs batch reuse (shared codec context per partition) would plug in.
-    * Demonstrates the mapPartitions batch shape with an explicit Encoder;
-    * kept off the hot path for everything expressible as Columns. */
+    * Demonstrates the mapPartitions batch shape with an explicit Encoder
+    * (header parse runs for real); kept off the hot path for everything
+    * expressible as Columns. */
   def decodeViaPartitions(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     implicit val enc = Encoders.product[DecodedRow]
     media.mapPartitions { rows =>
-      // STUB: per-partition "codec init" happens once here
+      // per-partition init happens once here — a JNI codec context would
+      // be created and reused across this batch
       rows.map { r =>
+        val h = graft.functions.MediaHeader.decode(r.content)
         DecodedRow(r.media_id, r.content.length,
-          r.content.take(64).foldLeft(0L)((a, b) => a + (b & 0xff)))
+          if (h.isNullAt(0)) null else h.getUTF8String(0).toString)
       }
     }
   }

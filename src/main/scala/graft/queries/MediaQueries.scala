@@ -1,53 +1,95 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Vectors
+import graft.functions.MediaHeader
 
 /** Multimodal-column queries — the oracle-checkable face of
   * [[graft.operators.Multimodal]]. A deterministic media table is derived
-  * from `documents` (content = the text's bytes as a true `binary` column,
-  * kind/meta from doc_id), so the binary-column plumbing — opaque payload
-  * + typed metadata + per-row feature extraction + frame fan-out — runs
-  * for real while DuckDB can replay every output value from the text.
-  * The codec-dependent stubs stay in Multimodal (spec-tested); what's
-  * here is the part of the pipeline whose values are engine-independent.
+  * from `documents`: image rows get a REAL PNG header (RFC 2083 signature
+  * + IHDR) and audio rows a REAL WAV/RIFF header synthesized around the
+  * text payload, video rows stay raw. `mm_media_features` then parses the
+  * headers back with the pure-JVM [[MediaHeader]] expression — a true
+  * synthesize→decode roundtrip over a binary column, with DuckDB
+  * replaying the byte construction (unhex/concat) and the PLANTED values,
+  * so a parser regression flips the hash compare.
   */
 object MediaQueries {
 
   private type Q = (SparkSession, String) => DataFrame
 
-  def queries: Map[String, Q] = Map(
-    "mm_media_features" -> mmMediaFeatures,
-    "mm_frame_sample" -> mmFrameSample
-  )
+  // planted per-row media properties, derived from doc_id
+  private def widthOf(id: Column): Column = (id % 640 + 1).cast("int")
+  private def heightOf(id: Column): Column = (id % 480 + 1).cast("int")
+  private def rateOf(id: Column): Column =
+    when(id % 2 === 0, 44100).otherwise(22050).cast("int")
 
-  /** Deterministic media table: binary payload + kind + typed metadata. */
+  private def beHex(c: Column, nBytes: Int): Column =
+    lpad(hex(c), nBytes * 2, "0")
+  private def leHex(c: Column, nBytes: Int): Column =
+    concat((nBytes - 1 to 0 by -1)
+      .map(i => substring(lpad(hex(c), nBytes * 2, "0"), i * 2 + 1, 2)): _*)
+
+  /** 33-byte PNG prelude: signature + IHDR(len 13) with BE32 w/h, 8-bit
+    * RGBA, zero CRC (the parser reads fields, not checksums). */
+  private def pngHeader(w: Column, h: Column): Column =
+    unhex(concat(lit("89504E470D0A1A0A0000000D49484452"),
+      beHex(w, 4), beHex(h, 4), lit("080600000000000000")))
+
+  /** Canonical 44-byte WAV/RIFF header (PCM, mono, 16-bit) around a
+    * payload of `dataLen` bytes — all multi-byte fields LE. */
+  private def wavHeader(rate: Column, dataLen: Column): Column =
+    unhex(concat(
+      lit("52494646"), leHex(dataLen + 36, 4), // RIFF + chunk size
+      lit("57415645666D742010000000" + "0100" + "0100"), // WAVE fmt_ PCM mono
+      leHex(rate, 4), leHex(rate * 2, 4), // sample rate, byte rate
+      lit("0200" + "1000" + "64617461"), leHex(dataLen, 4))) // align bits data
+
+  /** Deterministic media table: binary payload + kind + typed metadata.
+    * Image/audio payloads carry REAL container headers. */
   private def media(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents").select(
       $"doc_id".as("media_id"),
       when($"doc_id" % 3 === 0, "image")
         .when($"doc_id" % 3 === 1, "audio").otherwise("video").as("kind"),
-      $"text".cast("binary").as("content"),
-      struct(($"doc_id" % 640 + 1).cast("int").as("width"),
-        ($"doc_id" % 480 + 1).cast("int").as("height")).as("meta"))
+      {
+        val bin = $"text".cast("binary")
+        when($"doc_id" % 3 === 0,
+            concat(pngHeader(widthOf($"doc_id"), heightOf($"doc_id")), bin))
+          .when($"doc_id" % 3 === 1,
+            concat(wavHeader(rateOf($"doc_id"), length(bin)), bin))
+          .otherwise(bin).as("content")
+      },
+      // payload fingerprint rides along: DuckDB's md5 is VARCHAR-only, so
+      // the oracle fingerprints the text payload; the synthesized header
+      // bytes are certified by n_bytes + the parsed planted values
+      md5($"text".cast("binary")).as("payload_md5"),
+      struct(widthOf($"doc_id").as("width"),
+        heightOf($"doc_id").as("height")).as("meta"))
   }
 
-  /** Per-row feature extraction over the binary column: byte length,
-    * content fingerprint, and a pseudo plane statistic. Narrow map —
-    * no shuffle; at 100 TB of media this is the shape that matters
-    * (payload never crosses the network, features do). */
+  /** Per-row header decode + payload stats over the binary column: format,
+    * dimensions, sample rate parsed from the bytes, alongside size and
+    * fingerprint. Narrow map — no shuffle; at 100 TB of media this is the
+    * shape that matters (payload never crosses the network, features do). */
   private val mmMediaFeatures: Q = (s, dir) => {
     import s.implicits._
-    media(s, dir).select(
+    media(s, dir)
+      .select($"media_id", $"kind", $"content", $"payload_md5",
+        MediaHeader.mediaHeader($"content").as("hdr"))
+      .select(
         $"media_id", $"kind",
-        $"meta.width".as("width"), $"meta.height".as("height"),
         length($"content").as("n_bytes"),
-        md5($"content").as("fingerprint"),
-        pmod(Vectors.hash60(md5($"content")), lit(256L)).as("mean_luma"))
+        $"payload_md5".as("fingerprint"),
+        $"hdr.format".as("format"),
+        $"hdr.width".as("width"),
+        $"hdr.height".as("height"),
+        $"hdr.sample_rate".as("sample_rate"),
+        $"hdr.channels".as("channels"),
+        $"hdr.bits_per_sample".as("bits_per_sample"))
       .orderBy($"media_id")
   }
 
@@ -63,16 +105,57 @@ object MediaQueries {
       .orderBy($"media_id", $"frame_ms")
   }
 
+  def queries: Map[String, Q] = Map(
+    "mm_media_features" -> mmMediaFeatures,
+    "mm_frame_sample" -> mmFrameSample
+  )
+
+  // ------------------------------------------------------------- oracle --
+  // DuckDB rebuilds the SAME bytes (unhex/concat around encode(text)), so
+  // n_bytes/fingerprint certify the synthesis and the planted
+  // width/height/rate certify the parse (roundtrip identity).
+
+  private def leSql(x: String, nBytes: Int): String = {
+    val h = s"lpad(hex($x), ${nBytes * 2}, '0')"
+    (nBytes - 1 to 0 by -1).map(i => s"substr($h, ${i * 2 + 1}, 2)")
+      .mkString("CONCAT(", ", ", ")")
+  }
+
+  private val pngHeaderSql =
+    "unhex(CONCAT('89504E470D0A1A0A0000000D49484452', " +
+      "lpad(hex(doc_id % 640 + 1), 8, '0'), lpad(hex(doc_id % 480 + 1), 8, '0'), " +
+      "'080600000000000000'))"
+
+  private def wavHeaderSql(rate: String, dataLen: String): String =
+    "unhex(CONCAT('52494646', " + leSql(s"$dataLen + 36", 4) +
+      ", '57415645666D74201000000001000100', " + leSql(rate, 4) + ", " +
+      leSql(s"$rate * 2", 4) + ", '02001000" + "64617461', " +
+      leSql(dataLen, 4) + "))"
+
+  private val mediaCte =
+    s"""m AS (SELECT doc_id AS media_id,
+       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |  CASE CAST(doc_id % 3 AS INT)
+       |    WHEN 0 THEN $pngHeaderSql || encode(text)
+       |    WHEN 1 THEN ${wavHeaderSql("CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 22050 END",
+            "octet_length(encode(text))")} || encode(text)
+       |    ELSE encode(text) END AS content,
+       |  text, doc_id % 3 AS m3, doc_id % 2 AS m2
+       |  FROM documents)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "mm_media_features" ->
-      """SELECT doc_id AS media_id,
-        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        | CAST(doc_id % 640 + 1 AS INT) AS width,
-        | CAST(doc_id % 480 + 1 AS INT) AS height,
-        | octet_length(encode(text)) AS n_bytes,
+      s"""WITH $mediaCte
+        |SELECT media_id, kind,
+        | octet_length(content) AS n_bytes,
         | md5(text) AS fingerprint,
-        | CAST(CONCAT('0x', SUBSTR(md5(md5(text)), 1, 15)) AS BIGINT) % 256 AS mean_luma
-        |FROM documents ORDER BY media_id""".stripMargin,
+        | CASE CAST(m3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'wav' END AS format,
+        | CASE WHEN m3 = 0 THEN CAST(media_id % 640 + 1 AS INT) END AS width,
+        | CASE WHEN m3 = 0 THEN CAST(media_id % 480 + 1 AS INT) END AS height,
+        | CASE WHEN m3 = 1 THEN CAST(CASE WHEN m2 = 0 THEN 44100 ELSE 22050 END AS INT) END AS sample_rate,
+        | CASE WHEN m3 = 1 THEN CAST(1 AS INT) END AS channels,
+        | CASE WHEN m3 = 1 THEN CAST(16 AS INT) END AS bits_per_sample
+        |FROM m ORDER BY media_id""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id,

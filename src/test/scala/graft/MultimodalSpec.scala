@@ -1,29 +1,80 @@
 package graft
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import graft.functions.MediaHeader
 import graft.operators.Multimodal
 import graft.operators.Multimodal.MediaRow
 
 class MultimodalSpec extends SparkSpec {
 
+  // ---- real container-header byte builders --------------------------------
+
+  /** 33-byte PNG prelude (signature + IHDR) + payload. */
+  private def pngBytes(w: Int, h: Int, payload: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(33 + payload)
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes("ASCII")).putInt(w).putInt(h)
+    bb.put(Array[Byte](8, 6, 0, 0, 0)).putInt(0) // depth/color/... + crc
+    bb.put(Array.fill[Byte](payload)(1)).array()
+  }
+
+  /** Canonical 44-byte WAV header (PCM) + payload. */
+  private def wavBytes(rate: Int, channels: Int, dataLen: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("ASCII"))
+    bb.put("fmt ".getBytes("ASCII")).putInt(16).putShort(1).putShort(channels.toShort)
+    bb.putInt(rate).putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    bb.put("data".getBytes("ASCII")).putInt(dataLen)
+    bb.put(Array.fill[Byte](dataLen)(2)).array()
+  }
+
+  /** Minimal JPEG: SOI + SOF0 segment carrying the dimensions. */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] =
+    Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x0b, 0x08,
+      (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+      0x01, 0x01, 0x00).map(_.toByte)
+
+  private def gifBytes(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes("ASCII") ++
+      Array(w & 0xff, (w >> 8) & 0xff, h & 0xff, (h >> 8) & 0xff).map(_.toByte)
+
   private def mediaDf = {
     val rows = Seq(
-      Row(1L, "image", Array.fill[Byte](64)(1), Row("image/png", 640, 480, null, null)),
-      Row(2L, "image", Array.fill[Byte](128)(2), Row("image/png", 800, 600, null, null)),
+      Row(1L, "image", pngBytes(640, 480, 31), Row("image/png", 640, 480, null, null)),
+      Row(2L, "image", pngBytes(800, 600, 95), Row("image/png", 800, 600, null, null)),
       Row(3L, "video", Array.fill[Byte](256)(3), Row("video/mp4", 1920, 1080, null, 100L)),
-      Row(4L, "audio", Array.fill[Byte](32)(4), Row("audio/wav", null, null, 44100, 5000L)))
+      Row(4L, "audio", wavBytes(44100, 1, 20), Row("audio/wav", null, null, 44100, 5000L)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.map(r => r: Row)),
       Multimodal.mediaSchema)
   }
 
-  test("imageFeatures extracts deterministic stub features per image row") {
+  test("MediaHeader parses real PNG/JPEG/GIF/WAV headers (and rejects noise)") {
+    def parse(b: Array[Byte]): (String, Integer, Integer, Integer, Integer, Integer) = {
+      val r = MediaHeader.decode(b)
+      def i(n: Int): Integer = if (r.isNullAt(n)) null else Int.box(r.getInt(n))
+      (if (r.isNullAt(0)) null else r.getUTF8String(0).toString,
+        i(1), i(2), i(3), i(4), i(5))
+    }
+    assert(parse(pngBytes(123, 45, 0)) == ("png", 123, 45, null, null, null))
+    assert(parse(jpegBytes(320, 240)) == ("jpeg", 320, 240, null, null, null))
+    assert(parse(gifBytes(17, 9)) == ("gif", 17, 9, null, null, null))
+    assert(parse(wavBytes(22050, 2, 0)) == ("wav", null, null, 22050, 2, 16))
+    assert(parse(Array[Byte](1, 2, 3)) == (null, null, null, null, null, null))
+    assert(parse(Array.empty[Byte]) == (null, null, null, null, null, null))
+  }
+
+  test("imageFeatures decodes the container header alongside declared meta") {
     val f = Multimodal.imageFeatures(mediaDf).orderBy("media_id").collect()
     assert(f.length == 2)
-    assert(f(0).getAs[Int]("width") == 640)
-    assert(f(0).getAs[Int]("n_bytes") == 64)
-    // deterministic: same bytes → same pseudo-features on re-run
+    assert(f(0).getAs[Int]("width") == 640 && f(0).getAs[Int]("n_bytes") == 64)
+    assert(f(0).getAs[String]("format") == "png")
+    assert(f(0).getAs[Int]("decoded_width") == 640) // parsed == declared
+    assert(f(1).getAs[Int]("decoded_height") == 600)
+    // deterministic: same bytes → same features on re-run
     val again = Multimodal.imageFeatures(mediaDf).orderBy("media_id").collect()
     assert(f.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
@@ -43,14 +94,17 @@ class MultimodalSpec extends SparkSpec {
 
   test("decodeViaPartitions maps batches with an explicit Encoder") {
     import spark.implicits._
-    val ds = Seq(MediaRow(1L, "image", Array[Byte](1, 2, 3))).toDS()
-    val out = Multimodal.decodeViaPartitions(ds).head()
-    assert(out.n_bytes == 3 && out.head_sum == 6L)
+    val ds = Seq(
+      MediaRow(1L, "image", pngBytes(8, 8, 0)),
+      MediaRow(2L, "blob", Array[Byte](1, 2, 3))).toDS()
+    val out = Multimodal.decodeViaPartitions(ds).collect().sortBy(_.media_id)
+    assert(out(0).format == "png" && out(0).n_bytes == 33)
+    assert(out(1).format == null && out(1).n_bytes == 3)
   }
 
   test("repartitionForMedia sizes partitions by byte budget") {
     val df = Multimodal.repartitionForMedia(mediaDf, targetBytesPerPartition = 200)
-    assert(df.rdd.getNumPartitions == 2) // 480 bytes total / 200 → 2
+    assert(df.rdd.getNumPartitions == 2) // 512 bytes total / 200 → 2
   }
 
   test("repartitionForMedia handles an empty frame (sum over zero rows is null)") {
