@@ -39,8 +39,9 @@ object Sources {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", value = true).csv(path)
 
-  /** S3: JDBC seam — connectivity is a deployment concern (SURVEY §7.5);
-    * partitioned reads keep the scan distributed at scale. */
+  /** S3: JDBC reader — roundtrip-proven against embedded Derby
+    * (SourcesSpec); live warehouse endpoints are a deployment concern
+    * (SURVEY §7.5). Partitioned reads keep the scan distributed at scale. */
   def readJdbc(spark: SparkSession, url: String, table: String,
       partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
     val base = spark.read.format("jdbc")

@@ -19,8 +19,9 @@ object Writers {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
-  /** S6: JDBC sink seam (connectivity is a deployment concern, SURVEY
-    * §7.5) — batched, optionally repartitioned to bound connection count. */
+  /** S6: JDBC sink — roundtrip-proven against embedded Derby
+    * (SourcesSpec); live endpoints are a deployment concern (SURVEY §7.5).
+    * Batched, optionally repartitioned to bound connection count. */
   def writeJdbc(df: DataFrame, url: String, table: String,
       maxConnections: Int = 8): Unit =
     (if (df.rdd.getNumPartitions > maxConnections)
