@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_array_hash60", "_FUNC_(arr) - per-element 60-bit md5 hash of a string array",
       Exactly(1),
       children => graft.functions.ArrayHash60Expr(children.head, ""))
+    register(ext, "graft_media_header",
+      "_FUNC_(binary) - parse a PNG/JPEG/GIF/WAV container header to (format, width, height, sample_rate, channels, bits_per_sample)",
+      Exactly(1),
+      children => graft.functions.MediaHeaderExpr(children.head))
   }
 }
 

@@ -50,6 +50,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == 32.0)
   }
 
+  test("graft_media_header SQL function parses container headers") {
+    import spark.implicits._
+    // 33-byte PNG prelude: signature + IHDR with BE32 width/height
+    val png = java.nio.ByteBuffer.allocate(33)
+      .put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      .putInt(13).put("IHDR".getBytes("ASCII")).putInt(320).putInt(200)
+      .put(Array[Byte](8, 6, 0, 0, 0)).putInt(0).array()
+    Seq(Tuple1(png)).toDF("content").createOrReplaceTempView("ext_spec_m")
+    val r = spark.sql(
+      "SELECT h.format, h.width, h.height FROM (SELECT graft_media_header(content) h FROM ext_spec_m)")
+      .head()
+    assert(r.getString(0) == "png" && r.getInt(1) == 320 && r.getInt(2) == 200)
+  }
+
   test("wrong argument count fails with the function name and arity") {
     import spark.implicits._
     Seq(Tuple1(Array(1f, 2f))).toDF("a").createOrReplaceTempView("ext_spec_a")
