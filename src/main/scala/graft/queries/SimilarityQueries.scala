@@ -80,6 +80,7 @@ object SimilarityQueries {
     "emb_neardup_cosine" -> embNeardup,
     "ann_cosine_topk" -> annTopK,
     "ann_lsh_bucket" -> annLshBucket,
+    "ann_lsh_multiprobe" -> annLshMultiprobe,
     "ann_ivf" -> annIvf,
     "ann_recall_at_k" -> annRecallAtK,
     "dedup_semantic" -> dedupSemantic
@@ -269,6 +270,42 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Multi-probe LSH — the standard recall knob at fixed bucket cost: each
+    * query probes its OWN bucket plus every bucket at hamming distance 1
+    * (bits+1 probes), recovering neighbors that a single hyperplane sign
+    * flip pushed next door. Per-query candidate count grows to
+    * (bits+1)·targetBucket — still constant in corpus size n (bits ~
+    * log n, so ~log-linear total), vs brute force's n. Recall lift is
+    * MEASURED by `ann_recall_at_k` (method 'lsh_mp') as exact integers. */
+  private val annLshMultiprobe: Q = (s, dir) => {
+    import s.implicits._
+    val bits = lshBits(s, dir)
+    def flip(b: org.apache.spark.sql.Column, i: Int) = concat(
+      substring(b, 1, i),
+      when(substring(b, i + 1, 1) === "0", "1").otherwise("0"),
+      substring(b, i + 2, bits))
+    val emb = spread(Tables(s, dir, "embeddings")).select($"vec_id", $"embedding",
+      Vectors.hyperplaneBucket($"embedding", EmbDim, bits, LshSeed).as("bucket"),
+      Vectors.fnorm($"embedding").as("nrm"))
+    // each neighbor lives in exactly ONE bucket and the probe set is
+    // distinct buckets, so no (query, neighbor) pair can duplicate
+    val q = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"),
+        explode(array($"bucket" +: (0 until bits).map(flip($"bucket", _)): _*))
+          .as("bucket"))
+    val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"),
+      $"bucket", $"nrm".as("nn"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    broadcast(q).join(n, Seq("bucket"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cos",
+        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .orderBy($"query_id", $"rank")
+  }
+
   private val IvfCentroids = 16
   private val IvfProbe = 2
 
@@ -352,6 +389,7 @@ object SimilarityQueries {
   private val annRecallAtK: Q = (s, dir) => {
     import s.implicits._
     val approx = annLshBucket(s, dir).withColumn("method", lit("lsh"))
+      .unionByName(annLshMultiprobe(s, dir).withColumn("method", lit("lsh_mp")))
       .unionByName(annIvf(s, dir).withColumn("method", lit("ivf")))
       .select($"method", $"query_id", $"neighbor_id")
     val emb = spread(Tables(s, dir, "embeddings"))
@@ -425,7 +463,29 @@ object SimilarityQueries {
        | / (sqrt(list_sum([ea[i + 1] * ea[i + 1] FOR i IN range(0, $EmbDim)]))
        |    * sqrt(list_sum([eb[i + 1] * eb[i + 1] FOR i IN range(0, $EmbDim)])))""".stripMargin
 
+  /** Multi-probe candidate CTEs (own bucket + every hamming-1 bucket),
+    * shared by the ann_lsh_multiprobe oracle and the recall gate. */
+  private val multiprobeCtes =
+    s"""mp_probes AS (SELECT e.vec_id AS query_id, e.emb AS qe,
+       |   unnest([e.bucket] || [CONCAT(substr(e.bucket, 1, b),
+       |     CASE substr(e.bucket, b + 1, 1) WHEN '0' THEN '1' ELSE '0' END,
+       |     substr(e.bucket, b + 2)) FOR b IN range(0, bits.bits)]) AS bucket
+       | FROM e, bits WHERE e.vec_id < 50),
+       |mp_scored AS (SELECT p.query_id, n.vec_id neighbor_id,
+       |   (SELECT $cosineSql FROM (SELECT p.qe ea, n.emb eb)) cos
+       |  FROM mp_probes p JOIN e n ON p.bucket = n.bucket AND p.query_id <> n.vec_id)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "ann_lsh_multiprobe" ->
+      s"""WITH $bitsCte,
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
+         |   ${bucketSql("CAST(embedding AS DOUBLE[])")} bucket FROM embeddings, bits),
+         |$multiprobeCtes,
+         |ranked AS (SELECT query_id, neighbor_id,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) rank
+         |  FROM mp_scored)
+         |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte,
          |cand AS (SELECT x.doc_id doc_a, y.doc_id doc_b FROM shd x JOIN shd y ON x.doc_id < y.doc_id)
@@ -563,6 +623,11 @@ object SimilarityQueries {
          |  SELECT query_id, neighbor_id,
          |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
          |  FROM lsh_scored) WHERE rank <= 3),
+         |$multiprobeCtes,
+         |lsh_mp AS (SELECT 'lsh_mp' AS method, query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+         |  FROM mp_scored) WHERE rank <= 3),
          |cents AS (SELECT vec_id cent_id, emb ce FROM e WHERE vec_id < $IvfCentroids),
          |adist AS (SELECT v.vec_id, c.cent_id,
          |   (SELECT $cosineSql FROM (SELECT v.emb ea, c.ce eb)) ccos
@@ -585,7 +650,8 @@ object SimilarityQueries {
          |  SELECT query_id, neighbor_id,
          |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
          |  FROM ivf_scored) WHERE rank <= 3),
-         |approx AS (SELECT * FROM lsh UNION ALL SELECT * FROM ivf),
+         |approx AS (SELECT * FROM lsh UNION ALL SELECT * FROM lsh_mp
+         |           UNION ALL SELECT * FROM ivf),
          |t_scored AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
          |   (SELECT $cosineSql FROM (SELECT q.emb ea, n.emb eb)) cos
          |  FROM e q JOIN e n

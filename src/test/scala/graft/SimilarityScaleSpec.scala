@@ -38,6 +38,16 @@ class SimilarityScaleSpec extends SparkSpec {
     (n, bits, pairSum)
   }
 
+  test("multi-probe LSH recall@3 dominates single-bucket recall") {
+    val hits = SimilarityQueries.queries("ann_recall_at_k")(spark, sfDir)
+      .groupBy("method").agg(avg("hits_at_3").as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // probing the hamming-1 buckets can only ADD candidates, so per-query
+    // top-3 recall is monotonically >= the single-bucket path
+    assert(hits("lsh_mp") >= hits("lsh"),
+      s"multi-probe recall ${hits("lsh_mp")} fell below single-bucket ${hits("lsh")}")
+  }
+
   test("candidate pairs grow ~linearly from sf0.01 to sf0.1 (derived bits differ)") {
     val (n1, bits1, pairs1) = candidatePairs("/root/testdata/sf0.01")
     val (n2, bits2, pairs2) = candidatePairs("/root/testdata/sf0.1")
