@@ -214,6 +214,62 @@ class EcomIncrementalSpec extends SparkSpec {
       "boundary month must include the late purchase after the merge")
   }
 
+  test("streaming interaction feed refreshes the aggregate mart to batch parity") {
+    import org.apache.spark.sql.functions.{broadcast, col, trunc}
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("ecom_act_stream").toString
+    val in = s"$dir/in"
+    val rawStore = s"$dir/raw_interactions"
+    val target = s"$dir/mart"
+    val fullRaw = raw(oldOrders, interactions = oldInteractions ++ newInteractions)
+    val statics = ModelGraph.run(spark, Ecom.models(now, today), fullRaw,
+      java.nio.file.Files.createTempDirectory("ecom_act_static").toString)
+
+    def interDf(rows: Seq[(String, String, String, String, String, String,
+        String, String)]): DataFrame = {
+      import spark.implicits._
+      rows.toDF("EVENT_ID", "CUSTOMER_ID", "PRODUCT_ID", "EVENT_TYPE", "EVENT_DATE",
+        "DEVICE_TYPE", "SESSION_ID", "CREATED_AT")
+    }
+
+    // The streaming analog of IncrementalMerge: each micro-batch lands in
+    // the raw store, the AFFECTED months (only) re-aggregate from the
+    // cumulative store, and the mart upserts on its (customer, month)
+    // grain — an aggregate can't append, the boundary month re-derives.
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema(interDf(oldInteractions).schema).parquet(in)
+      stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            batch.write.mode("append").parquet(rawStore)
+            val stgAll = Ecom.stgInteractions(spark.read.parquet(rawStore))
+            val interAll = Ecom.customerInteractions(stgAll,
+              Ecom.stgProducts(fullRaw("raw_products")))
+            val affected = Ecom.stgInteractions(batch)
+              .select(trunc(col("event_date").cast("date"), "month").as("activity_month"))
+              .distinct()
+            val delta = Ecom.fctCustomerActivity(
+                statics("customers_enriched"), interAll, now)
+              .join(broadcast(affected), Seq("activity_month"))
+            graft.operators.Upsert.intoParquet(target, delta,
+              Seq("customer_id", "activity_month"))
+          }
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+
+    interDf(oldInteractions).write.mode("append").parquet(in)
+    drain()
+    assert(spark.read.parquet(target).count() == 1) // C1 × 2024-12
+    interDf(newInteractions).write.mode("append").parquet(in)
+    drain() // E3 lands in the already-published December month
+    assert(rows(spark.read.parquet(target)) == rows(statics("fct_customer_activity")),
+      "streamed aggregate mart must equal the one-shot batch build")
+  }
+
   test("refresh with no new orders appends nothing (idempotent)") {
     val store = java.nio.file.Files.createTempDirectory("ecom_idem").toString
     val models = Ecom.models(now, today)
