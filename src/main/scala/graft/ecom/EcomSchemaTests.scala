@@ -199,12 +199,27 @@ object EcomSchemaTests {
       case Rel(t, col, p, pc, _) => Quality.relationship(tables(t), col, tables(p), pc)
     }
 
+  // qa spill dirs are JVM-temp per frame() call; reclaim them on exit so
+  // repeated audits never accumulate disk (same leak class the round-3
+  // components spills had)
+  private val spillDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      spillDirs.forEach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(d)
+      }))
+  }
+
   /** One row per declared test: (test_name, severity, failures). Every
     * referenced table is spilled to parquet ONCE first — the 150-way union
     * then analyzes as flat scans instead of re-deriving view plans per
     * check (dim parents appear in 10+ relationship arms). */
   def frame(spark: SparkSession, tables: Map[String, DataFrame]): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_qa_").toString
+    spillDirs.add(new java.io.File(tmp))
     val flat = checks.flatMap(_.tables).distinct.map { n =>
       tables(n).write.mode("overwrite").parquet(s"$tmp/$n")
       n -> spark.read.parquet(s"$tmp/$n")

@@ -81,6 +81,14 @@ class PlanAssertionsSpec extends SparkSpec {
       s"filter stage fell out of whole-stage codegen:\n$plan")
   }
 
+  test("multi-probe ANN broadcasts the probe side and never goes cartesian") {
+    val plan = planOf("ann_lsh_multiprobe")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe set (queries × bits+1) must broadcast against the corpus:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"bucket equi-join must not degrade to a product join:\n$plan")
+  }
+
   test("sketch expressions keep their projection inside whole-stage codegen") {
     // simhash (inline codegen) and minhash band keys (reference-object
     // dispatch) both must NOT break the surrounding codegen stage.
