@@ -88,6 +88,9 @@ object ModelGraph {
     ordered.groupBy(m => lvl(m.name)).toSeq.sortBy(_._1).map(_._2)
   }
 
+  /** Watermark-aggregate alias — named so no real model column collides. */
+  private val WmAlias = "__graft_wm"
+
   /** Incremental bootstrap probe. Only genuine absence returns false; a
     * transient FS/permission error (or an OOM) must NOT be silently read
     * as "table missing" and trigger a full Overwrite where an append was
@@ -126,9 +129,11 @@ object ModelGraph {
           if (!tableExists(spark, path)) { // first run bootstraps the full build (SURVEY §7.4 #5)
             built.write.mode(SaveMode.Overwrite).parquet(path)
           } else {
-            val watermark = spark.read.parquet(path).agg(max(col(wm)).as("wm"))
+            // reserved alias: a model watermarking on a column literally
+            // named like the aggregate alias must not self-collide
+            val watermark = spark.read.parquet(path).agg(max(col(wm)).as(WmAlias))
             built.crossJoin(broadcast(watermark))
-              .filter(col(wm) > col("wm")).drop("wm")
+              .filter(col(wm) > col(WmAlias)).drop(WmAlias)
               .write.mode(SaveMode.Append).parquet(path)
           }
           spark.read.parquet(path)
@@ -152,13 +157,13 @@ object ModelGraph {
             built.write.mode(SaveMode.Overwrite).parquet(path)
           } else {
             val existing = spark.read.parquet(path)
-            val watermark = existing.agg(max(col(wm)).as("wm"))
+            val watermark = existing.agg(max(col(wm)).as(WmAlias))
             val keep = existing.crossJoin(broadcast(watermark))
-              .filter(col(wm) < col("wm")).drop("wm")
+              .filter(col(wm) < col(WmAlias)).drop(WmAlias)
             // >= (not >): the boundary group is the one that accretes; an
             // all-null/empty store recomputes everything (isNull arm)
             val fresh = built.crossJoin(broadcast(watermark))
-              .filter(col(wm) >= col("wm") || col("wm").isNull).drop("wm")
+              .filter(col(wm) >= col(WmAlias) || col(WmAlias).isNull).drop(WmAlias)
             // keep reads from `path`, so the merge lands in a sibling tmp
             // dir first and swaps via rename — never overwrite what a plan
             // still scans. Same hidden-leaf naming discipline as
