@@ -46,9 +46,12 @@ object SimilarityQueries {
   private val SimhashBandBits = 15
   private val HammingT = 3
   private val CosineT = 0.45
-  // looser than CosineT: semantic GROUPING wants clusters, not only the
-  // tightest near-dup pairs — 0.3 yields multi-member groups at test SFs
-  private val SemanticT = 0.3
+  // same threshold as the exact near-dup baseline: with multi-probe pair
+  // generation there is no recall loss to compensate with a looser cut,
+  // and a loose cut + transitive grouping collapses the corpus into one
+  // mega-group (measured: 0.3 chained 1995 of 2000 sf0.1 vectors into a
+  // single component — the classic transitive-collapse failure mode)
+  private val SemanticT = CosineT
   private val EmbDim = 64
   private val AnnK = 5
   private val LshSeed = 7
@@ -356,25 +359,37 @@ object SimilarityQueries {
 
   /** SEMANTIC dedup end to end — the composition a 100 TB training
     * pipeline actually runs: LSH-bucketed candidate pairs (never all-pairs;
-    * candidates shrink to same-bucket), cosine-threshold verification, and
-    * connected components to turn pairs into duplicate GROUPS with a
-    * canonical (min-id) representative to keep. Every stage is the
-    * already-proven scale path ([[annLshBucket]] bucketing,
-    * [[graft.operators.Components]] label propagation); this key proves
-    * they COMPOSE, oracle-replayed including the recursive-CTE components. */
+    * candidates shrink to same-bucket plus the hamming-1 probe ring),
+    * cosine-threshold verification, and connected components to turn pairs
+    * into duplicate GROUPS with a canonical (min-id) representative to
+    * keep. Pair generation is MULTI-PROBE ([[annLshMultiprobe]]'s ring):
+    * one hyperplane sign flip would otherwise hide a true near-dup pair in
+    * adjacent buckets, and a dedup pipeline can't re-query what it missed.
+    * A pair (x,y) is found exactly once — x's probe list contains y's home
+    * bucket iff the buckets are equal or differ by one bit, a symmetric
+    * relation, and `vec_a < vec_b` picks the single orientation. Cost is
+    * (bits+1)·bucket per row — still linear in corpus size.
+    * Every stage is the already-proven scale path; this key proves they
+    * COMPOSE, oracle-replayed including the recursive-CTE components. */
   private val dedupSemantic: Q = (s, dir) => {
     import s.implicits._
+    val bits = lshBits(s, dir)
+    def flip(b: org.apache.spark.sql.Column, i: Int) = concat(
+      substring(b, 1, i),
+      when(substring(b, i + 1, 1) === "0", "1").otherwise("0"),
+      substring(b, i + 2, bits))
     val emb = spread(Tables(s, dir, "embeddings")).select($"vec_id", $"embedding",
-      Vectors.hyperplaneBucket($"embedding", EmbDim, lshBits(s, dir), LshSeed).as("bucket"),
+      Vectors.hyperplaneBucket($"embedding", EmbDim, bits, LshSeed).as("bucket"),
       Vectors.fnorm($"embedding").as("nrm"))
-    val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"), $"bucket", $"nrm".as("na"))
+    val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"), $"nrm".as("na"),
+      explode(array($"bucket" +: (0 until bits).map(flip($"bucket", _)): _*)).as("bucket"))
     val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"), $"bucket", $"nrm".as("nb"))
-    val pairs = a.join(b, Seq("bucket"))
+    val pairs = a.hint("shuffle_hash").join(b, Seq("bucket"))
       .filter($"vec_a" < $"vec_b")
       .filter(Vectors.cosinePrenormed(Vectors.fdot($"ea", $"eb"), $"na", $"nb") >= SemanticT)
       .select($"vec_a".as("src"), $"vec_b".as("dst"))
-    // loose-threshold semantic graphs chain: diameter ~15 measured at
-    // sf0.1, so give propagation headroom over the default cap
+    // semantic graphs can still chain; keep propagation headroom over the
+    // default cap (pointer jumping needs O(log diameter) rounds)
     graft.operators.Components.connectedComponents(pairs, maxIterations = 60)
       .select($"id".as("vec_id"), $"component".as("group_id"))
       .withColumn("is_canonical", $"vec_id" === $"group_id")
@@ -600,8 +615,13 @@ object SimilarityQueries {
       s"""WITH RECURSIVE $bitsCte,
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
          |   ${bucketSql("CAST(embedding AS DOUBLE[])")} bucket FROM embeddings, bits),
+         |ap AS (SELECT e.vec_id, e.emb,
+         |   unnest([e.bucket] || [CONCAT(substr(e.bucket, 1, b),
+         |     CASE substr(e.bucket, b + 1, 1) WHEN '0' THEN '1' ELSE '0' END,
+         |     substr(e.bucket, b + 2)) FOR b IN range(0, bits.bits)]) AS bucket
+         | FROM e, bits),
          |pairs AS (SELECT a.vec_id vec_a, b.vec_id vec_b
-         |  FROM (SELECT vec_id, emb ea, bucket FROM e) a
+         |  FROM (SELECT vec_id, emb ea, bucket FROM ap) a
          |  JOIN (SELECT vec_id, emb eb, bucket FROM e) b
          |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |  WHERE $cosineSql >= $SemanticT),
