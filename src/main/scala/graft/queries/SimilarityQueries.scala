@@ -86,6 +86,7 @@ object SimilarityQueries {
     "ann_lsh_multiprobe" -> annLshMultiprobe,
     "ann_ivf" -> annIvf,
     "ann_recall_at_k" -> annRecallAtK,
+    "ann_q8_recall" -> annQ8Recall,
     "dedup_semantic" -> dedupSemantic
   )
 
@@ -355,6 +356,43 @@ object SimilarityQueries {
       .filter($"rank" <= 3)
       .select($"query_id", $"rank", $"neighbor_id")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** Int8 symmetric quantization — the embedding STORAGE path at 100 TB:
+    * per-vector scale = max |component|, q_i = round(v_i·127/scale), 4×
+    * smaller at rest, dequantize on read. This key measures what the
+    * compression costs: top-3 neighbors ranked over dequantized vectors
+    * vs exact float truth, per query, as oracle-checked integers — the
+    * same exact-integer recall contract as [[annRecallAtK]]. All
+    * arithmetic (round-half-up, fold order, division tree) is mirrored
+    * token-for-token by the DuckDB replay. */
+  private val annQ8Recall: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.Column
+    def top3(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+      scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+        .select($"query_id", $"neighbor_id")
+    }
+    val emb = spread(Tables(s, dir, "embeddings")).select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("fe"))
+    val deq = emb.select($"vec_id", $"fe",
+        greatest(array_max(transform($"fe", abs(_))), lit(1e-30)).as("scale"))
+      .select($"vec_id",
+        transform($"fe", x => round(x * 127.0 / $"scale") * $"scale" / 127.0).as("qe"))
+    def scored(t: DataFrame, vec: String): DataFrame =
+      broadcast(t.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), col(vec).as("qv")))
+        .join(t.select($"vec_id".as("neighbor_id"), col(vec).as("nv")),
+          $"query_id" =!= $"neighbor_id")
+        .select($"query_id", $"neighbor_id",
+          Vectors.cosine($"qv", $"nv").as("cos"))
+    val truth = top3(scored(emb, "fe")).withColumn("hit", lit(1))
+    top3(scored(deq, "qe"))
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(coalesce(sum($"hit"), lit(0)).cast("int").as("hits_at_3"))
+      .orderBy($"query_id")
   }
 
   /** SEMANTIC dedup end to end — the composition a 100 TB training
@@ -631,6 +669,32 @@ object SimilarityQueries {
          |          UNION SELECT r.id, e2.d FROM reach r JOIN edges e2 ON r.o = e2.s)
          |SELECT id AS vec_id, MIN(o) AS group_id, id = MIN(o) AS is_canonical
          |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    "ann_q8_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) fe FROM embeddings),
+         |d AS (SELECT vec_id, fe,
+         |   GREATEST(list_max([abs(x) FOR x IN fe]), 1e-30) AS scale FROM e),
+         |q8 AS (SELECT vec_id,
+         |   [round(x * 127.0 / scale) * scale / 127.0 FOR x IN fe] AS qe FROM d),
+         |t_scored AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
+         |   (SELECT $cosineSql FROM (SELECT q.fe ea, n.fe eb)) cos
+         |  FROM e q JOIN e n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+         |  FROM t_scored) WHERE rank <= 3),
+         |q_scored AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
+         |   (SELECT $cosineSql FROM (SELECT q.qe ea, n.qe eb)) cos
+         |  FROM q8 q JOIN q8 n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+         |  FROM q_scored) WHERE rank <= 3)
+         |SELECT a.query_id,
+         | CAST(COALESCE(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 END), 0) AS INT) hits_at_3
+         |FROM approx a LEFT JOIN truth t
+         |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY a.query_id ORDER BY a.query_id""".stripMargin,
 
     "ann_recall_at_k" ->
       s"""WITH $bitsCte,
