@@ -233,6 +233,14 @@ object EcomSchemaTests {
       .orderBy("test_name")
   }
 
+  /** dbt `store_failures` parity: run the whole matrix through
+    * [[Quality.run]], persisting each failing-row set under
+    * `failuresPath/<test_name>` for audit — the counts are the same ones
+    * [[frame]] emits. */
+  def storeFailures(tables: Map[String, DataFrame],
+      failuresPath: String): Seq[Quality.CheckResult] =
+    Quality.run(checks.map(c => c.name -> failing(tables, c)), Some(failuresPath))
+
   // ------------------------------------------------------------- oracle --
 
   /** DuckDB replay of one check over CTE relations (names resolved by

@@ -165,6 +165,45 @@ class EcomPipelineSpec extends SparkSpec {
     assert(failures.isEmpty, s"failing checks: $failures")
   }
 
+  test("staging is row-preserving (the qa oracle's src->stg premise)") {
+    // the qa_schema_tests oracle resolves source-tier checks to the stg_*
+    // CTEs; that is sound only while staging is a pure 1:1 cast projection
+    val raw = graft.ecom.EcomFixture.raw(spark, sfDir)
+    val stg = Map(
+      "raw_customers" -> Ecom.stgCustomers(raw("raw_customers")),
+      "raw_orders" -> Ecom.stgOrders(raw("raw_orders")),
+      "raw_order_items" -> Ecom.stgOrderItems(raw("raw_order_items")),
+      "raw_products" -> Ecom.stgProducts(raw("raw_products")),
+      "raw_reviews" -> Ecom.stgReviews(raw("raw_reviews")),
+      "raw_categories" -> Ecom.stgCategories(raw("raw_categories")),
+      "raw_subcategories" -> Ecom.stgSubcategories(raw("raw_subcategories")),
+      "raw_interactions" -> Ecom.stgInteractions(raw("raw_interactions")))
+    stg.foreach { case (name, s) =>
+      assert(s.count() == raw(name).count(), s"$name staging dropped/added rows")
+    }
+  }
+
+  test("schema-test matrix store_failures persists each failing-row set") {
+    import graft.ecom.EcomSchemaTests
+    val dir = java.nio.file.Files.createTempDirectory("qa_fail").toString
+    // a tiny two-check slice of the machinery: one passing, one failing
+    val dup = out("order_items")
+    val results = graft.operators.Quality.run(Seq(
+      "unique__order_items__order_item_id" ->
+        graft.operators.Quality.unique(dup, Seq("order_item_id")),
+      "not_null__orders__order_id" ->
+        graft.operators.Quality.notNull(out("orders"), "order_id")),
+      Some(dir))
+    val byName = results.map(r => r.name -> r.failures).toMap
+    assert(byName("not_null__orders__order_id") == 0)
+    // failing sets persist under failuresPath/<test_name>; passing ones don't
+    results.filter(_.failures > 0).foreach { r =>
+      assert(new java.io.File(s"$dir/${r.name}").exists())
+    }
+    assert(!new java.io.File(s"$dir/not_null__orders__order_id").exists())
+    assert(EcomSchemaTests.checks.nonEmpty) // entry point wired for the full matrix
+  }
+
   test("declared schema.yml matrix is fully transcribed: 150 tests") {
     import graft.ecom.EcomSchemaTests
     val checks = EcomSchemaTests.checks
