@@ -28,6 +28,33 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Map(3L -> 3L, 7L -> 3L, 9L -> 3L))
   }
 
+  test("pointer jumping converges a diameter-255 chain in O(log d) rounds") {
+    import spark.implicits._
+    val chain = (1L until 256L).map(i => (i, i + 1)).toDF("src", "dst")
+    // plain min-label propagation needs ~255 rounds; label doubling closes
+    // a 2^k-hop chain in ~k+slack. maxIterations=12 FAILS LOUDLY if the
+    // operator ever regresses to linear rounds.
+    val scratch = java.nio.file.Files.createTempDirectory("cc_chain").toString
+    val got = Components.connectedComponents(chain, maxIterations = 12,
+      scratchDir = Some(scratch)).as[(Long, Long)].collect()
+    assert(got.length == 256 && got.forall(_._2 == 1L))
+    // cleanup contract: only the final labeling's files outlive the call
+    val left = new java.io.File(scratch).listFiles().map(_.getName).toSet
+    assert(left == Set("components"), s"stale spills left behind: $left")
+  }
+
+  test("non-convergence throws loudly and still cleans its spills") {
+    import spark.implicits._
+    val chain = (1L until 256L).map(i => (i, i + 1)).toDF("src", "dst")
+    val scratch = java.nio.file.Files.createTempDirectory("cc_fail").toString
+    intercept[IllegalStateException] {
+      Components.connectedComponents(chain, maxIterations = 2,
+        scratchDir = Some(scratch))
+    }
+    val left = new java.io.File(scratch).listFiles().map(_.getName).toSet
+    assert(left.isEmpty, s"failed run left spills behind: $left")
+  }
+
   test("operator releases every cached block before returning (ADVICE r3)") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet
