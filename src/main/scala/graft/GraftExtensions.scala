@@ -58,6 +58,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_array_hash60", "_FUNC_(arr) - per-element 60-bit md5 hash of a string array",
       Exactly(1),
       children => graft.functions.ArrayHash60Expr(children.head, ""))
+    register(ext, "graft_q8_scale", "_FUNC_(arr) - symmetric int8 quantization scale (max |component|)",
+      Exactly(1),
+      children => exprOf(graft.functions.Vectors.q8Scale(colOf(children.head))))
+    register(ext, "graft_q8_quantize", "_FUNC_(arr, scale) - quantize a float array to int8 under scale",
+      Exactly(2),
+      children => exprOf(graft.functions.Vectors.q8Quantize(
+        colOf(children.head), colOf(children(1)))))
+    register(ext, "graft_q8_dequantize", "_FUNC_(qarr, scale) - dequantize an int8 array under scale",
+      Exactly(2),
+      children => exprOf(graft.functions.Vectors.q8Dequantize(
+        colOf(children.head), colOf(children(1)))))
     register(ext, "graft_media_header",
       "_FUNC_(binary) - parse a PNG/JPEG/GIF/WAV container header to (format, width, height, sample_rate, channels, bits_per_sample)",
       Exactly(1),

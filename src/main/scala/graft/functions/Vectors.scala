@@ -55,4 +55,26 @@ object Vectors {
   /** k-bit signature as a string bucket key. */
   def hyperplaneBucket(v: Column, dim: Int, bits: Int, seed: Int): Column =
     concat_ws("", (0 until bits).map(b => hyperplaneBit(v, dim, seed * 1000 + b)): _*)
+
+  // ---- int8 storage quantization ----------------------------------------
+  // Symmetric per-vector quantization: scale = max |component|, q_i =
+  // round(v_i · 127 / scale) as a tinyint — 4× smaller at rest than
+  // float32, 8× than float64. Values are clamped by construction
+  // (|v_i| ≤ scale ⇒ |q_i| ≤ 127), so the tinyint cast can't overflow
+  // even under ANSI. Dequantize is exact over the int lattice: the round
+  // result is integral in [-127, 127], so the byte roundtrip loses
+  // nothing beyond the quantization itself.
+
+  /** Per-vector quantization scale (floored: a zero vector quantizes to
+    * zeros instead of dividing by zero). */
+  def q8Scale(v: Column): Column =
+    greatest(array_max(transform(d(v), abs(_))), lit(1e-30))
+
+  /** `array<float|double>` → `array<tinyint>` under `scale`. */
+  def q8Quantize(v: Column, scale: Column): Column =
+    transform(d(v), x => round(x * 127.0 / scale).cast("tinyint"))
+
+  /** `array<tinyint>` → `array<double>` under the same `scale`. */
+  def q8Dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale / 127.0)
 }

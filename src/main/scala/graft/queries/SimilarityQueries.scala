@@ -376,10 +376,11 @@ object SimilarityQueries {
     }
     val emb = spread(Tables(s, dir, "embeddings")).select($"vec_id",
       transform($"embedding", x => x.cast("double")).as("fe"))
-    val deq = emb.select($"vec_id", $"fe",
-        greatest(array_max(transform($"fe", abs(_))), lit(1e-30)).as("scale"))
+    // a REAL array<tinyint> roundtrip — the stored form is bytes, not a
+    // simulated rounding (exact over the int lattice, see Vectors.q8*)
+    val deq = emb.select($"vec_id", $"fe", Vectors.q8Scale($"fe").as("scale"))
       .select($"vec_id",
-        transform($"fe", x => round(x * 127.0 / $"scale") * $"scale" / 127.0).as("qe"))
+        Vectors.q8Dequantize(Vectors.q8Quantize($"fe", $"scale"), $"scale").as("qe"))
     def scored(t: DataFrame, vec: String): DataFrame =
       broadcast(t.filter($"vec_id" < 10)
           .select($"vec_id".as("query_id"), col(vec).as("qv")))

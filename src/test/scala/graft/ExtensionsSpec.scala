@@ -50,6 +50,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == 32.0)
   }
 
+  test("graft_q8 SQL functions roundtrip within quantization error") {
+    import spark.implicits._
+    Seq(Tuple1(Array(0.5f, -1.0f, 0.25f, 0.0f)))
+      .toDF("v").createOrReplaceTempView("ext_spec_q8")
+    val r = spark.sql(
+      """SELECT graft_q8_scale(v) AS s,
+        |  graft_q8_quantize(v, graft_q8_scale(v)) AS q,
+        |  graft_q8_dequantize(graft_q8_quantize(v, graft_q8_scale(v)),
+        |                      graft_q8_scale(v)) AS d
+        |FROM ext_spec_q8""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getSeq[Byte](1) == Seq[Byte](64, -127, 32, 0))
+    val d = r.getSeq[Double](2)
+    val orig = Seq(0.5, -1.0, 0.25, 0.0)
+    assert(d.zip(orig).forall { case (a, b) => math.abs(a - b) <= 0.5 / 127 })
+  }
+
   test("graft_media_header SQL function parses container headers") {
     import spark.implicits._
     // 33-byte PNG prelude: signature + IHDR with BE32 width/height
