@@ -77,6 +77,7 @@ object SimilarityQueries {
 
   def queries: Map[String, Q] = Map(
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_keep_best" -> dedupKeepBest,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_components" -> dedupComponents,
@@ -156,6 +157,28 @@ object SimilarityQueries {
       .orderBy($"doc_id")
   }
 
+
+  /** Keeper SELECTION — the decision a dedup pipeline actually ships:
+    * per duplicate group, keep the RICHEST document (most tokens,
+    * deterministic doc_id tiebreak), not the arbitrary min-id member.
+    * Composed entirely from proven pieces: the exact-Jaccard pair graph,
+    * connected components, and the token counter; one rank-1 window over
+    * groups. Output per group: size + the surviving doc. */
+  private val dedupKeepBest: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = ngramJaccardPairs(s, dir).select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val comp = graft.operators.Components.connectedComponents(pairs)
+      .select($"id".as("doc_id"), $"component".as("component_id"))
+    val tc = spread(Tables(s, dir, "documents"))
+      .select($"doc_id", Text.tokenCount($"text").as("n_tokens"))
+    val w = Window.partitionBy($"component_id").orderBy($"n_tokens".desc, $"doc_id")
+    comp.join(tc, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"component_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(when($"rn" === 1, $"doc_id")).as("keep_doc_id"))
+      .orderBy($"component_id")
+  }
 
   /** MinHash + LSH banding: 32 md5-permutations, 8 bands × 4 rows; band
     * bucket-join yields candidates, exact Jaccard verifies. */
@@ -557,6 +580,26 @@ object SimilarityQueries {
          |SELECT doc_id, component_id,
          | COUNT(*) OVER (PARTITION BY component_id) AS n_members
          |FROM comp ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |cand AS (SELECT x.doc_id doc_a, y.doc_id doc_b FROM shd x JOIN shd y ON x.doc_id < y.doc_id),
+         |pairs AS ($jaccardVerifySql),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT s AS id, s AS o FROM edges
+         |          UNION SELECT r.id, e.d FROM reach r JOIN edges e ON r.o = e.s),
+         |comp AS (SELECT id AS doc_id, MIN(o) AS component_id FROM reach GROUP BY id),
+         |tc AS (SELECT doc_id,
+         |   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+         |  FROM documents),
+         |ranked AS (SELECT c.component_id, c.doc_id,
+         |   ROW_NUMBER() OVER (PARTITION BY c.component_id
+         |     ORDER BY t.n_tokens DESC, c.doc_id) rn
+         |  FROM comp c JOIN tc t ON c.doc_id = t.doc_id)
+         |SELECT component_id, COUNT(*) AS n_members,
+         | MIN(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id
+         |FROM ranked GROUP BY component_id ORDER BY component_id""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $shinglesCte,
