@@ -88,7 +88,12 @@ object MediaHeader {
               bits = le16(b, i + 22))
           return row("wav")
         }
-        if (size < 0) return row("wav") // corrupt size — stop scanning
+        // Validate BEFORE advancing: a crafted size near Int.MaxValue passes
+        // a sign check but overflows `i + 8 + size` to negative, and the next
+        // iteration indexes out of bounds — on a 100 TB ingest path one bad
+        // file must not kill the task. Any chunk whose payload can't fit in
+        // the remaining buffer is corrupt/truncated → stop scanning.
+        if (size < 0 || size > b.length - i - 8) return row("wav")
         i += 8 + size + (size & 1) // RIFF chunks are word-aligned
       }
       return row("wav")

@@ -126,13 +126,22 @@ object ModelGraph {
           built.write.mode(SaveMode.Overwrite).parquet(path)
           spark.read.parquet(path)
         case Incremental(wm) =>
+          // A NULL watermark is unsupportable under high-watermark APPEND:
+          // the row can never be compared against MAX(wm), so it would
+          // either vanish (fails `>`) or duplicate on every refresh.
+          // Fail loudly per-row instead of silently losing data —
+          // assert_true returns NULL when the predicate holds, so the
+          // filter passes every valid row and throws on the first NULL.
+          val guarded = built.filter(assert_true(col(wm).isNotNull,
+            lit(s"Incremental($wm): NULL watermark row — high-watermark append " +
+              "cannot track it; filter NULLs upstream or use IncrementalMerge")).isNull)
           if (!tableExists(spark, path)) { // first run bootstraps the full build (SURVEY §7.4 #5)
-            built.write.mode(SaveMode.Overwrite).parquet(path)
+            guarded.write.mode(SaveMode.Overwrite).parquet(path)
           } else {
             // reserved alias: a model watermarking on a column literally
             // named like the aggregate alias must not self-collide
             val watermark = spark.read.parquet(path).agg(max(col(wm)).as(WmAlias))
-            built.crossJoin(broadcast(watermark))
+            guarded.crossJoin(broadcast(watermark))
               .filter(col(wm) > col(WmAlias)).drop(WmAlias)
               .write.mode(SaveMode.Append).parquet(path)
           }
@@ -161,9 +170,15 @@ object ModelGraph {
             val keep = existing.crossJoin(broadcast(watermark))
               .filter(col(wm) < col(WmAlias)).drop(WmAlias)
             // >= (not >): the boundary group is the one that accretes; an
-            // all-null/empty store recomputes everything (isNull arm)
+            // all-null/empty store recomputes everything (isNull arm).
+            // NULL-watermark rows route into fresh EXPLICITLY — they fail
+            // both `< max` (keep) and `>= max` (fresh) under 3-valued
+            // logic and would otherwise vanish on every refresh; since
+            // keep ∪ fresh replaces the store, re-deriving them from the
+            // new build each refresh is exactly right (no duplication).
             val fresh = built.crossJoin(broadcast(watermark))
-              .filter(col(wm) >= col(WmAlias) || col(WmAlias).isNull).drop(WmAlias)
+              .filter(col(wm) >= col(WmAlias) || col(WmAlias).isNull ||
+                col(wm).isNull).drop(WmAlias)
             // keep reads from `path`, so the merge lands in a sibling tmp
             // dir first and swaps via rename — never overwrite what a plan
             // still scans. Same hidden-leaf naming discipline as

@@ -62,6 +62,36 @@ class ModelGraphSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L, 4L)) // late row 0 filtered, no re-appends
   }
 
+  test("Incremental rejects NULL watermarks loudly; IncrementalMerge keeps them") {
+    import spark.implicits._
+    import graft.plans.ModelGraph.IncrementalMerge
+    def withNull = Map("orders" -> Seq(
+      (1L, Option("2024-01-01"), 10.0), (2L, Option("2024-01-02"), 20.0),
+      (9L, Option.empty[String], 99.0)) // NULL watermark row
+      .toDF("order_id", "order_date", "total"))
+
+    // Incremental: a NULL wm row can never be high-watermark-tracked —
+    // silently dropping it (the old 3-valued-logic behavior) loses data,
+    // so the build must fail loudly instead.
+    val inc = Model("fct_inc", Seq("orders"), d => d("orders"), Incremental("order_date"))
+    val e = intercept[Exception] {
+      ModelGraph.run(spark, Seq(inc), withNull,
+        Files.createTempDirectory("mgnull1").toString)
+    }
+    assert(e.getMessage != null || e.getCause != null) // job fails, store untouched
+
+    // IncrementalMerge: NULL-wm rows route into the fresh branch — they
+    // survive every refresh (re-derived, not duplicated, not dropped).
+    val dir = Files.createTempDirectory("mgnull2").toString
+    val mrg = Model("fct_mrg", Seq("orders"), d => d("orders"), IncrementalMerge("order_date"))
+    ModelGraph.run(spark, Seq(mrg), withNull, dir) // bootstrap
+    ModelGraph.run(spark, Seq(mrg), withNull, dir) // refresh 1
+    ModelGraph.run(spark, Seq(mrg), withNull, dir) // refresh 2
+    val rows = spark.read.parquet(s"$dir/fct_mrg")
+      .select("order_id").as[Long].collect().sorted.toSeq
+    assert(rows == Seq(1L, 2L, 9L), s"NULL-watermark row lost or duplicated: $rows")
+  }
+
   test("incremental probe: absence bootstraps, corrupt data rethrows") {
     val dir = Files.createTempDirectory("mgprobe").toString
     // genuine absence → false → bootstrap is the right call

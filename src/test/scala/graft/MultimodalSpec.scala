@@ -67,6 +67,30 @@ class MultimodalSpec extends SparkSpec {
     assert(parse(Array.empty[Byte]) == (null, null, null, null, null, null))
   }
 
+  test("MediaHeader survives corrupt WAV chunk sizes (no overflow, no throw)") {
+    // Crafted chunk size 0x7FFFFFF0 passes a sign check but would overflow
+    // `i + 8 + size` to negative — must degrade to row("wav"), not throw.
+    def wavWithChunk(size: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(28).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("ASCII")).putInt(20).put("WAVE".getBytes("ASCII"))
+      bb.put("junk".getBytes("ASCII")).putInt(size)
+      bb.put(Array.fill[Byte](8)(0)).array()
+    }
+    for (size <- Seq(0x7ffffff0, 0x7fffffff, Int.MinValue, -1, 0x10000, 9)) {
+      val r = MediaHeader.decode(wavWithChunk(size))
+      assert(r.getUTF8String(0).toString == "wav") // recognized container, no fmt found
+    }
+    // Deterministic fuzz: arbitrary bytes after a RIFF/WAVE prelude never throw.
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val tail = Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt().toByte)
+      val b = "RIFF".getBytes("ASCII") ++ Array.fill[Byte](4)(rnd.nextInt().toByte) ++
+        "WAVE".getBytes("ASCII") ++ tail
+      MediaHeader.decode(b) // must not throw
+      MediaHeader.decode(tail) // nor on raw noise
+    }
+  }
+
   test("imageFeatures decodes the container header alongside declared meta") {
     val f = Multimodal.imageFeatures(mediaDf).orderBy("media_id").collect()
     assert(f.length == 2)

@@ -48,6 +48,39 @@ class SimilarityScaleSpec extends SparkSpec {
       s"multi-probe recall ${hits("lsh_mp")} fell below single-bucket ${hits("lsh")}")
   }
 
+  test("brute-force baselines are fenced beyond their envelope") {
+    // The fence must trip at plan-build time (require), not mid-job: set
+    // the envelope below the sf corpus size and expect a loud failure that
+    // names the scale paths. Restore the property whatever happens.
+    val key = "graft.maxBruteForceRows"
+    try {
+      System.setProperty(key, "3")
+      for (q <- Seq("emb_neardup_cosine", "ann_cosine_topk")) {
+        val e = intercept[IllegalArgumentException](
+          SimilarityQueries.queries(q)(spark, sfDir))
+        assert(e.getMessage.contains("brute-force") &&
+          e.getMessage.contains("ann_lsh_bucket"), s"unhelpful fence message: $e")
+      }
+    } finally System.clearProperty(key)
+    // back under the default envelope the baselines still build and run
+    assert(SimilarityQueries.queries("ann_cosine_topk")(spark, sfDir).count() > 0)
+  }
+
+  test("bits re-derive for a regenerated dir (cache keyed by session, not dir alone)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bitscache").toString
+    def writeCorpus(n: Int): Unit = (1 to n).map(i => (i.toLong, Array.fill(4)(0.1f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    writeCorpus(100)
+    assert(SimilarityQueries.lshBits(spark, dir) == 2) // 4 buckets × 128 ≥ 100
+    // regenerate the dir with 10× the rows: a fresh session must observe
+    // the new corpus size, not the first session's cached probe
+    writeCorpus(1000)
+    assert(SimilarityQueries.lshBits(spark.newSession(), dir) == 3,
+      "stale corpus-size probe served for a regenerated dir")
+  }
+
   test("candidate pairs grow ~linearly from sf0.01 to sf0.1 (derived bits differ)") {
     val (n1, bits1, pairs1) = candidatePairs("/root/testdata/sf0.01")
     val (n2, bits2, pairs2) = candidatePairs("/root/testdata/sf0.1")

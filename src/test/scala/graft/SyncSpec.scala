@@ -54,6 +54,38 @@ class SyncSpec extends SparkSpec {
       Sync.fingerprint(t1.withColumnRenamed("v", "w")))
   }
 
+  test("fingerprint distinguishes which column holds the NULL") {
+    import spark.implicits._
+    // XxHash64 skips NULL inputs — without the positional null bitmap these
+    // two frames hash identically and a changed table reports "skipped".
+    val a = Seq((Option("x"), Option.empty[String]), (Option("y"), Option("z")))
+      .toDF("c1", "c2")
+    val b = Seq((Option.empty[String], Option("x")), (Option("y"), Option("z")))
+      .toDF("c1", "c2")
+    assert(Sync.fingerprint(a) != Sync.fingerprint(b))
+
+    val dst = Files.createTempDirectory("sync_null").toString
+    Sync.sync(spark, Map("t" -> a), dst)
+    val r = Sync.sync(spark, Map("t" -> b), dst)
+    assert(r.head.action == "copied", "null-position swap must be detected as change")
+  }
+
+  test("stale state from a racing writer is caught by version keying") {
+    val dst = Files.createTempDirectory("sync_race").toString
+    Sync.sync(spark, Map("orders" -> t1), dst) // v=1, state describes v=1
+    // A racing writer commits v=2 with new content, but its state write
+    // never lands — the state file still describes v=1.
+    val changed = t1.withColumn("v", col("v") * 2)
+    VersionedTable.write(changed, s"$dst/orders")
+    // Version-keyed state: recorded version 1 != current 2 → state is
+    // discarded and the CURRENT snapshot re-fingerprinted, which already
+    // holds this content → skipped. (Trusting the stale state would have
+    // diffed against v=1's fingerprint and spuriously re-copied as v=3.)
+    val r = Sync.sync(spark, Map("orders" -> changed), dst)
+    assert(r.head.action == "skipped", s"spurious re-copy: $r")
+    assert(VersionedTable.listVersions(spark, s"$dst/orders") == Seq(1L, 2L))
+  }
+
   test("missing state file self-heals by re-fingerprinting the destination") {
     val dst = Files.createTempDirectory("sync3").toString
     Sync.sync(spark, Map("orders" -> t1), dst)
