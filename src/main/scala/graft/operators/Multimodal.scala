@@ -90,6 +90,93 @@ object Multimodal {
 
   final case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
   final case class DecodedRow(media_id: Long, n_bytes: Int, format: String)
+  final case class PixelStatsRow(media_id: Long, width: Int, height: Int,
+      n_pixels: Long, luma_sum: Long,
+      hist_0: Long, hist_1: Long, hist_2: Long, hist_3: Long)
+
+  /** Deterministic planted test image — the MediaHeader test-vector
+    * pattern lifted to PIXEL level: a w×h two-tone PNG whose left ⌊w/2⌋
+    * columns are tone (r,g,b) and the rest its complement. Every pixel
+    * statistic then has a closed form in (w, h, r, g, b), so an engine
+    * WITHOUT a codec (the DuckDB oracle) can verify the real decode.
+    * Encoded with the JVM's built-in ImageIO PNG writer — lossless 8-bit,
+    * so the decode side reads back exact planted values. */
+  def syntheticPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val toneA = (r << 16) | (g << 8) | b
+    val toneB = ((255 - r) << 16) | ((255 - g) << 8) | (255 - b)
+    val split = w / 2
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, if (x < split) toneA else toneB); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Planted image table: one real (ImageIO-encoded) PNG per id, with
+    * size and tones derived from the id so stats are oracle-computable.
+    * Encoding is codec work → lives behind the same mapPartitions seam
+    * as decoding. */
+  def plantedImages(ids: Dataset[Long]): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no temp files
+      it.map { id =>
+        MediaRow(id, "image", syntheticPng(
+          (id % 8 + 2).toInt, (id % 6 + 2).toInt,
+          (id * 37 % 256).toInt, (id * 59 % 256).toInt, (id * 83 % 256).toInt))
+      }
+    }
+  }
+
+  /** REAL pixel-level decode — the codec seam FILLED with the JVM's
+    * built-in ImageIO (PNG/JPEG/GIF/BMP): per image, integer BT.601 luma
+    * (lum = (299r + 587g + 114b) div 1000) summed over all pixels plus a
+    * 4-bucket luma histogram — exact integers, so a decoder regression
+    * flips the oracle hash, not a float tolerance. Undecodable payloads
+    * are dropped (the all-null-fields contract of the header parser,
+    * expressed as absence here). mapPartitions, not an Expression: a
+    * codec needs heap buffers and reader state that per-row codegen
+    * cannot host; the one-time per-partition init (ImageIO cache off) is
+    * exactly what the seam exists for. */
+  def pixelStats(media: Dataset[MediaRow]): Dataset[PixelStatsRow] = {
+    implicit val enc = Encoders.product[PixelStatsRow]
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { m =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+          catch { case _: java.io.IOException => null }
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0L
+          val hist = new Array[Long](4)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000
+              sum += lum
+              hist(lum >> 6) += 1
+              x += 1
+            }
+            y += 1
+          }
+          Some(PixelStatsRow(m.media_id, w, h, w.toLong * h, sum,
+            hist(0), hist(1), hist(2), hist(3)))
+        }
+      }
+    }
+  }
 
   /** The imperative per-partition seam — where a JNI/native decoder that
     * needs batch reuse (shared codec context per partition) would plug in.

@@ -105,9 +105,29 @@ object MediaQueries {
       .orderBy($"media_id", $"frame_ms")
   }
 
+  /** REAL pixel decode end to end: plant ImageIO-encoded two-tone PNGs
+    * with sizes/tones derived from doc_id ([[graft.operators.Multimodal
+    * .plantedImages]]), decode them back pixel-by-pixel
+    * ([[graft.operators.Multimodal.pixelStats]]: integer BT.601 luma sum +
+    * 4-bucket histogram), and let DuckDB — which has no image codec —
+    * verify via the CLOSED FORM the planted pattern guarantees: left
+    * ⌊w/2⌋ columns at tone (r,g,b), the rest at its complement. A codec
+    * bug (wrong channel order, off-by-one split, dropped row) shifts
+    * exact integers and fails the hash compare. */
+  private val mmPixelStats: Q = (s, dir) => {
+    import s.implicits._
+    val ids = Tables(s, dir, "documents")
+      .filter($"doc_id" % 3 === 0).select($"doc_id").as[Long]
+    graft.operators.Multimodal.pixelStats(
+      graft.operators.Multimodal.plantedImages(ids))
+      .toDF()
+      .orderBy($"media_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "mm_media_features" -> mmMediaFeatures,
-    "mm_frame_sample" -> mmFrameSample
+    "mm_frame_sample" -> mmFrameSample,
+    "mm_pixel_stats" -> mmPixelStats
   )
 
   // ------------------------------------------------------------- oracle --
@@ -156,6 +176,31 @@ object MediaQueries {
         | CASE WHEN m3 = 1 THEN CAST(1 AS INT) END AS channels,
         | CASE WHEN m3 = 1 THEN CAST(16 AS INT) END AS bits_per_sample
         |FROM m ORDER BY media_id""".stripMargin,
+
+    // The oracle has no codec — it derives every statistic from the
+    // planted construction: w×h two-tone image, split = w // 2, tones
+    // (r,g,b) and complement, integer luma (299r+587g+114b) // 1000.
+    "mm_pixel_stats" ->
+      """WITH base AS (SELECT doc_id,
+        |  CAST(doc_id % 8 + 2 AS BIGINT) w, CAST(doc_id % 6 + 2 AS BIGINT) h,
+        |  (doc_id * 37) % 256 ra, (doc_id * 59) % 256 ga, (doc_id * 83) % 256 ba
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |tones AS (SELECT doc_id, w, h, w // 2 AS split,
+        |  (299*ra + 587*ga + 114*ba) // 1000 AS la,
+        |  (299*(255-ra) + 587*(255-ga) + 114*(255-ba)) // 1000 AS lb
+        |  FROM base)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        | w * h AS n_pixels,
+        | split*h*la + (w-split)*h*lb AS luma_sum,
+        | split*h*(CASE WHEN la // 64 = 0 THEN 1 ELSE 0 END)
+        |   + (w-split)*h*(CASE WHEN lb // 64 = 0 THEN 1 ELSE 0 END) AS hist_0,
+        | split*h*(CASE WHEN la // 64 = 1 THEN 1 ELSE 0 END)
+        |   + (w-split)*h*(CASE WHEN lb // 64 = 1 THEN 1 ELSE 0 END) AS hist_1,
+        | split*h*(CASE WHEN la // 64 = 2 THEN 1 ELSE 0 END)
+        |   + (w-split)*h*(CASE WHEN lb // 64 = 2 THEN 1 ELSE 0 END) AS hist_2,
+        | split*h*(CASE WHEN la // 64 = 3 THEN 1 ELSE 0 END)
+        |   + (w-split)*h*(CASE WHEN lb // 64 = 3 THEN 1 ELSE 0 END) AS hist_3
+        |FROM tones ORDER BY media_id""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id,

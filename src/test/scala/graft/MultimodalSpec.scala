@@ -126,6 +126,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).format == null && out(1).n_bytes == 3)
   }
 
+  test("pixelStats really decodes pixels: closed-form match, noise dropped") {
+    import spark.implicits._
+    // id=5 → w=7,h=5, tones from id: r=185,g=39,b=159 (5*37, 5*59, 5*83 mod 256)
+    val ids = Seq(0L, 5L, 11L).toDS()
+    val withNoise = graft.operators.Multimodal.plantedImages(ids)
+      .union(Seq(MediaRow(99L, "image", Array[Byte](1, 2, 3))).toDS())
+    val out = graft.operators.Multimodal.pixelStats(withNoise)
+      .collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(0L, 5L, 11L)) // undecodable 99 dropped
+    def expected(id: Long) = {
+      val (w, h) = ((id % 8 + 2).toInt, (id % 6 + 2).toInt)
+      val (r, g, b) = ((id * 37 % 256).toInt, (id * 59 % 256).toInt, (id * 83 % 256).toInt)
+      val la = (299 * r + 587 * g + 114 * b) / 1000
+      val lb = (299 * (255 - r) + 587 * (255 - g) + 114 * (255 - b)) / 1000
+      val (na, nb) = ((w / 2).toLong * h, (w - w / 2).toLong * h)
+      (w, h, w.toLong * h, na * la + nb * lb,
+        (0 to 3).map(k => na * (if (la / 64 == k) 1 else 0) +
+          nb * (if (lb / 64 == k) 1 else 0)))
+    }
+    for (row <- out) {
+      val (w, h, n, sum, hist) = expected(row.media_id)
+      assert((row.width, row.height, row.n_pixels, row.luma_sum) == (w, h, n, sum),
+        s"pixel stats diverge from planted closed form for id ${row.media_id}")
+      assert(Seq(row.hist_0, row.hist_1, row.hist_2, row.hist_3) == hist)
+    }
+  }
+
   test("repartitionForMedia sizes partitions by byte budget") {
     val df = Multimodal.repartitionForMedia(mediaDf, targetBytesPerPartition = 200)
     assert(df.rdd.getNumPartitions == 2) // 512 bytes total / 200 → 2
