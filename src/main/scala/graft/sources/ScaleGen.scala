@@ -1,0 +1,245 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up test-data generator — reproduces TESTDATA.md's table shapes
+  * and distributions at ARBITRARY scale factors, for scaling evidence
+  * beyond the driver-provided sf0.1 (VERDICT r5 #2: "run the scaling
+  * check one decade higher").
+  *
+  * Everything is counter-based ([[DataGen]] primitives): same (seed, id)
+  * → same row on any partitioning, so a generated sf is reproducible
+  * bit-for-bit. Structure mirrors the measured sf0.1 data:
+  *  - TPC-H-ish star: 0-based dense keys, same value domains
+  *    (mktsegments, order statuses O/P/F, priorities, return flags,
+  *    ship-date lag ≤ ~95 days, ~Poisson(3)+1 lines per order);
+  *  - documents: 31-word vocab, 10–100 uniform word lengths, lang mix
+  *    (en 41%, zh/es/fr/de each ~14.75%), and — load-bearing for the
+  *    dedup operators — a FIXED PER-DOC near-dup rate (~5% of docs are
+  *    90%-kept mutations of an earlier doc, ~0.15% exact copies), which
+  *    is what makes qualifying-pair counts grow LINEARLY with the corpus
+  *    (measured on driver data: 25 pairs @ 500 docs → 256 @ 5000);
+  *  - embeddings: 64-dim clipped N(0, 0.125) vectors, 10 labels, ~4% of
+  *    vectors planted as tight perturbations of an earlier vector (the
+  *    driver corpus resolves to ~77 groups / 2000 vecs at cosine 0.45).
+  *
+  * Usage: `runMain graft.sources.ScaleGen <outDir> <sf>` — sf=1 writes
+  * ~6M lineitem rows (10× the driver's sf0.1).
+  */
+object ScaleGen {
+
+  private val M = 1L << 40
+  private def u01(cols: Column*): Column =
+    pmod(xxhash64(cols: _*), lit(M)).cast("double") / M.toDouble
+  private def pick(n: Long, cols: Column*): Column = pmod(xxhash64(cols: _*), lit(n))
+
+  /** Per-(id, i) standard normal via Box–Muller on two keyed uniforms. */
+  private def normal2(id: Column, i: Column, seed: Long): Column =
+    sqrt(lit(-2.0) * log(u01(lit(seed), id, i) + lit(1.0 / M))) *
+      cos(lit(2.0 * math.Pi) * u01(lit(seed + 1000003), id, i))
+
+  private def ids(spark: SparkSession, n: Long): DataFrame =
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism).toDF("id")
+
+  // ------------------------------------------------------------ star ----
+
+  def region(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"), (4, "MIDDLE EAST"))
+      .toDF("r_regionkey", "r_name")
+  }
+
+  def nation(spark: SparkSession): DataFrame =
+    spark.range(0, 25).select(col("id").cast("int").as("n_nationkey"),
+      concat(lit("NATION_"), col("id")).as("n_name"),
+      (col("id") % 5).cast("int").as("n_regionkey"))
+
+  def supplier(spark: SparkSession, n: Long, seed: Long): DataFrame =
+    ids(spark, n).select(col("id").as("s_suppkey"),
+      concat(lit("Supplier#"), lpad(col("id").cast("string"), 9, "0")).as("s_name"),
+      pick(25, lit(seed), col("id")).cast("int").as("s_nationkey"),
+      round(lit(-999.99) + u01(lit(seed + 1), col("id")) * 10999.98, 2).as("s_acctbal"))
+
+  def customer(spark: SparkSession, n: Long, seed: Long): DataFrame =
+    ids(spark, n).select(col("id").as("c_custkey"),
+      concat(lit("Customer#"), lpad(col("id").cast("string"), 9, "0")).as("c_name"),
+      pick(25, lit(seed), col("id")).cast("int").as("c_nationkey"),
+      round(lit(-999.99) + u01(lit(seed + 1), col("id")) * 10999.98, 2).as("c_acctbal"),
+      DataGen.categorical(col("id"),
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
+        Seq(1, 1, 1, 1, 1), seed + 2).as("c_mktsegment"))
+
+  private val PartNouns = Seq("ring", "bolt", "nut", "washer", "gear", "cog", "pin", "rod")
+  private val PartAdjs = Seq("large", "hot", "blue", "red", "green", "small", "cold", "dim")
+  private val PartTypes = Seq("LARGE", "ECONOMY", "SMALL", "STANDARD", "PROMO", "MEDIUM")
+
+  def part(spark: SparkSession, n: Long, seed: Long): DataFrame = {
+    val id = col("id")
+    def oneOf(vs: Seq[String], s: Long) =
+      element_at(array(vs.map(lit): _*), (pick(vs.size, lit(s), id) + 1).cast("int"))
+    ids(spark, n).select(id.as("p_partkey"),
+      concat(oneOf(PartAdjs, seed), lit(" "), oneOf(PartNouns, seed + 1)).as("p_name"),
+      concat(lit("Brand#"), pick(25, lit(seed + 2), id)).as("p_brand"),
+      oneOf(PartTypes, seed + 3).as("p_type"),
+      (pick(50, lit(seed + 4), id) + 1).cast("int").as("p_size"),
+      round(lit(900.0) + u01(lit(seed + 5), id) * 99.9, 2).as("p_retailprice"))
+  }
+
+  private val OrdersStartEpoch = java.sql.Timestamp.valueOf("1995-01-01 00:00:00").getTime / 1000
+  private val OrdersDays = 2404L // → max 2001-08-01, matching the driver window
+
+  def orders(spark: SparkSession, n: Long, seed: Long, nCustomers: Long): DataFrame = {
+    val id = col("id")
+    ids(spark, n).select(id.as("o_orderkey"),
+      pick(nCustomers, lit(seed), id).as("o_custkey"),
+      DataGen.categorical(id, Seq("O", "P", "F"), Seq(1, 1, 1), seed + 1).as("o_orderstatus"),
+      round(lit(1000.0) + u01(lit(seed + 2), id) * 499000.0, 2).as("o_totalprice"),
+      timestamp_seconds(lit(OrdersStartEpoch) +
+        pick(OrdersDays, lit(seed + 3), id) * 86400L).as("o_orderdate"),
+      DataGen.categorical(id, Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+        "5-LOW"), Seq(1, 1, 1, 1, 1), seed + 4).as("o_orderpriority"))
+  }
+
+  /** lineitem fans out of orders: Poisson(3)+1 lines (driver mean 4.08,
+    * max 17), part/supplier uniform, ship date ≤ ~95 days after order. */
+  def lineitem(orders: DataFrame, seed: Long, nParts: Long, nSuppliers: Long): DataFrame = {
+    val ok = col("l_orderkey")
+    val ln = col("l_linenumber")
+    orders.select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"),
+        (DataGen.poisson(col("o_orderkey"), 3.0, seed, maxK = 20) + 1).as("__n"))
+      .select(ok, col("o_orderdate"),
+        explode(sequence(lit(1), col("__n"))).as("__ln"))
+      .withColumn("l_linenumber", col("__ln").cast("int"))
+      .select(ok,
+        pick(nParts, lit(seed + 1), ok, ln).as("l_partkey"),
+        pick(nSuppliers, lit(seed + 2), ok, ln).as("l_suppkey"),
+        ln,
+        (pick(50, lit(seed + 3), ok, ln) + 1).cast("double").as("l_quantity"),
+        round((pick(50, lit(seed + 3), ok, ln) + 1).cast("double") *
+          (lit(900.0) + u01(lit(seed + 4), ok, ln) * 1200.0), 2).as("l_extendedprice"),
+        (pick(11, lit(seed + 5), ok, ln).cast("double") / 100).as("l_discount"),
+        (pick(9, lit(seed + 6), ok, ln).cast("double") / 100).as("l_tax"),
+        element_at(array(lit("N"), lit("A"), lit("R")),
+          (pick(3, lit(seed + 7), ok, ln) + 1).cast("int")).as("l_returnflag"),
+        element_at(array(lit("O"), lit("F")),
+          (pick(2, lit(seed + 8), ok, ln) + 1).cast("int")).as("l_linestatus"),
+        timestamp_seconds(unix_timestamp(col("o_orderdate")) +
+          (pick(95, lit(seed + 9), ok, ln) + 1) * 86400L).as("l_shipdate"))
+  }
+
+  private val EventsStartEpoch = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+
+  def events(spark: SparkSession, n: Long, seed: Long, nUsers: Long): DataFrame = {
+    val id = col("id")
+    ids(spark, n).select(id.as("event_id"),
+      timestamp_seconds((lit(EventsStartEpoch).cast("double") +
+        u01(lit(seed), id) * (30L * 86400)).cast("double")).as("ts"),
+      pick(nUsers, lit(seed + 1), id).as("user_id"),
+      DataGen.categorical(id, Seq("click", "view", "purchase", "signup", "error"),
+        Seq(1, 1, 1, 1, 1), seed + 2).as("event_type"),
+      round(lit(-50.0) * log(u01(lit(seed + 3), id) + lit(1.0 / M)), 2).as("value"),
+      concat(lit("{\"k\": "), pick(100, lit(seed + 4), id), lit("}")).as("props"))
+  }
+
+  // -------------------------------------------------------- documents ----
+
+  private val Vocab = Seq("a", "agg", "batch", "big", "column", "customer", "data",
+    "dup", "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window")
+
+  private val NearDupRate = 0.05 // ~fraction of docs that mutate an earlier doc
+  private val ExactDupRate = 0.0015
+  private val MutationKeep = 0.9 // per-word survival in a mutated copy
+
+  /** Word w(k) of document `docId` under `seed` — the pure function both
+    * fresh docs and mutation bases share. */
+  private def wordAt(docId: Column, k: Column, seed: Long): Column =
+    element_at(array(Vocab.map(lit): _*),
+      (pick(Vocab.size, lit(seed), docId, k) + 1).cast("int"))
+
+  private def docLen(docId: Column, seed: Long): Column =
+    (pick(91, lit(seed + 1), docId) + 10).cast("int") // 10..100 words
+
+  def documents(spark: SparkSession, n: Long, seed: Long): DataFrame = {
+    val id = col("id")
+    val roll = u01(lit(seed + 2), id)
+    // a mutated/exact copy points at a strictly-earlier base doc, so the
+    // graph is acyclic and one expression derives any doc's words
+    val base = when(id > 0, pick(Long.MaxValue, lit(seed + 3), id) % id).otherwise(lit(0L))
+    val isMut = roll < NearDupRate && id > 0
+    val isExact = roll >= NearDupRate && roll < (NearDupRate + ExactDupRate) && id > 0
+    val srcId = when(isMut || isExact, base).otherwise(id)
+    val words = transform(
+      sequence(lit(1), docLen(srcId, seed)),
+      k => when(isMut && u01(lit(seed + 4), id, k) > MutationKeep,
+        wordAt(id, k, seed + 5)) // replacement word, keyed to THIS doc
+        .otherwise(wordAt(srcId, k, seed)))
+    val text = concat_ws(" ", words)
+    ids(spark, n).select(id.as("doc_id"), text.as("text"),
+      DataGen.categorical(id, Seq("en", "zh", "es", "fr", "de"),
+        Seq(0.41, 0.1475, 0.1475, 0.1475, 0.1475), seed + 6).as("lang"),
+      concat(lit("src"), pick(20, lit(seed + 7), id)).as("source"),
+      length(text).as("n_chars"))
+  }
+
+  // ------------------------------------------------------- embeddings ----
+
+  private val EmbDim = 64
+  private val EmbStd = 0.125
+  private val EmbClip = 0.34
+  private val EmbNearDupRate = 0.04
+  private val EmbNoise = 0.03
+
+  def embeddings(spark: SparkSession, n: Long, seed: Long): DataFrame = {
+    val id = col("id")
+    val roll = u01(lit(seed), id)
+    val base = when(id > 0, pick(Long.MaxValue, lit(seed + 1), id) % id).otherwise(lit(0L))
+    val isDup = roll < EmbNearDupRate && id > 0
+    val srcId = when(isDup, base).otherwise(id)
+    def component(ofId: Column, i: Column): Column =
+      greatest(lit(-EmbClip), least(lit(EmbClip),
+        normal2(ofId, i, seed + 2) * EmbStd))
+    val vec = transform(sequence(lit(0), lit(EmbDim - 1)),
+      i => (component(srcId, i) +
+        when(isDup, normal2(id, i, seed + 3) * EmbNoise).otherwise(lit(0.0)))
+        .cast("float"))
+    ids(spark, n).select(id.as("vec_id"), vec.as("embedding"),
+      pick(10, lit(seed + 4), id).cast("int").as("label"))
+  }
+
+  // ------------------------------------------------------------- main ----
+
+  def generate(spark: SparkSession, outDir: String, sf: Double, seed: Long = 42): Unit = {
+    def n(perSf1: Long): Long = math.max(1L, (perSf1 * sf).toLong)
+    val nCust = n(150000)
+    val nPart = n(200000)
+    val nSupp = n(10000)
+    val ords = orders(spark, n(1500000), seed + 30, nCust)
+    val tables: Seq[(String, DataFrame)] = Seq(
+      "region" -> region(spark),
+      "nation" -> nation(spark),
+      "supplier" -> supplier(spark, nSupp, seed + 10),
+      "customer" -> customer(spark, nCust, seed + 20),
+      "part" -> part(spark, nPart, seed + 25),
+      "orders" -> ords,
+      "lineitem" -> lineitem(ords, seed + 40, nPart, nSupp),
+      "events" -> events(spark, n(1000000), seed + 50, nCust / 10),
+      "documents" -> documents(spark, n(50000), seed + 60),
+      "embeddings" -> embeddings(spark, n(20000), seed + 70))
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleGen <outDir> <sf> [seed]")
+    val spark = graft.GraftSession
+      .builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, args(0), args(1).toDouble,
+      if (args.length > 2) args(2).toLong else 42L)
+    spark.stop()
+  }
+}
