@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Lloyd's k-means over embedding columns as pure DataFrame ops — trains
+  * the IVF coarse quantizer that [[graft.queries.SimilarityQueries]]'s
+  * `ann_ivf` uses a training-free stand-in for ("a real deployment swaps
+  * in k-means centroids without changing the plan shape").
+  *
+  * DETERMINISM is the design driver, because the correctness gate
+  * hash-compares against an independent engine:
+  *  - components are quantized to integers (`round(x · 2^20)`) before any
+  *    aggregation: BIGINT sums are exact and ASSOCIATIVE, so the reduce
+  *    order Spark picks cannot change the centroid (a double sum varies
+  *    run to run with partial-aggregation order — unacceptable under a
+  *    hash compare, and a real nondeterminism bug at any scale);
+  *  - a centroid is represented by its per-dimension integer SUM (not the
+  *    mean): cosine is scale-invariant, so ranking against the sum vector
+  *    equals ranking against the mean while staying exact;
+  *  - init is the first k vectors by id; assignment ties break on
+  *    cent_id; fixed iteration count. Every step is replayable in SQL.
+  *
+  * Scale shape per iteration: one broadcast join (k centroids against n
+  * vectors) + rank-1 window for assignment, one posexplode + two-level
+  * aggregation for the update — O(n·k·d) compute, no n² anywhere, k rows
+  * of state between iterations.
+  */
+object KMeans {
+
+  /** Component quantization scale (2^20 ≈ 6 decimal digits — far below
+    * float noise for unit-ish embeddings, far above rank-flip risk). */
+  val Scale: Long = 1L << 20
+
+  /** Quantize an array<float|double> column to array<bigint>. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * Scale).cast("bigint"))
+
+  /** Sequential-fold double dot product of two array<bigint> columns —
+    * the SAME left-to-right order as the oracle's list comprehension, so
+    * both engines produce bit-identical doubles. */
+  def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), _ + _)
+
+  private def inorm(a: Column): Column = sqrt(idot(a, a))
+
+  /** Cosine between integer vectors (scale cancels). */
+  def icos(a: Column, b: Column): Column = idot(a, b) / (inorm(a) * inorm(b))
+
+  /** Rank-1 nearest-centroid assignment: (id, cent_id). `cents` must be
+    * broadcastable (k rows). */
+  def assign(q: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("__cos").desc, col("cent_id"))
+    q.crossJoin(broadcast(cents))
+      .withColumn("__cos", icos(col("qv"), col("cvec")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("id"), col("cent_id"))
+  }
+
+  /** Train k centroids for `iterations` Lloyd steps. Returns
+    * (cent_id, cvec: array<bigint>) where cvec is the member-SUM vector
+    * (cosine-equivalent to the mean). Empty clusters keep their previous
+    * centroid. Input: (idCol: long, vecCol: array<float|double>). */
+  def fit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int): DataFrame = {
+    require(k >= 1 && iterations >= 0)
+    val q = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+    var cents = q.filter(col("id") < k)
+      .select(col("id").as("cent_id"), col("qv").as("cvec"))
+    for (_ <- 1 to iterations) {
+      val sums = assign(q, cents)
+        .join(q, Seq("id"))
+        .select(col("cent_id"), posexplode(col("qv")).as(Seq("__pos", "__v")))
+        .groupBy(col("cent_id"), col("__pos"))
+        .agg(sum(col("__v")).as("__s")) // exact BIGINT — order-free
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__s")))),
+          s => s.getField("__s")).as("__newvec"))
+      cents = cents.join(sums, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("__newvec"), col("cvec")).as("cvec")) // empty cluster → keep
+    }
+    cents
+  }
+}

@@ -134,6 +134,98 @@ object Multimodal {
     }
   }
 
+  final case class AudioStatsRow(media_id: Long, n_samples: Long,
+      peak_abs: Long, sum_abs: Long, sum_sq: Long)
+
+  /** Deterministic planted WAV — a square wave of amplitude A(id) over
+    * L(id) 16-bit mono PCM samples (+A, −A alternating), wrapped in a
+    * canonical 44-byte RIFF header. Closed forms: n_samples = L,
+    * peak = A, Σ|s| = L·A, Σs² = L·A² — all exact integers an engine
+    * without an audio path (the DuckDB oracle) can recompute. */
+  def syntheticWav(rate: Int, amplitude: Int, nSamples: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + nSamples * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(36 + nSamples * 2)
+      .put("WAVE".getBytes("ASCII"))
+    bb.put("fmt ".getBytes("ASCII")).putInt(16).putShort(1).putShort(1)
+    bb.putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("ASCII")).putInt(nSamples * 2)
+    var k = 0
+    while (k < nSamples) {
+      bb.putShort((if (k % 2 == 0) amplitude else -amplitude).toShort)
+      k += 1
+    }
+    bb.array()
+  }
+
+  /** Planted audio table mirroring [[plantedImages]]: one real WAV per id
+    * with rate/amplitude/length derived from the id. */
+  def plantedWavs(ids: Dataset[Long]): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    ids.mapPartitions(_.map { id =>
+      MediaRow(id, "audio", syntheticWav(
+        if (id % 2 == 0) 44100 else 22050,
+        (id * 31 % 2000).toInt + 100,
+        (id % 50).toInt + 10))
+    })
+  }
+
+  /** REAL sample-level audio decode — PCM needs no codec library, only
+    * byte arithmetic: walk the RIFF chunks to the `data` payload and fold
+    * the 16-bit LE samples into exact integer stats (count, peak |s|,
+    * Σ|s|, Σs²). Same honesty contract as [[pixelStats]]: undecodable or
+    * non-PCM-16 payloads drop; a sample-order or sign bug shifts exact
+    * integers and fails the oracle hash. Kept behind mapPartitions with
+    * the other codecs — a compressed-audio decoder slots into the same
+    * seam without changing the plan. */
+  def audioStats(media: Dataset[MediaRow]): Dataset[AudioStatsRow] = {
+    implicit val enc = Encoders.product[AudioStatsRow]
+    media.mapPartitions(_.flatMap { m =>
+      val b = m.content
+      def le16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      def le32(i: Int) = le16(i) | (le16(i + 2) << 16)
+      if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') None
+      else {
+        // locate fmt (must be PCM 16-bit) and data; bounds-checked like
+        // MediaHeader's scanner (corrupt sizes stop the walk, not the task)
+        var i = 12
+        var pcm16 = false
+        var dataAt = -1
+        var dataLen = 0
+        while (i + 8 <= b.length && dataAt < 0) {
+          val size = le32(i + 4)
+          if (size < 0 || size > b.length - i - 8) { i = b.length } // corrupt → stop
+          else {
+            if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ')
+              pcm16 = size >= 16 && le16(i + 8) == 1 && le16(i + 22) == 16
+            else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+              dataAt = i + 8; dataLen = size
+            }
+            i += 8 + size + (size & 1)
+          }
+        }
+        if (!pcm16 || dataAt < 0) None
+        else {
+          val n = dataLen / 2
+          var k = 0
+          var peak = 0L
+          var sumAbs = 0L
+          var sumSq = 0L
+          while (k < n) {
+            val s = le16(dataAt + 2 * k).toShort.toLong
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            sumAbs += a
+            sumSq += s * s
+            k += 1
+          }
+          Some(AudioStatsRow(m.media_id, n, peak, sumAbs, sumSq))
+        }
+      }
+    })
+  }
+
   /** REAL pixel-level decode — the codec seam FILLED with the JVM's
     * built-in ImageIO (PNG/JPEG/GIF/BMP): per image, integer BT.601 luma
     * (lum = (299r + 587g + 114b) div 1000) summed over all pixels plus a

@@ -124,10 +124,27 @@ object MediaQueries {
       .orderBy($"media_id")
   }
 
+  /** REAL sample decode end to end — the audio twin of [[mmPixelStats]]:
+    * plant square-wave PCM WAVs (rate/amplitude/length from doc_id),
+    * decode the actual 16-bit samples back
+    * ([[graft.operators.Multimodal.audioStats]]), verify against the
+    * square wave's closed forms (Σ|s| = L·A, Σs² = L·A², peak = A) as
+    * exact integers. */
+  private val mmAudioStats: Q = (s, dir) => {
+    import s.implicits._
+    val ids = Tables(s, dir, "documents")
+      .filter($"doc_id" % 3 === 1).select($"doc_id").as[Long]
+    graft.operators.Multimodal.audioStats(
+      graft.operators.Multimodal.plantedWavs(ids))
+      .toDF()
+      .orderBy($"media_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "mm_media_features" -> mmMediaFeatures,
     "mm_frame_sample" -> mmFrameSample,
-    "mm_pixel_stats" -> mmPixelStats
+    "mm_pixel_stats" -> mmPixelStats,
+    "mm_audio_stats" -> mmAudioStats
   )
 
   // ------------------------------------------------------------- oracle --
@@ -201,6 +218,16 @@ object MediaQueries {
         | split*h*(CASE WHEN la // 64 = 3 THEN 1 ELSE 0 END)
         |   + (w-split)*h*(CASE WHEN lb // 64 = 3 THEN 1 ELSE 0 END) AS hist_3
         |FROM tones ORDER BY media_id""".stripMargin,
+
+    // Square-wave closed forms: L = id%50+10 samples of ±A, A = id*31%2000+100.
+    "mm_audio_stats" ->
+      """WITH p AS (SELECT doc_id,
+        |  CAST(doc_id % 50 + 10 AS BIGINT) L,
+        |  CAST((doc_id * 31) % 2000 + 100 AS BIGINT) A
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT doc_id AS media_id, L AS n_samples, A AS peak_abs,
+        | L * A AS sum_abs, L * A * A AS sum_sq
+        |FROM p ORDER BY media_id""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id,

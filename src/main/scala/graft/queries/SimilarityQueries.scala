@@ -106,6 +106,7 @@ object SimilarityQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_components" -> dedupComponents,
+    "dedup_components_lsh" -> dedupComponentsLsh,
     "emb_neardup_cosine" -> embNeardup,
     "ann_cosine_topk" -> annTopK,
     "ann_lsh_bucket" -> annLshBucket,
@@ -113,6 +114,7 @@ object SimilarityQueries {
     "ann_ivf" -> annIvf,
     "ann_recall_at_k" -> annRecallAtK,
     "ann_q8_recall" -> annQ8Recall,
+    "ann_ivf_trained" -> annIvfTrained,
     "dedup_semantic" -> dedupSemantic
   )
 
@@ -205,9 +207,13 @@ object SimilarityQueries {
       .orderBy($"component_id")
   }
 
-  /** MinHash + LSH banding: 32 md5-permutations, 8 bands × 4 rows; band
-    * bucket-join yields candidates, exact Jaccard verifies. */
-  private val dedupMinhashLsh: Q = (s, dir) => {
+  /** MinHash-banded candidates verified by exact Jaccard — the TEXT pair
+    * generator that stays linear when the exact inverted index saturates
+    * (a bounded shingle vocabulary caps distinct shingles, so exact-index
+    * bucket sizes — and Σc² join work — grow with the corpus; band
+    * buckets stay ~constant). Shared by dedup_minhash_lsh and the
+    * grouping scale path dedup_components_lsh. */
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val shd = shingled(s, dir)
     val bands = shd.select($"doc_id",
@@ -228,7 +234,32 @@ object SimilarityQueries {
       .select($"doc_a", $"doc_b",
         ($"inter" / (size($"sha") + size($"shb") - $"inter")).as("jaccard"))
       .filter($"jaccard" >= JaccardT)
-      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** MinHash + LSH banding: 32 md5-permutations, 8 bands × 4 rows; band
+    * bucket-join yields candidates, exact Jaccard verifies. */
+  private val dedupMinhashLsh: Q = (s, dir) => {
+    import s.implicits._
+    minhashVerifiedPairs(s, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Duplicate GROUPS at text scale: connected components over the
+    * MINHASH-BANDED pair graph instead of the exact inverted index.
+    * Measured motivation (PERF.md sf1 decade run): the exact index's
+    * Σ(bucket²) join work grew 90× for 10× docs once the synthetic
+    * 31-word shingle space saturated, dragging dedup_components to 9×;
+    * band buckets are corpus-size-free, so this path scales like
+    * dedup_minhash_lsh (3.5× for 10×). Oracle-exact: the banding is
+    * md5-replayed, so DuckDB derives the identical pair graph. */
+  private val dedupComponentsLsh: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = minhashVerifiedPairs(s, dir)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+    graft.operators.Components.connectedComponents(pairs)
+      .select($"id".as("doc_id"), $"component".as("component_id"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy($"component_id")))
+      .orderBy($"doc_id")
   }
 
   /** SimHash near-dup pairs within hamming ≤ 3, candidates via 4×15-bit
@@ -408,6 +439,43 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  private val IvfTrainIters = 2
+
+  /** IVF with TRAINED centroids — [[graft.operators.KMeans]] (2 Lloyd
+    * iterations, deterministic integer-sum centroids) replaces annIvf's
+    * training-free first-K codebook; assignment/probing/scoring all run
+    * over the quantized vectors so the DuckDB oracle replays the ENTIRE
+    * training loop (unrolled CTEs) bit-for-bit. Same plan shape as
+    * ann_ivf: broadcast codebook, rank-1 windows, candidates shrink to
+    * n·probe/k. */
+  private val annIvfTrained: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.KMeans
+    val emb = spread(Tables(s, dir, "embeddings"))
+    val cents = KMeans.fit(emb, "vec_id", "embedding", IvfCentroids, IvfTrainIters)
+    val q = emb.select($"vec_id".as("id"), KMeans.quantize($"embedding").as("qv"))
+    val assigned = KMeans.assign(q, cents)
+    val queries = q.filter($"id" >= 100 && $"id" < 110)
+      .select($"id".as("query_id"), $"qv".as("qq"))
+    val wp = Window.partitionBy($"query_id").orderBy($"pcos".desc, $"cent_id")
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("pcos", KMeans.icos($"qq", $"cvec"))
+      .withColumn("pr", row_number().over(wp))
+      .filter($"pr" <= IvfProbe)
+      .select($"query_id", $"cent_id")
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    probes
+      .join(assigned.select($"id".as("neighbor_id"), $"cent_id"), Seq("cent_id"))
+      .join(q.select($"id".as("neighbor_id"), $"qv".as("nq")), Seq("neighbor_id"))
+      .join(queries, Seq("query_id"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cos", KMeans.icos($"qq", $"nq"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Int8 symmetric quantization — the embedding STORAGE path at 100 TB:
     * per-vector scale = max |component|, q_i = round(v_i·127/scale), 4×
     * smaller at rest, dequantize on read. This key measures what the
@@ -579,7 +647,57 @@ object SimilarityQueries {
        |   (SELECT $cosineSql FROM (SELECT p.qe ea, n.emb eb)) cos
        |  FROM mp_probes p JOIN e n ON p.bucket = n.bucket AND p.query_id <> n.vec_id)""".stripMargin
 
+  /** Integer-vector cosine — sequential fold over the same left-to-right
+    * order as [[graft.operators.KMeans.idot]], so doubles match exactly. */
+  private def icosSql(a: String, b: String): String =
+    s"""(list_sum([CAST($a[i + 1] AS DOUBLE) * CAST($b[i + 1] AS DOUBLE) FOR i IN range(0, $EmbDim)])
+       | / (sqrt(list_sum([CAST($a[i + 1] AS DOUBLE) * CAST($a[i + 1] AS DOUBLE) FOR i IN range(0, $EmbDim)]))
+       |    * sqrt(list_sum([CAST($b[i + 1] AS DOUBLE) * CAST($b[i + 1] AS DOUBLE) FOR i IN range(0, $EmbDim)]))))""".stripMargin
+
+  /** One unrolled Lloyd iteration over CTE `cin` → `c<t>` (replays
+    * KMeans.fit exactly: rank-1 assignment, exact BIGINT dimension sums,
+    * empty clusters carry the previous centroid). */
+  private def lloydCte(t: Int, cin: String): String =
+    s"""a$t AS (SELECT id, cent_id FROM (
+       |  SELECT q.id, c.cent_id,
+       |   ROW_NUMBER() OVER (PARTITION BY q.id
+       |     ORDER BY ${icosSql("q.qv", "c.cvec")} DESC, c.cent_id) r
+       |  FROM q, $cin c) WHERE r = 1),
+       |s$t AS (SELECT a.cent_id, t.range i, CAST(SUM(q.qv[t.range + 1]) AS BIGINT) s
+       |  FROM a$t a JOIN q ON a.id = q.id, range(0, $EmbDim) t GROUP BY 1, 2),
+       |n$t AS (SELECT cent_id, list(s ORDER BY i) nv FROM s$t GROUP BY 1),
+       |c$t AS (SELECT c.cent_id, COALESCE(n.nv, c.cvec) cvec
+       |  FROM $cin c LEFT JOIN n$t n USING (cent_id))""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "ann_ivf_trained" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+         |q AS (SELECT vec_id id,
+         |   [CAST(round(x * ${graft.operators.KMeans.Scale}) AS BIGINT) FOR x IN emb] qv FROM e),
+         |c0 AS (SELECT id cent_id, qv cvec FROM q WHERE id < $IvfCentroids),
+         |${lloydCte(1, "c0")},
+         |${lloydCte(2, "c1")},
+         |assign AS (SELECT id, cent_id FROM (
+         |  SELECT q.id, c.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY q.id
+         |     ORDER BY ${icosSql("q.qv", "c.cvec")} DESC, c.cent_id) r
+         |  FROM q, c2 c) WHERE r = 1),
+         |qq AS (SELECT id query_id, qv FROM q WHERE id >= 100 AND id < 110),
+         |probes AS (SELECT query_id, cent_id FROM (
+         |  SELECT qq.query_id, c.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY qq.query_id
+         |     ORDER BY ${icosSql("qq.qv", "c.cvec")} DESC, c.cent_id) r
+         |  FROM qq, c2 c) WHERE r <= $IvfProbe),
+         |scored AS (SELECT p.query_id, a.id neighbor_id, ${icosSql("x.qv", "y.qv")} cos
+         |  FROM probes p JOIN assign a USING (cent_id)
+         |  JOIN q x ON x.id = p.query_id
+         |  JOIN q y ON y.id = a.id
+         |  WHERE p.query_id <> a.id)
+         |SELECT query_id, rank, neighbor_id FROM (
+         | SELECT query_id, neighbor_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) rank
+         | FROM scored) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
     "ann_lsh_multiprobe" ->
       s"""WITH $bitsCte,
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
@@ -642,6 +760,29 @@ object SimilarityQueries {
          |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
          |$jaccardVerifySql""".stripMargin,
+
+    "dedup_components_lsh" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |sig AS (SELECT doc_id,
+         |  [list_min([((1 + ${hash60Sql("CONCAT('a', p)")} % ${HashSketch.MinHashPrime - 1})
+         |              * (${hash60Sql("s")} % ${HashSketch.MinHashPrime})
+         |              + ${hash60Sql("CONCAT('b', p)")} % ${HashSketch.MinHashPrime})
+         |             % ${HashSketch.MinHashPrime} FOR s IN sh]) FOR p IN range(0, $Perms)] sig
+         |  FROM shd),
+         |bands AS (SELECT doc_id,
+         |  unnest([CONCAT(b, ':', array_to_string(sig[4*b+1 : 4*b+4], '_')) FOR b IN range(0, $Bands)]) band
+         |  FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |pairs AS ($jaccardVerifySql),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT s AS id, s AS o FROM edges
+         |          UNION SELECT r.id, e2.d FROM reach r JOIN edges e2 ON r.o = e2.s),
+         |comp AS (SELECT id AS doc_id, MIN(o) AS component_id FROM reach GROUP BY id)
+         |SELECT doc_id, component_id,
+         | COUNT(*) OVER (PARTITION BY component_id) AS n_members
+         |FROM comp ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id,

@@ -153,6 +153,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioStats really decodes PCM samples: closed-form match, non-PCM dropped") {
+    import spark.implicits._
+    val ids = Seq(1L, 4L, 49L).toDS()
+    val withNoise = graft.operators.Multimodal.plantedWavs(ids)
+      .union(Seq(
+        MediaRow(98L, "audio", Array[Byte](9, 9, 9)), // not RIFF
+        MediaRow(99L, "image", pngBytes(4, 4, 0))).toDS()) // not audio at all
+    val out = graft.operators.Multimodal.audioStats(withNoise)
+      .collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(1L, 4L, 49L))
+    for (row <- out) {
+      val id = row.media_id
+      val (a, l) = ((id * 31 % 2000) + 100, (id % 50) + 10)
+      assert((row.n_samples, row.peak_abs, row.sum_abs, row.sum_sq) ==
+        (l, a, l * a, l * a * a),
+        s"PCM stats diverge from the planted square wave for id $id")
+    }
+    // corrupt chunk sizes inside a RIFF container stop the walk, not the task
+    val bad = java.nio.ByteBuffer.allocate(28).order(ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("ASCII")).putInt(20).put("WAVE".getBytes("ASCII"))
+      .put("junk".getBytes("ASCII")).putInt(0x7ffffff0)
+      .put(Array.fill[Byte](8)(0)).array()
+    assert(graft.operators.Multimodal.audioStats(
+      Seq(MediaRow(1L, "audio", bad)).toDS()).count() == 0)
+  }
+
   test("repartitionForMedia sizes partitions by byte budget") {
     val df = Multimodal.repartitionForMedia(mediaDf, targetBytesPerPartition = 200)
     assert(df.rdd.getNumPartitions == 2) // 512 bytes total / 200 → 2
