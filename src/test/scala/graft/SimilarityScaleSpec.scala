@@ -93,4 +93,52 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(pairRatio <= 2.0 * nRatio,
       s"candidate pairs grew ${pairRatio}x for ${nRatio}x docs — quadratic blowup")
   }
+
+  // ---- one decade higher (VERDICT r5 #2): ScaleGen-generated sf0.1→sf1 ----
+  // Gated on the generated dirs so CI without them skips visibly; generate
+  // with `runMain graft.sources.ScaleGen /root/repo/testdata/sf1 1.0` (and
+  // 0.1 → sf0.1gen). Same structure as the driver data (ScaleGen doc).
+
+  private val Gen01 = "/root/repo/testdata/sf0.1gen"
+  private val Gen1 = "/root/repo/testdata/sf1"
+  private def genDirsPresent =
+    new java.io.File(s"$Gen01/embeddings.parquet").exists &&
+      new java.io.File(s"$Gen1/embeddings.parquet").exists
+
+  test("decade higher: candidate pairs stay ~linear sf0.1gen→sf1, bits re-derive") {
+    assume(genDirsPresent, "generated scale dirs absent — run graft.sources.ScaleGen")
+    val (n1, bits1, pairs1) = candidatePairs(Gen01)
+    val (n2, bits2, pairs2) = candidatePairs(Gen1)
+    assert(n2 >= n1 * 9, s"sf1 should be ~10x sf0.1gen, got $n1 -> $n2")
+    assert(bits2 > bits1, "a decade more vectors must derive a wider LSH key")
+    val nRatio = n2.toDouble / n1
+    val pairRatio = pairs2.toDouble / pairs1
+    assert(pairRatio <= 2.0 * nRatio,
+      s"candidate pairs grew ${pairRatio}x for ${nRatio}x vectors — quadratic blowup")
+  }
+
+  test("decade higher: multi-probe recall@3 stays bounded at sf1") {
+    assume(genDirsPresent, "generated scale dirs absent — run graft.sources.ScaleGen")
+    val hits = SimilarityQueries.queries("ann_recall_at_k")(spark, Gen1)
+      .groupBy("method").agg(avg("hits_at_3").as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(hits("lsh_mp") >= hits("lsh"),
+      s"multi-probe ${hits("lsh_mp")} fell below single-bucket ${hits("lsh")} at sf1")
+    // Honest recall contract at fixed probe count: the probed fraction of
+    // the corpus shrinks as n grows ((bits+1)·targetBucket / n ≈ 6% at
+    // sf1), so absolute recall@3 over WEAKLY-similar neighbors decays by
+    // design — the production knobs are more probes (hamming-2 ring) or
+    // multiple tables, both linear cost. What must hold at ANY scale is
+    // that the hyperplanes carry real signal: recall well above what
+    // randomly probing the same corpus fraction would find. (Strongly
+    // similar planted near-dups are the dedup contract and stay recovered
+    // — dedup_semantic's pair linearity test above.)
+    val n = spark.read.parquet(s"$Gen1/embeddings.parquet").count()
+    val bits = SimilarityQueries.lshBitsFor(n)
+    val probedFraction = (bits + 1.0) * 128.0 / n
+    val randomRecall = 3.0 * math.min(1.0, probedFraction)
+    assert(hits("lsh_mp") >= 2 * randomRecall,
+      s"multi-probe recall ${hits("lsh_mp")}/3 is not meaningfully above the " +
+        s"random-probing baseline $randomRecall at sf1 — hyperplanes carry no signal")
+  }
 }
