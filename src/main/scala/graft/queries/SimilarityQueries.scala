@@ -107,6 +107,7 @@ object SimilarityQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_components" -> dedupComponents,
     "dedup_components_lsh" -> dedupComponentsLsh,
+    "dedup_keep_best_lsh" -> dedupKeepBestLsh,
     "emb_neardup_cosine" -> embNeardup,
     "ann_cosine_topk" -> annTopK,
     "ann_lsh_bucket" -> annLshBucket,
@@ -114,6 +115,7 @@ object SimilarityQueries {
     "ann_ivf" -> annIvf,
     "ann_recall_at_k" -> annRecallAtK,
     "ann_q8_recall" -> annQ8Recall,
+    "ann_mp2_recall" -> annMp2Recall,
     "ann_ivf_trained" -> annIvfTrained,
     "dedup_semantic" -> dedupSemantic
   )
@@ -241,6 +243,26 @@ object SimilarityQueries {
   private val dedupMinhashLsh: Q = (s, dir) => {
     import s.implicits._
     minhashVerifiedPairs(s, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Keeper selection at text scale — [[dedupKeepBest]] with the pair
+    * graph swapped from the exact inverted index to the minhash-banded
+    * generator, completing the scale-path family: every stage (banding,
+    * verify, components, token-count ranking) is corpus-size-bounded. */
+  private val dedupKeepBestLsh: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = minhashVerifiedPairs(s, dir).select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val comp = graft.operators.Components.connectedComponents(pairs)
+      .select($"id".as("doc_id"), $"component".as("component_id"))
+    val tc = spread(Tables(s, dir, "documents"))
+      .select($"doc_id", Text.tokenCount($"text").as("n_tokens"))
+    val w = Window.partitionBy($"component_id").orderBy($"n_tokens".desc, $"doc_id")
+    comp.join(tc, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"component_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(when($"rn" === 1, $"doc_id")).as("keep_doc_id"))
+      .orderBy($"component_id")
   }
 
   /** Duplicate GROUPS at text scale: connected components over the
@@ -389,6 +411,53 @@ object SimilarityQueries {
       .filter($"rank" <= 3)
       .select($"query_id", $"rank", $"neighbor_id")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** The PERF.md recall knob made real: hamming ≤ 2 probe ring —
+    * 1 + bits + C(bits, 2) buckets per query (37 of 256 at sf1's 8 bits),
+    * cost still constant in corpus size n. This key measures what the
+    * deeper ring buys as exact-integer recall@3 per query, same contract
+    * as [[annQ8Recall]]; SimilarityScaleSpec asserts it dominates the
+    * hamming-1 ring at the sf1 decade (more probes only add candidates). */
+  private val annMp2Recall: Q = (s, dir) => {
+    import s.implicits._
+    val bits = lshBits(s, dir)
+    def flip(b: org.apache.spark.sql.Column, i: Int) = concat(
+      substring(b, 1, i),
+      when(substring(b, i + 1, 1) === "0", "1").otherwise("0"),
+      substring(b, i + 2, bits))
+    val emb = spread(Tables(s, dir, "embeddings")).select($"vec_id", $"embedding",
+      Vectors.hyperplaneBucket($"embedding", EmbDim, bits, LshSeed).as("bucket"),
+      Vectors.fnorm($"embedding").as("nrm"))
+    val ring2 = for { i <- 0 until bits; j <- i + 1 until bits }
+      yield flip(flip($"bucket", i), j)
+    val q = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"),
+        explode(array($"bucket" +: (0 until bits).map(flip($"bucket", _)) ++: ring2: _*))
+          .as("bucket"))
+    val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"),
+      $"bucket", $"nrm".as("nn"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    val approx = broadcast(q).join(n, Seq("bucket"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cos",
+        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id")
+    val truth = broadcast(emb.filter($"vec_id" < 50)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn")))
+      .join(emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"nrm".as("nn")),
+        $"query_id" =!= $"neighbor_id")
+      .withColumn("cos",
+        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id", lit(1).as("hit"))
+    approx.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(coalesce(sum($"hit"), lit(0)).cast("int").as("hits_at_3"))
+      .orderBy($"query_id")
   }
 
   private val IvfCentroids = 16
@@ -600,6 +669,30 @@ object SimilarityQueries {
   private def hash60Sql(x: String): String =
     s"CAST(CONCAT('0x', SUBSTR(md5($x), 1, 15)) AS BIGINT)"
 
+  /** MinHash signature → band → distinct candidate pairs, as CTEs over
+    * `shd` — shared by the three minhash-based oracles. */
+  private val minhashCandCtes =
+    s"""sig AS (SELECT doc_id,
+       |  [list_min([((1 + ${hash60Sql("CONCAT('a', p)")} % ${HashSketch.MinHashPrime - 1})
+       |              * (${hash60Sql("s")} % ${HashSketch.MinHashPrime})
+       |              + ${hash60Sql("CONCAT('b', p)")} % ${HashSketch.MinHashPrime})
+       |             % ${HashSketch.MinHashPrime} FOR s IN sh]) FOR p IN range(0, $Perms)] sig
+       |  FROM shd),
+       |bands AS (SELECT doc_id,
+       |  unnest([CONCAT(b, ':', array_to_string(sig[4*b+1 : 4*b+4], '_')) FOR b IN range(0, $Bands)]) band
+       |  FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** pairs → undirected edges → reachability → min-label components, as
+    * CTEs (requires WITH RECURSIVE; expects a `pairs(doc_a, doc_b)` CTE). */
+  private val componentsCtes =
+    """edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (SELECT s AS id, s AS o FROM edges
+      |          UNION SELECT r.id, e2.d FROM reach r JOIN edges e2 ON r.o = e2.s),
+      |comp AS (SELECT id AS doc_id, MIN(o) AS component_id FROM reach GROUP BY id)""".stripMargin
+
   private val jaccardVerifySql =
     """SELECT doc_a, doc_b, jaccard FROM (
       | SELECT c.doc_a, c.doc_b,
@@ -634,6 +727,11 @@ object SimilarityQueries {
     s"""list_sum([ea[i + 1] * eb[i + 1] FOR i IN range(0, $EmbDim)])
        | / (sqrt(list_sum([ea[i + 1] * ea[i + 1] FOR i IN range(0, $EmbDim)]))
        |    * sqrt(list_sum([eb[i + 1] * eb[i + 1] FOR i IN range(0, $EmbDim)])))""".stripMargin
+
+  /** Single bit-flip of a bucket string at 0-based position `p`. */
+  private def flipSql(x: String, p: String): String =
+    s"CONCAT(substr($x, 1, $p), CASE substr($x, $p + 1, 1) " +
+      s"WHEN '0' THEN '1' ELSE '0' END, substr($x, $p + 2))"
 
   /** Multi-probe candidate CTEs (own bucket + every hamming-1 bucket),
     * shared by the ann_lsh_multiprobe oracle and the recall gate. */
@@ -748,41 +846,33 @@ object SimilarityQueries {
 
     "dedup_minhash_lsh" ->
       s"""WITH $shinglesCte,
-         |sig AS (SELECT doc_id,
-         |  [list_min([((1 + ${hash60Sql("CONCAT('a', p)")} % ${HashSketch.MinHashPrime - 1})
-         |              * (${hash60Sql("s")} % ${HashSketch.MinHashPrime})
-         |              + ${hash60Sql("CONCAT('b', p)")} % ${HashSketch.MinHashPrime})
-         |             % ${HashSketch.MinHashPrime} FOR s IN sh]) FOR p IN range(0, $Perms)] sig
-         |  FROM shd),
-         |bands AS (SELECT doc_id,
-         |  unnest([CONCAT(b, ':', array_to_string(sig[4*b+1 : 4*b+4], '_')) FOR b IN range(0, $Bands)]) band
-         |  FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+         |$minhashCandCtes
          |$jaccardVerifySql""".stripMargin,
 
     "dedup_components_lsh" ->
       s"""WITH RECURSIVE $shinglesCte,
-         |sig AS (SELECT doc_id,
-         |  [list_min([((1 + ${hash60Sql("CONCAT('a', p)")} % ${HashSketch.MinHashPrime - 1})
-         |              * (${hash60Sql("s")} % ${HashSketch.MinHashPrime})
-         |              + ${hash60Sql("CONCAT('b', p)")} % ${HashSketch.MinHashPrime})
-         |             % ${HashSketch.MinHashPrime} FOR s IN sh]) FOR p IN range(0, $Perms)] sig
-         |  FROM shd),
-         |bands AS (SELECT doc_id,
-         |  unnest([CONCAT(b, ':', array_to_string(sig[4*b+1 : 4*b+4], '_')) FOR b IN range(0, $Bands)]) band
-         |  FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |$minhashCandCtes,
          |pairs AS ($jaccardVerifySql),
-         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (SELECT s AS id, s AS o FROM edges
-         |          UNION SELECT r.id, e2.d FROM reach r JOIN edges e2 ON r.o = e2.s),
-         |comp AS (SELECT id AS doc_id, MIN(o) AS component_id FROM reach GROUP BY id)
+         |$componentsCtes
          |SELECT doc_id, component_id,
          | COUNT(*) OVER (PARTITION BY component_id) AS n_members
          |FROM comp ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_best_lsh" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$minhashCandCtes,
+         |pairs AS ($jaccardVerifySql),
+         |$componentsCtes,
+         |tc AS (SELECT doc_id,
+         |   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+         |  FROM documents),
+         |ranked AS (SELECT c.component_id, c.doc_id,
+         |   ROW_NUMBER() OVER (PARTITION BY c.component_id
+         |     ORDER BY t.n_tokens DESC, c.doc_id) rn
+         |  FROM comp c JOIN tc t ON c.doc_id = t.doc_id)
+         |SELECT component_id, COUNT(*) AS n_members,
+         | MIN(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id
+         |FROM ranked GROUP BY component_id ORDER BY component_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id,
@@ -881,6 +971,35 @@ object SimilarityQueries {
          |          UNION SELECT r.id, e2.d FROM reach r JOIN edges e2 ON r.o = e2.s)
          |SELECT id AS vec_id, MIN(o) AS group_id, id = MIN(o) AS is_canonical
          |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    "ann_mp2_recall" ->
+      s"""WITH $bitsCte,
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
+         |   ${bucketSql("CAST(embedding AS DOUBLE[])")} bucket FROM embeddings, bits),
+         |mp2_probes AS (SELECT e.vec_id AS query_id, e.emb AS qe,
+         |   unnest([e.bucket]
+         |     || [${flipSql("e.bucket", "b")} FOR b IN range(0, bits.bits)]
+         |     || flatten([[${flipSql(flipSql("e.bucket", "i"), "j")}
+         |          FOR j IN range(i + 1, bits.bits)] FOR i IN range(0, bits.bits)])) AS bucket
+         | FROM e, bits WHERE e.vec_id < 50),
+         |mp2_top AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT p.query_id, n.vec_id neighbor_id,
+         |   ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+         |     (SELECT $cosineSql FROM (SELECT p.qe ea, n.emb eb)) DESC, n.vec_id) rank
+         |  FROM mp2_probes p JOIN e n ON p.bucket = n.bucket AND p.query_id <> n.vec_id)
+         | WHERE rank <= 3),
+         |t2_scored AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
+         |   (SELECT $cosineSql FROM (SELECT q.emb ea, n.emb eb)) cos
+         |  FROM e q JOIN e n ON q.vec_id < 50 AND q.vec_id <> n.vec_id),
+         |t2_truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+         |  FROM t2_scored) WHERE rank <= 3)
+         |SELECT a.query_id,
+         | CAST(COALESCE(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 END), 0) AS INT) hits_at_3
+         |FROM mp2_top a LEFT JOIN t2_truth t
+         |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY a.query_id ORDER BY a.query_id""".stripMargin,
 
     "ann_q8_recall" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) fe FROM embeddings),

@@ -140,5 +140,11 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(hits("lsh_mp") >= 2 * randomRecall,
       s"multi-probe recall ${hits("lsh_mp")}/3 is not meaningfully above the " +
         s"random-probing baseline $randomRecall at sf1 — hyperplanes carry no signal")
+    // and the documented knob must WORK: the hamming-2 ring (ann_mp2_recall)
+    // probes a superset of the hamming-1 ring, so its recall dominates
+    val mp2 = SimilarityQueries.queries("ann_mp2_recall")(spark, Gen1)
+      .agg(avg("hits_at_3")).head().getDouble(0)
+    assert(mp2 >= hits("lsh_mp"),
+      s"hamming-2 ring recall $mp2 fell below hamming-1 ${hits("lsh_mp")} at sf1")
   }
 }
