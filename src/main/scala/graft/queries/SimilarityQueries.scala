@@ -116,6 +116,7 @@ object SimilarityQueries {
     "ann_recall_at_k" -> annRecallAtK,
     "ann_q8_recall" -> annQ8Recall,
     "ann_mp2_recall" -> annMp2Recall,
+    "ann_mt_recall" -> annMtRecall,
     "ann_ivf_trained" -> annIvfTrained,
     "dedup_semantic" -> dedupSemantic
   )
@@ -460,6 +461,58 @@ object SimilarityQueries {
       .orderBy($"query_id")
   }
 
+  private val LshTables = 4
+
+  /** The LAST rung of the recall ladder: L independent hyperplane tables
+    * (distinct seeds) — a true neighbor is missed only if every table
+    * separates the pair, so miss probability decays exponentially in L at
+    * L× index cost and L probes/query (still constant in corpus size).
+    * Candidates are the distinct union of same-bucket pairs across
+    * tables; recall contract identical to [[annQ8Recall]]. */
+  private val annMtRecall: Q = (s, dir) => {
+    import s.implicits._
+    val bits = lshBits(s, dir)
+    val emb = spread(Tables(s, dir, "embeddings"))
+      .select($"vec_id", $"embedding", Vectors.fnorm($"embedding").as("nrm"),
+        array((0 until LshTables).map(t =>
+          Vectors.hyperplaneBucket($"embedding", EmbDim, bits, LshSeed + t)): _*)
+          .as("buckets"))
+    val n = emb.select($"vec_id".as("neighbor_id"), $"buckets")
+      .select($"neighbor_id", posexplode($"buckets").as(Seq("t", "bucket")))
+    val q = emb.filter($"vec_id" < 50).select($"vec_id".as("query_id"), $"buckets")
+      .select($"query_id", posexplode($"buckets").as(Seq("t", "bucket")))
+    // distinct BEFORE scoring: a pair co-located in several tables must
+    // rank exactly once
+    val cand = broadcast(q).join(n, Seq("t", "bucket"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id").distinct()
+    val vecs = emb.select($"vec_id", $"embedding", $"nrm")
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    val approx = cand
+      .join(vecs.select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn")),
+        Seq("query_id"))
+      .join(vecs.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"nrm".as("nn")),
+        Seq("neighbor_id"))
+      .withColumn("cos",
+        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id")
+    val truth = broadcast(vecs.filter($"vec_id" < 50)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn")))
+      .join(vecs.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"nrm".as("nn")),
+        $"query_id" =!= $"neighbor_id")
+      .withColumn("cos",
+        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id", lit(1).as("hit"))
+    approx.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(coalesce(sum($"hit"), lit(0)).cast("int").as("hits_at_3"))
+      .orderBy($"query_id")
+  }
+
   private val IvfCentroids = 16
   private val IvfProbe = 2
 
@@ -717,11 +770,14 @@ object SimilarityQueries {
        |  FROM range($LshBitsMin, ${LshBitsMax + 1}) t(b), nb
        |  WHERE (1::BIGINT << b) * $LshTargetBucket >= nb.n), $LshBitsMax) bits)""".stripMargin
 
-  /** Bucket key over `bits` (a column from [[bitsCte]]) hyperplanes —
-    * replays Vectors.hyperplaneBucket with seed 7000 + b. */
-  private def bucketSql(vec: String): String =
-    s"""array_to_string([CASE WHEN ${planeDotSql(vec, s"${LshSeed * 1000} + b")} >= 0
+  /** Bucket key over `bits` (a column from [[bitsCte]]) hyperplanes with
+    * per-bit seeds `base + b` — replays Vectors.hyperplaneBucket(seed =
+    * base/1000). */
+  private def bucketSqlAt(vec: String, base: Int): String =
+    s"""array_to_string([CASE WHEN ${planeDotSql(vec, s"$base + b")} >= 0
        |  THEN '1' ELSE '0' END FOR b IN range(0, bits)], '')""".stripMargin
+
+  private def bucketSql(vec: String): String = bucketSqlAt(vec, LshSeed * 1000)
 
   private val cosineSql =
     s"""list_sum([ea[i + 1] * eb[i + 1] FOR i IN range(0, $EmbDim)])
@@ -998,6 +1054,40 @@ object SimilarityQueries {
          |SELECT a.query_id,
          | CAST(COALESCE(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 END), 0) AS INT) hits_at_3
          |FROM mp2_top a LEFT JOIN t2_truth t
+         |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY a.query_id ORDER BY a.query_id""".stripMargin,
+
+    "ann_mt_recall" ->
+      s"""WITH $bitsCte,
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
+         |   [${(0 until LshTables).map(t =>
+              bucketSqlAt("CAST(embedding AS DOUBLE[])", (LshSeed + t) * 1000))
+              .mkString(",\n   ")}] buckets
+         |  FROM embeddings, bits),
+         |mt_n AS (SELECT vec_id AS neighbor_id, t.range AS tt, buckets[t.range + 1] AS bucket
+         |  FROM e, range(0, $LshTables) t),
+         |mt_q AS (SELECT vec_id AS query_id, t.range AS tt, buckets[t.range + 1] AS bucket
+         |  FROM e, range(0, $LshTables) t WHERE vec_id < 50),
+         |mt_cand AS (SELECT DISTINCT q.query_id, n.neighbor_id
+         |  FROM mt_q q JOIN mt_n n ON q.tt = n.tt AND q.bucket = n.bucket
+         |  WHERE q.query_id <> n.neighbor_id),
+         |mt_top AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT c.query_id, c.neighbor_id,
+         |   ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+         |     (SELECT $cosineSql FROM (SELECT x.emb ea, y.emb eb)) DESC, c.neighbor_id) rank
+         |  FROM mt_cand c JOIN e x ON x.vec_id = c.query_id
+         |  JOIN e y ON y.vec_id = c.neighbor_id)
+         | WHERE rank <= 3),
+         |mt_tscored AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
+         |   (SELECT $cosineSql FROM (SELECT q.emb ea, n.emb eb)) cos
+         |  FROM e q JOIN e n ON q.vec_id < 50 AND q.vec_id <> n.vec_id),
+         |mt_truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+         |  FROM mt_tscored) WHERE rank <= 3)
+         |SELECT a.query_id,
+         | CAST(COALESCE(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 END), 0) AS INT) hits_at_3
+         |FROM mt_top a LEFT JOIN mt_truth t
          |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
          |GROUP BY a.query_id ORDER BY a.query_id""".stripMargin,
 

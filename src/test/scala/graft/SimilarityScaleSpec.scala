@@ -146,5 +146,13 @@ class SimilarityScaleSpec extends SparkSpec {
       .agg(avg("hits_at_3")).head().getDouble(0)
     assert(mp2 >= hits("lsh_mp"),
       s"hamming-2 ring recall $mp2 fell below hamming-1 ${hits("lsh_mp")} at sf1")
+    // 4 independent tables include table 0's candidates, so recall must
+    // dominate the single-table bucket — and measured, they are the most
+    // probe-EFFICIENT rung (0.76/3 from 4 probed buckets at sf1 vs the
+    // hamming-1 ring's 0.56/3 from 9)
+    val mt = SimilarityQueries.queries("ann_mt_recall")(spark, Gen1)
+      .agg(avg("hits_at_3")).head().getDouble(0)
+    assert(mt >= hits("lsh"),
+      s"multi-table recall $mt fell below its own table 0 (${hits("lsh")}) at sf1")
   }
 }
