@@ -36,6 +36,7 @@ object TrainingQueries {
     "text_tfidf" -> textTfidf,
     "text_decontaminate" -> textDecontaminate,
     "sample_stratified" -> sampleStratified,
+    "sample_temperature" -> sampleTemperature,
     "text_pii_redact" -> textPiiRedact,
     "l_explode_pack" -> lExplodePack,
     "text_vocab" -> textVocab
@@ -152,6 +153,28 @@ object TrainingQueries {
           lit(100L)).as("bucket"))
       .filter($"bucket" <
         when($"lang" === "en", 50).when($"lang" === "de", 25).otherwise(10))
+      .orderBy($"doc_id")
+  }
+
+  // ------------------------------------------------- temperature sample
+  /** Temperature-weighted source rebalancing (α = 0.5) — the training-mix
+    * step that up-samples small sources and down-samples dominant ones:
+    * expected picks per source n_s ∝ √c_s, i.e. keep probability ∝
+    * c_s^(α−1). Expressed INTEGER-EXACTLY so the hash gate can replay it:
+    * keep doc ⇔ md5-hash(doc) mod c_s < 8·⌊√c_s⌋ — source counts are
+    * exact, ⌊√⌋ of an exact integer is engine-identical, no cross-source
+    * float normalization (a sum of doubles over sources would vary with
+    * Spark's partial-agg order). One tiny groupBy + a broadcast join +
+    * a map-side filter; the scan is the only data-proportional cost. */
+  private val sampleTemperature: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("c"))
+      .withColumn("thr", lit(8L) * floor(sqrt($"c".cast("double"))).cast("long"))
+    docs.join(broadcast(counts), Seq("source"))
+      .filter(pmod(Vectors.hash60(concat(lit("temp_"), $"doc_id".cast("string"))),
+        $"c") < $"thr")
+      .select($"doc_id", $"source")
       .orderBy($"doc_id")
   }
 
@@ -279,6 +302,15 @@ object TrainingQueries {
         |  CAST(CONCAT('0x', SUBSTR(md5('strat_' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
         | FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_temperature" ->
+      """WITH c AS (SELECT source, COUNT(*) AS c,
+        |   8 * CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS thr
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN c USING (source)
+        |WHERE CAST(CONCAT('0x', SUBSTR(md5('temp_' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % c.c < c.thr
         |ORDER BY doc_id""".stripMargin,
 
     "text_pii_redact" ->
