@@ -71,13 +71,25 @@ object SimilarityQueries {
 
   // one count() per (session, dir) per JVM — the probe is parquet-metadata
   // cheap, but Verify fans 10 similarity queries over the same dir
-  // concurrently. Keyed by (SparkSession, dir) like its sibling qaCache:
-  // a dir regenerated with different row counts is re-probed by any new
-  // session instead of being served a stale corpus size.
+  // concurrently. WEAK session keys (ADVICE r5): a stopped session is not
+  // pinned by the cache and collects normally, while a dir regenerated
+  // with different row counts is re-probed by any new session instead of
+  // being served a stale corpus size. (The DataFrame-valued fixture
+  // caches can't get this treatment — their values reference the session
+  // regardless — and stay documented as bench-harness caches.)
   private val countCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
-  private def corpusCount(s: SparkSession, dir: String): Long =
-    countCache.getOrElseUpdate((s, dir), Tables(s, dir, "embeddings").count())
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, Long]]
+  private def corpusCount(s: SparkSession, dir: String): Long = {
+    val perSession = countCache.synchronized {
+      var m = countCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, Long]
+        countCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, Tables(s, dir, "embeddings").count())
+  }
   private[graft] def lshBits(s: SparkSession, dir: String): Int =
     lshBitsFor(corpusCount(s, dir))
 
