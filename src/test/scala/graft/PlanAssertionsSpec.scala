@@ -89,6 +89,37 @@ class PlanAssertionsSpec extends SparkSpec {
       s"bucket equi-join must not degrade to a product join:\n$plan")
   }
 
+  test("trained IVF: codebook joins broadcast, no product joins") {
+    // KMeans assignment + probing cross a k-row codebook against the
+    // corpus — broadcast by construction; a shuffle or nested-loop here
+    // would put two exchanges per Lloyd iteration on the 100 TB path.
+    val plan = planOf("ann_ivf_trained")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"k-row codebook must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"codebook joins must not degrade to cartesian products:\n$plan")
+  }
+
+  test("banded dedup scale paths hash-partition their band joins") {
+    // The band self-join all three minhash-based keys share
+    // (minhashVerifiedPairs) must stay a shuffle_hash-hinted streaming
+    // join — never a broadcast of the exploded band index (the round-2
+    // size-underestimate trap). dedup_minhash_lsh exposes that join in
+    // its own final plan; the components variants run it inside
+    // connectedComponents' spilled jobs (their final plan is a flat scan
+    // of the spill — itself the designed shape), so they are asserted
+    // product-free on what their plan does show.
+    val pairPlan = planOf("dedup_minhash_lsh")
+    assert(pairPlan.contains("ShuffledHashJoin"),
+      s"band self-join should be a shuffled hash join:\n$pairPlan")
+    for (name <- Seq("dedup_components_lsh", "dedup_keep_best_lsh")) {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: must not product-join:\n$plan")
+    }
+  }
+
   test("sketch expressions keep their projection inside whole-stage codegen") {
     // simhash (inline codegen) and minhash band keys (reference-object
     // dispatch) both must NOT break the surrounding codegen stage.
