@@ -70,6 +70,14 @@ object KMeans {
     val q = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
     var cents = q.filter(col("id") < k)
       .select(col("id").as("cent_id"), col("qv").as("cvec"))
+    // the documented init is "the k vectors with id ∈ [0, k)" — an id
+    // space that is sparse or offset there would SILENTLY under-seed the
+    // codebook and every assignment downstream would look like "no
+    // neighbors"; fail loudly instead (one k-row count, negligible)
+    val seeded = cents.count()
+    require(seeded == k,
+      s"KMeans.fit seeds centroids from ids [0, $k) but found only $seeded " +
+        s"of $k — the id column must be dense from 0 (re-index or lower k)")
     for (_ <- 1 to iterations) {
       val sums = assign(q, cents)
         .join(q, Seq("id"))

@@ -189,17 +189,22 @@ object Multimodal {
       else {
         // locate fmt (must be PCM 16-bit) and data; bounds-checked like
         // MediaHeader's scanner (corrupt sizes stop the walk, not the task)
+        // walk ALL chunks (fmt and data in either order — MediaHeader's
+        // scanner accepts both layouts, so this one must too); keep the
+        // first of each, stop only at buffer end or a corrupt size
         var i = 12
         var pcm16 = false
         var dataAt = -1
         var dataLen = 0
-        while (i + 8 <= b.length && dataAt < 0) {
+        while (i + 8 <= b.length) {
           val size = le32(i + 4)
           if (size < 0 || size > b.length - i - 8) { i = b.length } // corrupt → stop
           else {
-            if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ')
+            if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ' &&
+              !pcm16)
               pcm16 = size >= 16 && le16(i + 8) == 1 && le16(i + 22) == 16
-            else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+            else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
+              b(i + 3) == 'a' && dataAt < 0) {
               dataAt = i + 8; dataLen = size
             }
             i += 8 + size + (size & 1)
@@ -241,9 +246,13 @@ object Multimodal {
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { m =>
+        // NonFatal, not just IOException: ImageIO.read throws runtime
+        // exceptions on corrupt-but-recognized payloads (truncated GIF,
+        // broken ICC profile → AIOOBE/CMMException) and one bad file must
+        // not kill the task — same contract as the header scanner.
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) None
         else {
           val w = img.getWidth

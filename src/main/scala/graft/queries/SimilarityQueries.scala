@@ -434,6 +434,7 @@ object SimilarityQueries {
     * hamming-1 ring at the sf1 decade (more probes only add candidates). */
   private val annMp2Recall: Q = (s, dir) => {
     import s.implicits._
+    fenceBruteForce("ann_mp2_recall", s, dir) // exact-truth side is a full scan
     val bits = lshBits(s, dir)
     def flip(b: org.apache.spark.sql.Column, i: Int) = concat(
       substring(b, 1, i),
@@ -458,15 +459,33 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
       .select($"query_id", $"neighbor_id")
-    val truth = broadcast(emb.filter($"vec_id" < 50)
-        .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn")))
-      .join(emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"nrm".as("nn")),
-        $"query_id" =!= $"neighbor_id")
+    hitsAt3(approx, exactTruthTop3(s, dir, col("vec_id") < 50))
+  }
+
+  /** Exact cosine top-3 ground truth for queries matching `pred` — THE
+    * truth side of every recall gate, factored so all gates share one
+    * tiebreak/rank-cutoff contract. O(queries · n) full scan → callers
+    * must fence it like the other exact baselines. */
+  private def exactTruthTop3(s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    import s.implicits._
+    val emb = spread(Tables(s, dir, "embeddings"))
+      .select($"vec_id", $"embedding", Vectors.fnorm($"embedding").as("nrm"))
+    val q = emb.filter(pred)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"nrm".as("nn"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    broadcast(q).join(n, $"query_id" =!= $"neighbor_id")
       .withColumn("cos",
         Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
       .select($"query_id", $"neighbor_id", lit(1).as("hit"))
+  }
+
+  /** hits@3 of an approx (query_id, neighbor_id) set against a truth set. */
+  private def hitsAt3(approx: DataFrame, truth: DataFrame): DataFrame = {
+    import approx.sparkSession.implicits._
     approx.join(truth, Seq("query_id", "neighbor_id"), "left")
       .groupBy($"query_id")
       .agg(coalesce(sum($"hit"), lit(0)).cast("int").as("hits_at_3"))
@@ -483,6 +502,7 @@ object SimilarityQueries {
     * tables; recall contract identical to [[annQ8Recall]]. */
   private val annMtRecall: Q = (s, dir) => {
     import s.implicits._
+    fenceBruteForce("ann_mt_recall", s, dir) // exact-truth side is a full scan
     val bits = lshBits(s, dir)
     val emb = spread(Tables(s, dir, "embeddings"))
       .select($"vec_id", $"embedding", Vectors.fnorm($"embedding").as("nrm"),
@@ -510,19 +530,7 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
       .select($"query_id", $"neighbor_id")
-    val truth = broadcast(vecs.filter($"vec_id" < 50)
-        .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn")))
-      .join(vecs.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"nrm".as("nn")),
-        $"query_id" =!= $"neighbor_id")
-      .withColumn("cos",
-        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"query_id", $"neighbor_id", lit(1).as("hit"))
-    approx.join(truth, Seq("query_id", "neighbor_id"), "left")
-      .groupBy($"query_id")
-      .agg(coalesce(sum($"hit"), lit(0)).cast("int").as("hits_at_3"))
-      .orderBy($"query_id")
+    hitsAt3(approx, exactTruthTop3(s, dir, col("vec_id") < 50))
   }
 
   private val IvfCentroids = 16
@@ -621,6 +629,7 @@ object SimilarityQueries {
   private val annQ8Recall: Q = (s, dir) => {
     import s.implicits._
     import org.apache.spark.sql.Column
+    fenceBruteForce("ann_q8_recall", s, dir) // both sides scan the corpus per query
     def top3(scored: DataFrame): DataFrame = {
       val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
       scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
@@ -694,22 +703,13 @@ object SimilarityQueries {
     * now flips integer counts and fails the hash compare. */
   private val annRecallAtK: Q = (s, dir) => {
     import s.implicits._
+    fenceBruteForce("ann_recall_at_k", s, dir) // exact-truth side is a full scan
     val approx = annLshBucket(s, dir).withColumn("method", lit("lsh"))
       .unionByName(annLshMultiprobe(s, dir).withColumn("method", lit("lsh_mp")))
       .unionByName(annIvf(s, dir).withColumn("method", lit("ivf")))
       .select($"method", $"query_id", $"neighbor_id")
-    val emb = spread(Tables(s, dir, "embeddings"))
-      .select($"vec_id", $"embedding", Vectors.fnorm($"embedding").as("nrm"))
-    val q = emb.filter($"vec_id" < 50 || ($"vec_id" >= 100 && $"vec_id" < 110))
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
-    val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"nrm".as("nn"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-    val truth = broadcast(q).join(n, $"query_id" =!= $"neighbor_id")
-      .withColumn("cos",
-        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"query_id", $"neighbor_id", lit(1).as("hit"))
+    val truth = exactTruthTop3(s, dir,
+      col("vec_id") < 50 || (col("vec_id") >= 100 && col("vec_id") < 110))
     approx.join(truth, Seq("query_id", "neighbor_id"), "left")
       .groupBy($"method", $"query_id")
       .agg(coalesce(sum($"hit"), lit(0)).cast("int").as("hits_at_3"))

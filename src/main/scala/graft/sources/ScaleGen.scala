@@ -225,7 +225,9 @@ object ScaleGen {
       "part" -> part(spark, nPart, seed + 25),
       "orders" -> ords,
       "lineitem" -> lineitem(ords, seed + 40, nPart, nSupp),
-      "events" -> events(spark, n(1000000), seed + 50, nCust / 10),
+      // floor like n(): at tiny sf, nCust/10 = 0 would make pmod(hash, 0)
+      // emit NULL user_ids and every user join silently empty
+      "events" -> events(spark, n(1000000), seed + 50, math.max(1L, nCust / 10)),
       "documents" -> documents(spark, n(50000), seed + 60),
       "embeddings" -> embeddings(spark, n(20000), seed + 70))
     tables.foreach { case (name, df) =>

@@ -177,6 +177,21 @@ class MultimodalSpec extends SparkSpec {
       .put(Array.fill[Byte](8)(0)).array()
     assert(graft.operators.Multimodal.audioStats(
       Seq(MediaRow(1L, "audio", bad)).toDS()).count() == 0)
+
+    // non-canonical chunk ORDER ([data][fmt ]) still decodes — the walk
+    // covers the whole container like MediaHeader's scanner, so the two
+    // decode surfaces agree on what is PCM16
+    val swapped = java.nio.ByteBuffer.allocate(44 + 4).order(ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("ASCII")).putInt(40).put("WAVE".getBytes("ASCII"))
+      .put("data".getBytes("ASCII")).putInt(4)
+      .putShort(100.toShort).putShort((-100).toShort) // two samples ±100
+      .put("fmt ".getBytes("ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16).array()
+    val sw = graft.operators.Multimodal.audioStats(
+      Seq(MediaRow(7L, "audio", swapped)).toDS()).collect()
+    assert(sw.length == 1 && sw(0).n_samples == 2 && sw(0).peak_abs == 100 &&
+      sw(0).sum_abs == 200 && sw(0).sum_sq == 20000,
+      s"data-before-fmt layout mishandled: ${sw.toSeq}")
   }
 
   test("repartitionForMedia sizes partitions by byte budget") {
