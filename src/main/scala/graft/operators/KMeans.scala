@@ -90,6 +90,15 @@ object KMeans {
       cents = cents.join(sums, Seq("cent_id"), "left")
         .select(col("cent_id"),
           coalesce(col("__newvec"), col("cvec")).as("cvec")) // empty cluster → keep
+        // Truncate lineage EVERY round (VERDICT r6 #2): without this,
+        // iteration i's plan nests all i−1 prior assign+update plans — the
+        // exact geometric-lineage shape that hung the driver in the
+        // round-4 dedup_semantic incident (PERF.md), dormant here only
+        // while iterations stayed at 2. The state is k rows, so the
+        // checkpoint is free, and it mirrors Components' per-round spill.
+        // Values are unchanged (the BIGINT sums are already exact), so
+        // the oracle hash cannot move.
+        .localCheckpoint()
     }
     cents
   }

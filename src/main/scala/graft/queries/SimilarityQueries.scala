@@ -98,18 +98,83 @@ object SimilarityQueries {
   // path — on a 10⁹-row corpus an unfenced O(n²) join launches quietly and
   // never finishes. Like Components' convergence cap, exceeding the
   // envelope fails LOUDLY at plan-build time; a deliberate larger run
-  // overrides with -Dgraft.maxBruteForceRows=<n>.
+  // overrides per session (`spark.conf.set("graft.maxBruteForceRows", n)`)
+  // or JVM-wide (-Dgraft.maxBruteForceRows=<n>). Session conf wins: tests
+  // and concurrent jobs can widen/narrow their own envelope without
+  // mutating global state under every other session's feet (ADVICE r6).
   private val DefaultMaxBruteForceRows = 1000000L
-  private[graft] def maxBruteForceRows: Long =
-    sys.props.get("graft.maxBruteForceRows").map(_.toLong)
-      .getOrElse(DefaultMaxBruteForceRows)
+  /** Read a numeric envelope override: session conf first, then system
+    * property, then the default. A malformed value names the key instead
+    * of surfacing a bare NumberFormatException from plan-build (ADVICE r6). */
+  private def envelope(s: SparkSession, key: String, dflt: Long): Long =
+    s.conf.getOption(key).orElse(sys.props.get(key)) match {
+      case None => dflt
+      case Some(v) => v.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"$key must be an integer budget, got '$v' — fix the session conf " +
+          "or -D override"))
+    }
+  private[graft] def maxBruteForceRows(s: SparkSession): Long =
+    envelope(s, "graft.maxBruteForceRows", DefaultMaxBruteForceRows)
   private def fenceBruteForce(name: String, s: SparkSession, dir: String): Unit = {
+    val budget = maxBruteForceRows(s)
     val n = corpusCount(s, dir)
-    require(n <= maxBruteForceRows,
-      s"$name: brute-force baseline fenced at $maxBruteForceRows rows " +
+    require(n <= budget,
+      s"$name: brute-force baseline fenced at $budget rows " +
         s"(corpus has $n). Use the bucketed scale paths (ann_lsh_bucket / " +
         "ann_lsh_multiprobe / ann_ivf / dedup_semantic), or raise " +
-        "-Dgraft.maxBruteForceRows to run the exact baseline deliberately.")
+        "graft.maxBruteForceRows to run the exact baseline deliberately.")
+  }
+
+  // Exact-index saturation fence (VERDICT r6 #1): the inverted shingle
+  // index is exact but its self-join work is Σ bucket·(bucket−1)/2 — on a
+  // bounded-vocabulary corpus the distinct-shingle space saturates and
+  // that sum goes super-linear (measured at the sf1 decade: 90× join work
+  // for 10× postings, dragging dedup_components to 9.1×). Corpus SIZE is
+  // the wrong probe — a healthy corpus grows its shingle space with n, so
+  // bucket sizes (and pairs PER DOC) stay flat while total pairs grow
+  // linearly. Pairs-per-doc is therefore scale-free: it trips exactly on
+  // saturation, never on legitimate growth. Measured: 28 at sf0.01, 253
+  // at sf0.1, ~2200 at the saturated sf1 decade — the 1024 default passes
+  // every healthy corpus with 4× headroom and refuses the measured
+  // failure mode. The probe is ONE shingle+groupBy aggregation pass
+  // (cached per session × dir, like corpusCount) — linear cost to refuse
+  // a quadratic join.
+  private val DefaultMaxExactPairsPerDoc = 1024L
+  private[graft] def maxExactPairsPerDoc(s: SparkSession): Long =
+    envelope(s, "graft.maxExactPairsPerDoc", DefaultMaxExactPairsPerDoc)
+  private val pairWorkCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, (Long, Long)]]
+  /** (docs, Σ per-shingle-bucket candidate pairs) for the exact index. */
+  private[graft] def exactIndexStats(s: SparkSession, dir: String): (Long, Long) = {
+    val perSession = pairWorkCache.synchronized {
+      var m = pairWorkCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+        pairWorkCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, {
+      val shd = shingled(s, dir)
+      val docs = shd.count()
+      val pairWork = shd.select(explode(col("sh")).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0)).cast("long"))
+        .head().getLong(0)
+      (docs, pairWork)
+    })
+  }
+  private def fenceExactIndex(name: String, s: SparkSession, dir: String): Unit = {
+    val budget = maxExactPairsPerDoc(s)
+    val (docs, pairWork) = exactIndexStats(s, dir)
+    val perDoc = if (docs == 0) 0L else pairWork / docs
+    require(perDoc <= budget,
+      s"$name: exact shingle index is saturated — $pairWork candidate pairs " +
+        s"for $docs docs ($perDoc/doc, budget $budget/doc). A bounded " +
+        "shingle vocabulary makes this join quadratic in postings per " +
+        "bucket; use the minhash-banded scale paths (dedup_minhash_lsh / " +
+        "dedup_components_lsh / dedup_keep_best_lsh), or raise " +
+        "graft.maxExactPairsPerDoc to run the exact baseline deliberately.")
   }
 
   def queries: Map[String, Q] = Map(
@@ -161,6 +226,9 @@ object SimilarityQueries {
     * query and the component clustering. */
   private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // fences dedup_ngram_jaccard AND its consumers (dedup_components,
+    // dedup_keep_best) — all three inherit the exact index's saturation
+    fenceExactIndex("ngram_jaccard exact index", s, dir)
     val shd = shingled(s, dir)
     val inv = shd.select($"doc_id", size($"sh").as("sz"), explode($"sh").as("shingle"))
     // shuffle_hash, not broadcast: the exploded index is ~50x the doc count

@@ -42,6 +42,26 @@ class KMeansSpec extends SparkSpec {
       "centroids changed under a different partition layout — sums must be exact")
   }
 
+  test("plan depth is constant in iteration count (per-round checkpoint)") {
+    // Without the per-round localCheckpoint, iteration i's plan nests all
+    // i−1 prior assign+update plans (the round-4 geometric-lineage shape).
+    // With it, the returned state is a k-row scan whose plan size cannot
+    // depend on how many Lloyd rounds produced it.
+    def planSize(iters: Int): Int =
+      KMeans.fit(planted, "vec_id", "embedding", 3, iters)
+        .queryExecution.optimizedPlan.collect { case p => p }.size
+    val at2 = planSize(2)
+    val at10 = planSize(10)
+    assert(at10 == at2,
+      s"plan grew with iterations: $at2 nodes at 2 iters, $at10 at 10")
+    assert(at2 <= 3, s"checkpointed state should be a flat scan, got $at2 nodes")
+    // and 10 rounds still converge to the planted clusters
+    val cents = KMeans.fit(planted, "vec_id", "embedding", 3, 10)
+    val q = planted.select(col("vec_id").as("id"), KMeans.quantize(col("embedding")).as("qv"))
+    val assigned = KMeans.assign(q, cents).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(assigned.forall { case (id, cent) => cent == id % 3 })
+  }
+
   test("empty clusters carry their previous centroid forward") {
     import spark.implicits._
     // k=4 but only 3 distinct locations: one centroid starves and must

@@ -194,6 +194,56 @@ class MultimodalSpec extends SparkSpec {
       s"data-before-fmt layout mishandled: ${sw.toSeq}")
   }
 
+  test("audioStats decodes µ-law through the same seam: closed-form match") {
+    import spark.implicits._
+    val ids = Seq(2L, 17L, 38L).toDS()
+    val out = graft.operators.Multimodal.audioStats(
+      graft.operators.Multimodal.plantedUlawWavs(ids))
+      .collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(2L, 17L, 38L))
+    for (row <- out) {
+      val id = row.media_id
+      val l = (id % 40) + 8
+      val v1 = graft.operators.Multimodal.ulawToLinear((id * 29 % 256).toInt).toLong
+      val v2 = graft.operators.Multimodal.ulawToLinear(((id * 53 + 7) % 256).toInt).toLong
+      val (n1, n2) = ((l + 1) / 2, l / 2)
+      assert((row.n_samples, row.peak_abs, row.sum_abs, row.sum_sq) ==
+        (l, math.max(math.abs(v1), math.abs(v2)),
+          n1 * math.abs(v1) + n2 * math.abs(v2),
+          n1 * v1 * v1 + n2 * v2 * v2),
+        s"µ-law stats diverge from the decode formula for id $id")
+    }
+    // spot-check the decode table against known G.711 anchor points
+    assert(graft.operators.Multimodal.ulawToLinear(0xff) == 0) // positive zero
+    assert(graft.operators.Multimodal.ulawToLinear(0x7f) == 0) // negative zero
+    assert(graft.operators.Multimodal.ulawToLinear(0x80) == 32124) // max magnitude
+    assert(graft.operators.Multimodal.ulawToLinear(0x00) == -32124)
+  }
+
+  test("multi-fmt container: FIRST fmt wins, matching MediaHeader (ADVICE r6)") {
+    import spark.implicits._
+    // first fmt declares codec 2 (ADPCM — unsupported), a second fmt
+    // declares PCM16: audioStats must NOT decode, because MediaHeader's
+    // first-fmt-returns scanner reports codec 2 and the two decode
+    // surfaces must agree on what the container is
+    val bb = ByteBuffer.allocate(12 + 24 + 24 + 12).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(64).put("WAVE".getBytes("ASCII"))
+    bb.put("fmt ".getBytes("ASCII")).putInt(16).putShort(2).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("fmt ".getBytes("ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes("ASCII")).putInt(4)
+      .putShort(100.toShort).putShort((-100).toShort)
+    val twoFmt = bb.array()
+    assert(graft.operators.Multimodal.audioStats(
+      Seq(MediaRow(1L, "audio", twoFmt)).toDS()).count() == 0,
+      "second fmt chunk overrode the first — decode surfaces disagree")
+    // and MediaHeader agrees: the container reads as non-PCM (codec 2 has
+    // bits_per_sample 16 but format stays 'wav' with its first fmt)
+    val hdr = MediaHeader.decode(twoFmt)
+    assert(hdr.getUTF8String(0).toString == "wav")
+  }
+
   test("repartitionForMedia sizes partitions by byte budget") {
     val df = Multimodal.repartitionForMedia(mediaDf, targetBytesPerPartition = 200)
     assert(df.rdd.getNumPartitions == 2) // 512 bytes total / 200 → 2

@@ -51,19 +51,57 @@ class SimilarityScaleSpec extends SparkSpec {
   test("brute-force baselines are fenced beyond their envelope") {
     // The fence must trip at plan-build time (require), not mid-job: set
     // the envelope below the sf corpus size and expect a loud failure that
-    // names the scale paths. Restore the property whatever happens.
-    val key = "graft.maxBruteForceRows"
-    try {
-      System.setProperty(key, "3")
-      for (q <- Seq("emb_neardup_cosine", "ann_cosine_topk")) {
-        val e = intercept[IllegalArgumentException](
-          SimilarityQueries.queries(q)(spark, sfDir))
-        assert(e.getMessage.contains("brute-force") &&
-          e.getMessage.contains("ann_lsh_bucket"), s"unhelpful fence message: $e")
-      }
-    } finally System.clearProperty(key)
-    // back under the default envelope the baselines still build and run
+    // names the scale paths. The override is SESSION conf (ADVICE r6) —
+    // no JVM-global property mutation, so concurrently running suites
+    // never see this test's narrowed envelope.
+    val narrow = spark.newSession()
+    narrow.conf.set("graft.maxBruteForceRows", "3")
+    for (q <- Seq("emb_neardup_cosine", "ann_cosine_topk")) {
+      val e = intercept[IllegalArgumentException](
+        SimilarityQueries.queries(q)(narrow, sfDir))
+      assert(e.getMessage.contains("brute-force") &&
+        e.getMessage.contains("ann_lsh_bucket"), s"unhelpful fence message: $e")
+    }
+    // a typo'd override must name the broken key, not throw a bare
+    // NumberFormatException from somewhere inside plan construction
+    val broken = spark.newSession()
+    broken.conf.set("graft.maxBruteForceRows", "a-lot")
+    val e = intercept[IllegalArgumentException](
+      SimilarityQueries.queries("ann_cosine_topk")(broken, sfDir))
+    assert(e.getMessage.contains("graft.maxBruteForceRows"),
+      s"malformed override not attributed to its key: $e")
+    // on the unmodified session the baselines still build and run
     assert(SimilarityQueries.queries("ann_cosine_topk")(spark, sfDir).count() > 0)
+  }
+
+  test("exact shingle index is fenced on a saturated corpus") {
+    import spark.implicits._
+    // A bounded-vocabulary corpus: every doc shares one shingle bucket, so
+    // candidate work is n(n-1)/2 and pairs-per-doc ≈ n/2 — 3000 identical
+    // tiny docs blow the 1024/doc default honestly (≈1500/doc), the exact
+    // failure mode the sf1 decade run measured on the 31-word corpus.
+    val dir = java.nio.file.Files.createTempDirectory("saturated").toString
+    (1 to 3000).map(i => (i.toLong, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_components", "dedup_keep_best")) {
+      val e = intercept[IllegalArgumentException](
+        SimilarityQueries.queries(q)(spark, dir))
+      assert(e.getMessage.contains("saturated") &&
+        e.getMessage.contains("dedup_components_lsh"),
+        s"unhelpful saturation fence message for $q: $e")
+    }
+    // the LSH twins stay open on the same corpus: the fence lives at
+    // plan-BUILD time, so a no-throw build proves the minhash family is
+    // exempt (executing it here would compute the dense all-duplicate
+    // output — correct but pointless for a fence test)
+    assert(SimilarityQueries.queries("dedup_minhash_lsh")(spark, dir).columns
+      .contains("jaccard"))
+    // and a session that deliberately widens its envelope runs the exact
+    // baseline (n² here is 3000²/2 ≈ 4.5M pairs — fine for a test)
+    val wide = spark.newSession()
+    wide.conf.set("graft.maxExactPairsPerDoc", "2000000")
+    assert(SimilarityQueries.queries("dedup_ngram_jaccard")(wide, dir).count() > 0)
   }
 
   test("bits re-derive for a regenerated dir (cache keyed by session, not dir alone)") {
