@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample operators.
   *
-  * Header decoding is REAL: [[decode]] parses PNG/JPEG/GIF/WAV container
-  * headers in pure JVM byte arithmetic
-  * ([[graft.functions.MediaHeader]]) — format, dimensions, sample rate.
-  * Only pixel/sample-level work (frame extraction, re-encode) remains a
-  * marked codec seam: those need a real codec library, and the seam
-  * ([[decodeViaPartitions]], [[sampleFrames]]' payload slice) is where a
-  * JNI decoder plugs in without changing any plan shape.
+  * Decoding is REAL across all three modalities: [[decode]] parses
+  * PNG/JPEG/GIF/WAV container headers in pure JVM byte arithmetic
+  * ([[graft.functions.MediaHeader]]); [[pixelStats]] decodes pixels via
+  * ImageIO; [[audioStats]] decodes PCM16 and G.711 µ-law samples;
+  * [[sampleFrames]]/[[frameStats]] demux AVI containers and decode
+  * uncompressed BI_RGB frames. The mapPartitions seam
+  * ([[decodeViaPartitions]]) is where a JNI decoder for compressed
+  * codecs (H.264, MP3, …) plugs in without changing any plan shape.
   *
   * Scale design: media rows are large (MBs); [[repartitionForMedia]] sizes
   * partitions by byte budget, not row count, so executors never hold more
@@ -75,18 +76,197 @@ object Multimodal {
     media.withColumn("meta",
       col("meta").withField("width", lit(w)).withField("height", lit(h)))
 
-  /** Frame sampling for video rows: one output row per sampled frame index
-    * — `explode(sequence(...))` fan-out, the distributed equivalent of a
-    * per-file frame loop. Frame payload is STUB (slice of source bytes). */
-  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
-    media.filter(col("kind") === "video")
-      .select(col("media_id"), col("meta.duration_ms").as("duration_ms"),
-        col("content"),
-        explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))).as("frame_ms"))
-      .select(col("media_id"), col("frame_ms"),
-        // STUB: a real impl decodes the frame at frame_ms
-        substring(col("content"), (pmod(col("frame_ms"), lit(32L)) + 1).cast("int"), lit(16))
-          .as("frame_bytes"))
+  final case class FrameRow(media_id: Long, frame_ms: Long, frame_idx: Int,
+      width: Int, height: Int, frame_bytes: Array[Byte])
+
+  /** Frame sampling for video rows — REAL container demux (the third
+    * codec through the decode seam): walk the AVI/RIFF chunk tree
+    * (`hdrl`→`avih` for frame timing, `strl`→`strf` for the DIB shape,
+    * `movi` for the frame chunks), then emit one row per `everyMs`
+    * timestamp carrying the ACTUAL raw-DIB payload of the frame covering
+    * it (frame_idx = ⌊ms·1000 / µsPerFrame⌋). Only uncompressed 24-bit
+    * BI_RGB video is decodable without a codec library; anything else
+    * drops — the same honesty contract as [[audioStats]]/[[pixelStats]].
+    * Per-file frame loops parallelize as rows; payloads never shuffle. */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[FrameRow] = {
+    implicit val enc = Encoders.product[FrameRow]
+    media.mapPartitions(_.flatMap { m =>
+      aviDemux(m.content).toSeq.flatMap { avi =>
+        val durationMs = avi.nFrames.toLong * avi.usPerFrame / 1000
+        Iterator.range(0L, durationMs, everyMs).flatMap { ms =>
+          val idx = (ms * 1000 / avi.usPerFrame).toInt
+          avi.frames.lift(idx).map { case (off, len) =>
+            FrameRow(m.media_id, ms, idx, avi.width, avi.height,
+              java.util.Arrays.copyOfRange(m.content, off, off + len))
+          }
+        }
+      }
+    })
+  }
+
+  final case class FrameStatsRow(media_id: Long, frame_ms: Long, frame_idx: Int,
+      width: Int, height: Int, n_bytes: Int, n_pixels: Long, luma_sum: Long,
+      hist_0: Long, hist_1: Long, hist_2: Long, hist_3: Long)
+
+  /** Pixel statistics over demuxed frames — decodes the raw-DIB layout
+    * for real (bottom-up rows, BGR order, 4-byte row stride) into the
+    * same integer BT.601 luma sum + 4-bucket histogram as [[pixelStats]],
+    * so the video path is graded by the identical exact-integer oracle
+    * contract. Narrow per-row work; a stride or channel-order bug shifts
+    * integers and fails the hash compare. */
+  def frameStats(frames: Dataset[FrameRow]): Dataset[FrameStatsRow] = {
+    implicit val enc = Encoders.product[FrameStatsRow]
+    frames.mapPartitions(_.flatMap { f =>
+      val stride = ((3 * f.width + 3) / 4) * 4
+      if (f.frame_bytes.length != stride * f.height) None
+      else {
+        var sum = 0L
+        val hist = new Array[Long](4)
+        var y = 0
+        while (y < f.height) {
+          val row = (f.height - 1 - y) * stride // bottom-up storage
+          var x = 0
+          while (x < f.width) {
+            val b = f.frame_bytes(row + 3 * x) & 0xff
+            val g = f.frame_bytes(row + 3 * x + 1) & 0xff
+            val r = f.frame_bytes(row + 3 * x + 2) & 0xff
+            val lum = (299 * r + 587 * g + 114 * b) / 1000
+            sum += lum
+            hist(lum >> 6) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some(FrameStatsRow(f.media_id, f.frame_ms, f.frame_idx, f.width,
+          f.height, f.frame_bytes.length, f.width.toLong * f.height, sum,
+          hist(0), hist(1), hist(2), hist(3)))
+      }
+    })
+  }
+
+  private final case class AviInfo(usPerFrame: Int, nFrames: Int,
+      width: Int, height: Int, frames: IndexedSeq[(Int, Int)])
+
+  /** RIFF/AVI chunk walk in pure byte arithmetic — bounds-checked like
+    * the WAV scanner (corrupt sizes stop the walk, not the task). Returns
+    * None unless the container is AVI with one uncompressed 24-bit BI_RGB
+    * 'vids' stream and at least one movi frame chunk. */
+  private def aviDemux(b: Array[Byte]): Option[AviInfo] = {
+    def le16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def le32(i: Int) = le16(i) | (le16(i + 2) << 16)
+    def fcc(i: Int, s: String) =
+      b(i) == s(0).toByte && b(i + 1) == s(1).toByte &&
+        b(i + 2) == s(2).toByte && b(i + 3) == s(3).toByte
+    if (b.length < 12 || !fcc(0, "RIFF") || !fcc(8, "AVI ")) None
+    else {
+      var usPerFrame = 0
+      var nFrames = 0
+      var width = 0
+      var height = 0
+      var bitCount = 0
+      var compression = -1
+      var vids = false
+      val frames = IndexedSeq.newBuilder[(Int, Int)]
+      // walk [from, to) one nesting level; recurse into LIST chunks —
+      // depth is bounded by the fixed hdrl/strl/movi tree, not the data
+      def walk(from: Int, to: Int): Unit = {
+        var i = from
+        while (i + 8 <= to) {
+          val size = le32(i + 4)
+          if (size < 0 || size > to - i - 8) { i = to } // corrupt → stop
+          else {
+            if (fcc(i, "LIST") && size >= 4) walk(i + 12, i + 8 + size)
+            else if (fcc(i, "avih") && size >= 24) {
+              usPerFrame = le32(i + 8); nFrames = le32(i + 24)
+            } else if (fcc(i, "strh") && size >= 4) {
+              if (fcc(i + 8, "vids")) vids = true
+            } else if (fcc(i, "strf") && size >= 20 && width == 0) {
+              width = le32(i + 12); height = le32(i + 16)
+              bitCount = le16(i + 22); compression = le32(i + 24)
+            } else if ((fcc(i, "00db") || fcc(i, "00dc")) && size > 0) {
+              frames += ((i + 8, size))
+            }
+            i += 8 + size + (size & 1)
+          }
+        }
+      }
+      walk(12, b.length)
+      val fs = frames.result()
+      if (vids && compression == 0 && bitCount == 24 && usPerFrame > 0 &&
+        width > 0 && height > 0 && fs.nonEmpty)
+        Some(AviInfo(usPerFrame, math.min(nFrames, fs.length), width, height, fs))
+      else None
+    }
+  }
+
+  /** Deterministic planted AVI — the video twin of [[syntheticPng]] /
+    * [[syntheticWav]]: `nFrames` uncompressed 24-bit BI_RGB frames of the
+    * PNG test-vector pattern (left ⌊w/2⌋ columns at toneOf(f), the rest
+    * its complement), stored bottom-up BGR with 4-byte row stride in a
+    * minimal RIFF tree (hdrl[avih, strl[strh,strf]], movi[00db…]). Every
+    * per-frame statistic has a closed form in (w, h, toneOf(f)), so the
+    * codec-less DuckDB oracle verifies the real demux + pixel decode. */
+  def syntheticAvi(w: Int, h: Int, nFrames: Int, usPerFrame: Int,
+      toneOf: Int => (Int, Int, Int)): Array[Byte] = {
+    val stride = ((3 * w + 3) / 4) * 4
+    val frameSize = stride * h
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + nFrames * (8 + frameSize)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(s: String) = bb.put(s.getBytes("ASCII"))
+    fcc("RIFF"); bb.putInt(riffSize); fcc("AVI ")
+    fcc("LIST"); bb.putInt(hdrlSize); fcc("hdrl")
+    fcc("avih"); bb.putInt(56)
+    bb.putInt(usPerFrame).putInt(0).putInt(0).putInt(0).putInt(nFrames)
+      .putInt(0).putInt(1).putInt(frameSize).putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fcc("LIST"); bb.putInt(strlSize); fcc("strl")
+    fcc("strh"); bb.putInt(56)
+    fcc("vids"); fcc("DIB ")
+    bb.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(usPerFrame).putInt(1000000) // dwScale/dwRate: rate/scale = fps
+      .putInt(0).putInt(nFrames).putInt(frameSize).putInt(-1).putInt(0)
+    bb.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    fcc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(frameSize).putInt(0).putInt(0).putInt(0).putInt(0)
+    fcc("LIST"); bb.putInt(moviSize); fcc("movi")
+    val split = w / 2
+    var f = 0
+    while (f < nFrames) {
+      fcc("00db"); bb.putInt(frameSize)
+      val (r, g, bl) = toneOf(f)
+      var y = h - 1 // bottom-up row order
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          if (x < split) bb.put(bl.toByte).put(g.toByte).put(r.toByte)
+          else bb.put((255 - bl).toByte).put((255 - g).toByte).put((255 - r).toByte)
+          x += 1
+        }
+        var p = 3 * w
+        while (p < stride) { bb.put(0.toByte); p += 1 }
+        y -= 1
+      }
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** Planted video table mirroring [[plantedImages]]: one real AVI per id
+    * with shape/length/tones derived from the id (25 fps). */
+  def plantedAvis(ids: Dataset[Long]): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    ids.mapPartitions(_.map { id =>
+      MediaRow(id, "video", syntheticAvi(
+        (id % 6 + 2).toInt, (id % 4 + 2).toInt, (id % 5 + 2).toInt, 40000,
+        f => (((id * 37 + f * 11) % 256).toInt, ((id * 59 + f * 13) % 256).toInt,
+          ((id * 83 + f * 17) % 256).toInt)))
+    })
+  }
 
   final case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
   final case class DecodedRow(media_id: Long, n_bytes: Int, format: String)

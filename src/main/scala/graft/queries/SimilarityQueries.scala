@@ -775,6 +775,12 @@ object SimilarityQueries {
     val approx = annLshBucket(s, dir).withColumn("method", lit("lsh"))
       .unionByName(annLshMultiprobe(s, dir).withColumn("method", lit("lsh_mp")))
       .unionByName(annIvf(s, dir).withColumn("method", lit("ivf")))
+      // the TRAINED codebook rung (VERDICT r6 #3): same query set and
+      // probe count as 'ivf', so the two rows answer "did training the
+      // quantizer buy recall over the first-K stand-in?" — graded against
+      // the same float-exact truth (the trained path ranks over q8-style
+      // integer vectors; approximation error is exactly what's measured)
+      .unionByName(annIvfTrained(s, dir).withColumn("method", lit("ivf_trained")))
       .select($"method", $"query_id", $"neighbor_id")
     val truth = exactTruthTop3(s, dir,
       col("vec_id") < 50 || (col("vec_id") >= 100 && col("vec_id") < 110))
@@ -1235,8 +1241,33 @@ object SimilarityQueries {
          |  SELECT query_id, neighbor_id,
          |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
          |  FROM ivf_scored) WHERE rank <= 3),
+         |q AS (SELECT vec_id id,
+         |   [CAST(round(x * ${graft.operators.KMeans.Scale}) AS BIGINT) FOR x IN emb] qv FROM e),
+         |c0 AS (SELECT id cent_id, qv cvec FROM q WHERE id < $IvfCentroids),
+         |${lloydCte(1, "c0")},
+         |${lloydCte(2, "c1")},
+         |tr_assign AS (SELECT id, cent_id FROM (
+         |  SELECT q.id, c.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY q.id
+         |     ORDER BY ${icosSql("q.qv", "c.cvec")} DESC, c.cent_id) r
+         |  FROM q, c2 c) WHERE r = 1),
+         |qq AS (SELECT id query_id, qv FROM q WHERE id >= 100 AND id < 110),
+         |tr_probes AS (SELECT query_id, cent_id FROM (
+         |  SELECT qq.query_id, c.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY qq.query_id
+         |     ORDER BY ${icosSql("qq.qv", "c.cvec")} DESC, c.cent_id) r
+         |  FROM qq, c2 c) WHERE r <= $IvfProbe),
+         |tr_scored AS (SELECT p.query_id, a.id neighbor_id, ${icosSql("x.qv", "y.qv")} cos
+         |  FROM tr_probes p JOIN tr_assign a USING (cent_id)
+         |  JOIN q x ON x.id = p.query_id
+         |  JOIN q y ON y.id = a.id
+         |  WHERE p.query_id <> a.id),
+         |ivf_tr AS (SELECT 'ivf_trained' AS method, query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+         |  FROM tr_scored) WHERE rank <= 3),
          |approx AS (SELECT * FROM lsh UNION ALL SELECT * FROM lsh_mp
-         |           UNION ALL SELECT * FROM ivf),
+         |           UNION ALL SELECT * FROM ivf UNION ALL SELECT * FROM ivf_tr),
          |t_scored AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
          |   (SELECT $cosineSql FROM (SELECT q.emb ea, n.emb eb)) cos
          |  FROM e q JOIN e n

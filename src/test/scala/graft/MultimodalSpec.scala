@@ -110,10 +110,30 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Array[Byte]]("content").length == 64)
   }
 
-  test("sampleFrames fans out one row per sampled frame") {
-    val frames = Multimodal.sampleFrames(mediaDf, everyMs = 40)
-    assert(frames.count() == 3) // 0, 40, 80 within 100ms
-    assert(frames.columns.toSeq == Seq("media_id", "frame_ms", "frame_bytes"))
+  test("sampleFrames demuxes REAL frames from a planted AVI") {
+    import spark.implicits._
+    // id=3 → w=5,h=5,nFrames=5 @40ms: sampling every 100ms over 200ms
+    // picks ms 0→frame 0 and ms 100→frame 2; id=0 → w=2,h=2,nFrames=2,
+    // 80ms total → only ms 0. Noise payload must drop, not throw.
+    val media = Multimodal.plantedAvis(Seq(0L, 3L).toDS())
+      .union(Seq(Multimodal.MediaRow(99L, "video", Array[Byte](1, 2, 3))).toDS())
+    val frames = Multimodal.sampleFrames(media, everyMs = 100)
+      .collect().sortBy(f => (f.media_id, f.frame_ms))
+    assert(frames.map(f => (f.media_id, f.frame_ms, f.frame_idx)).toSeq ==
+      Seq((0L, 0L, 0), (3L, 0L, 0), (3L, 100L, 2)))
+    // the payload is the ACTUAL stored frame: id=3 w=5 → stride 16, h=5
+    assert(frames(1).frame_bytes.length == 16 * 5)
+    // frame 0 of id=3: toneA = (111, 177, 249), stored BGR bottom-up
+    assert((frames(1).frame_bytes(0) & 0xff) == 249) // B
+    assert((frames(1).frame_bytes(1) & 0xff) == 177) // G
+    assert((frames(1).frame_bytes(2) & 0xff) == 111) // R
+    // and frameStats decodes it to the closed form: split=2 cols toneA,
+    // 3 cols complement, luma = (299r+587g+114b)/1000
+    val st = Multimodal.frameStats(Multimodal.sampleFrames(media, 100))
+      .filter(_.media_id == 3L).collect().minBy(_.frame_ms)
+    val la = (299 * 111 + 587 * 177 + 114 * 249) / 1000
+    val lb = (299 * 144 + 587 * 78 + 114 * 6) / 1000
+    assert(st.n_pixels == 25 && st.luma_sum == 5L * (2 * la + 3 * lb))
   }
 
   test("decodeViaPartitions maps batches with an explicit Encoder") {
