@@ -602,6 +602,14 @@ object SimilarityQueries {
   }
 
   private val IvfCentroids = 16
+
+  /** IVF query band [lo, hi). 100 queries, not 10: with 3 truth slots per
+    * query the rung-vs-rung comparison (trained vs training-free codebook)
+    * is read off ~300 integer hits — at 10 queries the 30-hit sample
+    * flipped the ordering by noise (measured: trained 0.6 vs 1.1 on
+    * [100,110) but 1.38 vs 0.99 on [100,200) at sf0.1). */
+  private val IvfQLo = 100
+  private val IvfQHi = 200
   private val IvfProbe = 2
 
   /** IVF-style ANN: a coarse quantizer partitions vectors into centroid
@@ -628,7 +636,7 @@ object SimilarityQueries {
         .select(col(idCol), $"cent_id")
     }
     val assigned = nearestCents(emb, "vec_id", "embedding", "nrm", 1)
-    val q = emb.filter($"vec_id" >= 100 && $"vec_id" < 110)
+    val q = emb.filter($"vec_id" >= IvfQLo && $"vec_id" < IvfQHi)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
     val probes = nearestCents(
       q.withColumnRenamed("query_id", "vec_id"), "vec_id", "qe", "qn", IvfProbe)
@@ -665,7 +673,7 @@ object SimilarityQueries {
     val cents = KMeans.fit(emb, "vec_id", "embedding", IvfCentroids, IvfTrainIters)
     val q = emb.select($"vec_id".as("id"), KMeans.quantize($"embedding").as("qv"))
     val assigned = KMeans.assign(q, cents)
-    val queries = q.filter($"id" >= 100 && $"id" < 110)
+    val queries = q.filter($"id" >= IvfQLo && $"id" < IvfQHi)
       .select($"id".as("query_id"), $"qv".as("qq"))
     val wp = Window.partitionBy($"query_id").orderBy($"pcos".desc, $"cent_id")
     val probes = queries.crossJoin(broadcast(cents))
@@ -783,7 +791,7 @@ object SimilarityQueries {
       .unionByName(annIvfTrained(s, dir).withColumn("method", lit("ivf_trained")))
       .select($"method", $"query_id", $"neighbor_id")
     val truth = exactTruthTop3(s, dir,
-      col("vec_id") < 50 || (col("vec_id") >= 100 && col("vec_id") < 110))
+      col("vec_id") < 50 || (col("vec_id") >= IvfQLo && col("vec_id") < IvfQHi))
     approx.join(truth, Seq("query_id", "neighbor_id"), "left")
       .groupBy($"method", $"query_id")
       .agg(coalesce(sum($"hit"), lit(0)).cast("int").as("hits_at_3"))
@@ -922,7 +930,7 @@ object SimilarityQueries {
          |   ROW_NUMBER() OVER (PARTITION BY q.id
          |     ORDER BY ${icosSql("q.qv", "c.cvec")} DESC, c.cent_id) r
          |  FROM q, c2 c) WHERE r = 1),
-         |qq AS (SELECT id query_id, qv FROM q WHERE id >= 100 AND id < 110),
+         |qq AS (SELECT id query_id, qv FROM q WHERE id >= $IvfQLo AND id < $IvfQHi),
          |probes AS (SELECT query_id, cent_id FROM (
          |  SELECT qq.query_id, c.cent_id,
          |   ROW_NUMBER() OVER (PARTITION BY qq.query_id
@@ -1067,7 +1075,7 @@ object SimilarityQueries {
          |probes AS (SELECT vec_id query_id, cent_id FROM (
          |  SELECT vec_id, cent_id,
          |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) crank
-         |  FROM adist WHERE vec_id >= 100 AND vec_id < 110) WHERE crank <= $IvfProbe),
+         |  FROM adist WHERE vec_id >= $IvfQLo AND vec_id < $IvfQHi) WHERE crank <= $IvfProbe),
          |scored AS (SELECT p.query_id, a.vec_id neighbor_id,
          |   (SELECT $cosineSql FROM (SELECT q.emb ea, n.emb eb)) cos
          |  FROM probes p JOIN assign a USING (cent_id)
@@ -1230,7 +1238,7 @@ object SimilarityQueries {
          |probes AS (SELECT vec_id query_id, cent_id FROM (
          |  SELECT vec_id, cent_id,
          |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) crank
-         |  FROM adist WHERE vec_id >= 100 AND vec_id < 110) WHERE crank <= $IvfProbe),
+         |  FROM adist WHERE vec_id >= $IvfQLo AND vec_id < $IvfQHi) WHERE crank <= $IvfProbe),
          |ivf_scored AS (SELECT p.query_id, a.vec_id neighbor_id,
          |   (SELECT $cosineSql FROM (SELECT q.emb ea, n.emb eb)) cos
          |  FROM probes p JOIN assign a USING (cent_id)
@@ -1251,7 +1259,7 @@ object SimilarityQueries {
          |   ROW_NUMBER() OVER (PARTITION BY q.id
          |     ORDER BY ${icosSql("q.qv", "c.cvec")} DESC, c.cent_id) r
          |  FROM q, c2 c) WHERE r = 1),
-         |qq AS (SELECT id query_id, qv FROM q WHERE id >= 100 AND id < 110),
+         |qq AS (SELECT id query_id, qv FROM q WHERE id >= $IvfQLo AND id < $IvfQHi),
          |tr_probes AS (SELECT query_id, cent_id FROM (
          |  SELECT qq.query_id, c.cent_id,
          |   ROW_NUMBER() OVER (PARTITION BY qq.query_id
@@ -1271,7 +1279,7 @@ object SimilarityQueries {
          |t_scored AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
          |   (SELECT $cosineSql FROM (SELECT q.emb ea, n.emb eb)) cos
          |  FROM e q JOIN e n
-         |  ON (q.vec_id < 50 OR (q.vec_id >= 100 AND q.vec_id < 110)) AND q.vec_id <> n.vec_id),
+         |  ON (q.vec_id < 50 OR (q.vec_id >= $IvfQLo AND q.vec_id < $IvfQHi)) AND q.vec_id <> n.vec_id),
          |truth AS (SELECT query_id, neighbor_id FROM (
          |  SELECT query_id, neighbor_id,
          |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
