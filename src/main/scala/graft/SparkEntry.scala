@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, EcomQueries, ExtendedQueries, MediaQueries, PipelineQueries, RelationalQueries, SimilarityQueries, TextQueries, TrainingQueries}
+import graft.queries.{AnalyticsQueries, E2EQueries, EcomQueries, ExtendedQueries, MediaQueries, PipelineQueries, RelationalQueries, SimilarityQueries, TextQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
     RelationalQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ AnalyticsQueries.queries ++
       ExtendedQueries.queries ++ PipelineQueries.queries ++
-      TrainingQueries.queries ++ MediaQueries.queries ++ EcomQueries.queries
+      TrainingQueries.queries ++ MediaQueries.queries ++ EcomQueries.queries ++
+      E2EQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     RelationalQueries.oracle ++ TextQueries.oracle ++
       SimilarityQueries.oracle ++ AnalyticsQueries.oracle ++
       ExtendedQueries.oracle ++ PipelineQueries.oracle ++
-      TrainingQueries.oracle ++ MediaQueries.oracle ++ EcomQueries.oracle
+      TrainingQueries.oracle ++ MediaQueries.oracle ++ EcomQueries.oracle ++
+      E2EQueries.oracle
 }
