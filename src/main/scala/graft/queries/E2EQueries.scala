@@ -67,10 +67,16 @@ object E2EQueries {
     StructField("created_at", TimestampType)))
 
   /** One daily iteration: land the generated batch, then ingest the three
-    * mart-feeding tables into the parquet warehouse. */
+    * mart-feeding tables into the parquet warehouse. Only the consumed
+    * tables are landed (customers/orders as envelope JSON, order_items as
+    * CSV — one per writer shape): landing all 8 would triple the key's
+    * wall for surface already certified by DataGenSpec/WritersCatalogSpec,
+    * and the bench runs this key three times per pass. */
   private def runDay(s: SparkSession, batch: Map[String, DataFrame],
       batchId: String, day: String): Unit = {
-    DataGen.writeAll(batch, s"$Root/$batchId", s"${day}T00:00:00")
+    DataGen.writeAll(
+      batch.view.filterKeys(Set("customers", "orders", "order_items")).toMap,
+      s"$Root/$batchId", s"${day}T00:00:00")
     val loadedAt = java.sql.Timestamp.valueOf(s"$day 06:00:00")
     def normalize(df: DataFrame, types: Map[String, DataType]) =
       Ingest.normalize(Sources.flatten(df), "json_envelope", batchId, loadedAt, types)
