@@ -60,6 +60,12 @@ object SimilarityQueries {
   // quadratic (fatal) at 100×. Instead the bucket count tracks the corpus:
   // bits = smallest b with 2^b · targetBucket ≥ n, so expected bucket size
   // stays ~targetBucket and pair work is O(n · targetBucket) — LINEAR in n.
+  // 128 confirmed by the r8 sweep at the sf1 decade (20k vectors,
+  // hamming-1 multi-probe, recall@3 vs exact truth — PERF.md): target 64
+  // → 437 cand/query, recall 0.48; 128 → 763, 0.56; 256 → 1332, 0.80.
+  // Recall buys candidates roughly linearly — a KNOB, not a cliff; 128
+  // keeps per-query work at ~6 bucket-scans while the shipped recall
+  // ladder (hamming-2 ring, multi-table) lifts recall at measured cost.
   private val LshTargetBucket = 128L
   private val LshBitsMin = 2 // floor: tiny corpora still split once or twice
   private val LshBitsMax = 16 // 65k buckets; lift with corpus growth beyond 8M docs
