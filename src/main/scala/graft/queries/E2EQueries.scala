@@ -80,21 +80,30 @@ object E2EQueries {
     val loadedAt = java.sql.Timestamp.valueOf(s"$day 06:00:00")
     def normalize(df: DataFrame, types: Map[String, DataType]) =
       Ingest.normalize(Sources.flatten(df), "json_envelope", batchId, loadedAt, types)
-    Ingest.ingest(s"$Root/wh/customers",
-      Seq(normalize(
-        Sources.readJsonEnvelope(s, s"$Root/$batchId/json/customers.json", customersRecord),
-        Map.empty)),
-      Seq("CUSTOMER_ID"), Seq(col("LOADED_AT")))
-    Ingest.ingest(s"$Root/wh/orders",
-      Seq(normalize(
-        Sources.readJsonEnvelope(s, s"$Root/$batchId/json/orders.json", ordersRecord),
-        Map("TOTAL_AMOUNT" -> DecimalType(18, 2)))),
-      Seq("ORDER_ID"), Seq(col("UPDATED_AT"), col("LOADED_AT")))
-    Ingest.ingest(s"$Root/wh/order_items",
-      Seq(normalize(
-        Sources.readCsv(s, s"$Root/$batchId/csv/order_items", itemsSchema),
-        Map.empty)),
-      Seq("ORDER_ITEM_ID"), Seq(col("CREATED_AT"), col("LOADED_AT")))
+    // the three table ingests are independent — run them as concurrent
+    // Spark jobs, the same fan-out the reference DAG schedules as
+    // parallel Airflow tasks (ingest wall is job-overhead-bound, not
+    // compute-bound, so overlap is the whole win)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(Ingest.ingest(s"$Root/wh/customers",
+        Seq(normalize(
+          Sources.readJsonEnvelope(s, s"$Root/$batchId/json/customers.json", customersRecord),
+          Map.empty)),
+        Seq("CUSTOMER_ID"), Seq(col("LOADED_AT")))),
+      Future(Ingest.ingest(s"$Root/wh/orders",
+        Seq(normalize(
+          Sources.readJsonEnvelope(s, s"$Root/$batchId/json/orders.json", ordersRecord),
+          Map("TOTAL_AMOUNT" -> DecimalType(18, 2)))),
+        Seq("ORDER_ID"), Seq(col("UPDATED_AT"), col("LOADED_AT")))),
+      Future(Ingest.ingest(s"$Root/wh/order_items",
+        Seq(normalize(
+          Sources.readCsv(s, s"$Root/$batchId/csv/order_items", itemsSchema),
+          Map.empty)),
+        Seq("ORDER_ITEM_ID"), Seq(col("CREATED_AT"), col("LOADED_AT")))))),
+      Duration.Inf)
   }
 
   private val e2eGenerateIngest: Q = (s, dir) => {

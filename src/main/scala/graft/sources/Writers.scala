@@ -38,10 +38,16 @@ object Writers {
     * accidentally collecting a fact table. */
   def writeJsonEnvelope(df: DataFrame, table: String, path: String,
       generatedAt: String, maxRows: Long = 1000000): Unit = {
-    val n = df.count()
-    require(n <= maxRows,
-      s"envelope sink is for small tables; $table has $n rows > $maxRows")
-    val records = df.toJSON.collect().mkString(",\n    ")
+    // ONE job, guard intact: collect at most maxRows+1 serialized rows —
+    // overflow still fails loudly before any write, without the separate
+    // count() pass this sink used to pay per envelope (a composed daily
+    // loop writes several envelopes, so the job count shows up in wall).
+    val limit = (math.min(maxRows, Int.MaxValue - 1L) + 1).toInt
+    val rows = df.toJSON.limit(limit).collect()
+    require(rows.length <= maxRows,
+      s"envelope sink is for small tables; $table has more than $maxRows rows")
+    val n = rows.length
+    val records = rows.mkString(",\n    ")
     val doc =
       s"""{"metadata": {"table": "$table", "recordCount": $n,
          |              "generatedAt": "$generatedAt", "version": "1.0"},
