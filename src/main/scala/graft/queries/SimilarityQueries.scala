@@ -201,6 +201,8 @@ object SimilarityQueries {
     "ann_mp2_recall" -> annMp2Recall,
     "ann_mt_recall" -> annMtRecall,
     "ann_ivf_trained" -> annIvfTrained,
+    "ann_ivf_incremental" -> annIvfIncremental,
+    "emb_random_projection" -> embRandomProjection,
     "dedup_semantic" -> dedupSemantic
   )
 
@@ -700,6 +702,59 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  /** INCREMENTAL IVF index maintenance — the mode a 100 TB index actually
+    * lives in: the codebook is trained ONCE on the existing corpus (here
+    * the first ¾ by id — appends arrive with higher ids) and FROZEN;
+    * daily arrivals are assigned against it without retraining, because
+    * retraining re-shuffles every stored vector's cell and forces a full
+    * index rebuild. Output is the per-cell occupancy split by cohort —
+    * exactly what a drift monitor reads to decide when the frozen
+    * codebook has aged out (new data piling into few cells) and a
+    * scheduled retrain is worth the rebuild. Assignment of the increment
+    * is a broadcast join + rank-1 window over ONLY the new rows — O(new ·
+    * k), independent of index size. The DuckDB oracle replays the whole
+    * thing: prefix-only Lloyd training, frozen-codebook assignment of all
+    * rows, exact integer cohort counts. */
+  private val annIvfIncremental: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.KMeans
+    val split = 3L * corpusCount(s, dir) / 4L
+    val emb = spread(Tables(s, dir, "embeddings"))
+    val cents = KMeans.fit(emb.filter($"vec_id" < split), "vec_id", "embedding",
+      IvfCentroids, IvfTrainIters)
+    val q = emb.select($"vec_id".as("id"), KMeans.quantize($"embedding").as("qv"))
+    KMeans.assign(q, cents)
+      .groupBy($"cent_id")
+      .agg(
+        sum(when($"id" < split, 1L).otherwise(0L)).as("n_existing"),
+        sum(when($"id" >= split, 1L).otherwise(0L)).as("n_incremental"))
+      .orderBy($"cent_id")
+  }
+
+  private val ProjDim = 16
+  private val ProjSeed = 977
+
+  /** Johnson–Lindenstrauss random projection — seeded dimensionality
+    * reduction 64 → 16 dims for the embedding column: y_j = Σ_i x_i·R_ij
+    * with R's entries the SAME md5-derived [-1, 1] pseudo-random values
+    * as the LSH hyperplanes (`HashSketch.plane`), so the DuckDB oracle
+    * re-derives the full projection matrix and every output double
+    * bit-for-bit (fused one-pass dots, sequential fold order on both
+    * engines). This is the standard pre-ANN shrink at scale: 4× less
+    * vector IO for distance work that JL bounds say survives projection —
+    * SimilarityScaleSpec measures the survival (cosine correlation
+    * original vs projected) rather than assuming it. */
+  private val embRandomProjection: Q = (s, dir) => {
+    import s.implicits._
+    val emb = spread(Tables(s, dir, "embeddings"))
+    emb.select($"vec_id",
+      array((0 until ProjDim).map(j =>
+        graft.functions.HashExpr.floatDotWeights($"embedding",
+          graft.functions.HashSketch.plane(EmbDim, ProjSeed * 1000 + j))): _*)
+        .as("projected"))
+      .orderBy($"vec_id")
+  }
+
   /** Int8 symmetric quantization — the embedding STORAGE path at 100 TB:
     * per-vector scale = max |component|, q_i = round(v_i·127/scale), 4×
     * smaller at rest, dequantize on read. This key measures what the
@@ -951,6 +1006,35 @@ object SimilarityQueries {
          | SELECT query_id, neighbor_id,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) rank
          | FROM scored) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Incremental IVF: q is the TRAINING prefix (lloydCte trains over the
+    // CTE literally named `q`), qall is the whole corpus assigned against
+    // the frozen post-training codebook c2.
+    "ann_ivf_incremental" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+         |nn AS (SELECT 3 * COUNT(*) // 4 AS split FROM embeddings),
+         |qall AS (SELECT vec_id id,
+         |   [CAST(round(x * ${graft.operators.KMeans.Scale}) AS BIGINT) FOR x IN emb] qv FROM e),
+         |q AS (SELECT qall.* FROM qall, nn WHERE qall.id < nn.split),
+         |c0 AS (SELECT id cent_id, qv cvec FROM q WHERE id < $IvfCentroids),
+         |${lloydCte(1, "c0")},
+         |${lloydCte(2, "c1")},
+         |assign AS (SELECT id, cent_id FROM (
+         |  SELECT qall.id, c.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY qall.id
+         |     ORDER BY ${icosSql("qall.qv", "c.cvec")} DESC, c.cent_id) r
+         |  FROM qall, c2 c) WHERE r = 1)
+         |SELECT cent_id,
+         | CAST(SUM(CASE WHEN a.id < nn.split THEN 1 ELSE 0 END) AS BIGINT) AS n_existing,
+         | CAST(SUM(CASE WHEN a.id >= nn.split THEN 1 ELSE 0 END) AS BIGINT) AS n_incremental
+         |FROM assign a, nn GROUP BY cent_id ORDER BY cent_id""".stripMargin,
+
+    "emb_random_projection" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings)
+         |SELECT vec_id,
+         | [${planeDotSql("emb", s"${ProjSeed * 1000} + j")} FOR j IN range(0, $ProjDim)]
+         |  AS projected
+         |FROM e ORDER BY vec_id""".stripMargin,
 
     "ann_lsh_multiprobe" ->
       s"""WITH $bitsCte,

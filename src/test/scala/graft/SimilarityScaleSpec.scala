@@ -119,6 +119,46 @@ class SimilarityScaleSpec extends SparkSpec {
         s"training-free stand-in ${hits("ivf")} at equal probe count")
   }
 
+  test("random projection preserves the similarity structure it prefilters (sf0.01)") {
+    import spark.implicits._
+    // JL at 16 dims is a PREFILTER contract, not a verdict: the projected
+    // space must keep strong pairs separated from the weak mass and track
+    // original cosine overall. Deterministic (fixed corpus, fixed seed),
+    // so the pinned floors sit under the measured values (strong-mean
+    // 0.40, weak-mean ~0.0, pearson 0.46) with margin.
+    val dir = "/root/testdata/sf0.01"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val proj = SimilarityQueries.queries("emb_random_projection")(spark, dir)
+    val x = emb.join(proj, "vec_id")
+    val a = x.select($"vec_id".as("ida"), $"e".as("ea"), $"projected".as("pa"))
+    val b = x.select($"vec_id".as("idb"), $"e".as("eb"), $"projected".as("pb"))
+    val pairs = a.join(b, $"ida" < $"idb")
+      .select(Vectors.cosine($"ea", $"eb").as("co"),
+        Vectors.cosine($"pa", $"pb").as("cp"))
+    val r = pairs.agg(
+      corr($"co", $"cp").as("pearson"),
+      avg(when($"co" >= 0.45, $"cp")).as("strong_mean"),
+      avg(when($"co" < 0.2, $"cp")).as("weak_mean")).head()
+    assert(r.getDouble(0) >= 0.3, s"pearson ${r.getDouble(0)} — projection lost structure")
+    assert(r.getDouble(1) >= 0.25, s"strong pairs collapsed: mean proj cos ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2)) <= 0.1, s"weak mass shifted: ${r.getDouble(2)}")
+  }
+
+  test("incremental IVF conserves the corpus split across cells") {
+    val out = SimilarityQueries.queries("ann_ivf_incremental")(spark, sfDir)
+      .collect()
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val split = 3L * n / 4L
+    assert(out.map(_.getAs[Long]("n_existing")).sum == split,
+      "existing cohort must cover exactly the training prefix")
+    assert(out.map(_.getAs[Long]("n_incremental")).sum == n - split,
+      "every appended vector must land in some frozen-codebook cell")
+    // the increment spreads across cells — a degenerate single-bucket
+    // landing would mean the frozen codebook carries no signal for new data
+    assert(out.count(_.getAs[Long]("n_incremental") > 0) >= 2)
+  }
+
   test("bits re-derive for a regenerated dir (cache keyed by session, not dir alone)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bitscache").toString
