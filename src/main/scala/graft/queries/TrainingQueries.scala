@@ -33,6 +33,7 @@ object TrainingQueries {
   def queries: Map[String, Q] = Map(
     "text_repetition" -> textRepetition,
     "text_seq_pack" -> textSeqPack,
+    "text_chunk" -> textChunk,
     "text_tfidf" -> textTfidf,
     "text_decontaminate" -> textDecontaminate,
     "sample_stratified" -> sampleStratified,
@@ -90,6 +91,31 @@ object TrainingQueries {
       .withColumn("bin_last", expr(s"(start_offset + n_tokens - 1) div $PackBin"))
       .withColumn("spans_boundary", $"bin_first" =!= $"bin_last")
       .orderBy($"doc_id")
+  }
+
+  private val ChunkW = 32
+  private val ChunkStride = 24
+
+  /** Sliding-window document chunking — the step between cleaning and
+    * packing in a training/RAG pipeline: each document becomes overlapping
+    * [[ChunkW]]-token windows at [[ChunkStride]] stride (8-token overlap
+    * keeps boundary-spanning context in some chunk). Pure per-row fan-out
+    * (tokenize once, `posexplode` over window starts, `slice` per chunk)
+    * — no shuffle, linear at any corpus size, and payload stays columnar.
+    * Output is deterministic text, so DuckDB replays it verbatim via the
+    * same split + inclusive-slice arithmetic. */
+  private val textChunk: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", Text.tokens(Text.normalized($"text")).as("toks"))
+      .withColumn("n", size($"toks"))
+      .select($"doc_id", $"toks", $"n",
+        posexplode(sequence(lit(0), greatest($"n" - 1, lit(0)), lit(ChunkStride)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select($"doc_id", $"chunk_idx", $"start_tok",
+        least($"n" - $"start_tok", lit(ChunkW)).as("n_tok"),
+        concat_ws(" ", slice($"toks", $"start_tok" + 1, lit(ChunkW))).as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_idx")
   }
 
   // ------------------------------------------------ rarity-weighted terms
@@ -259,6 +285,19 @@ object TrainingQueries {
          | (round(CAST(n_bigrams - n_distinct_bigrams AS DOUBLE)/greatest(n_bigrams,1), 6) > 0.2
          |  OR round(CAST(n_words - n_distinct_words AS DOUBLE)/n_words, 6) > 0.72) AS repetitive
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "text_chunk" ->
+      raw"""WITH toks AS (SELECT doc_id,
+           |  regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') t
+           |  FROM documents),
+           |st AS (SELECT doc_id, t, len(t) n,
+           |  unnest(generate_series(0, GREATEST(len(t) - 1, 0), $ChunkStride)) start_tok
+           |  FROM toks)
+           |SELECT doc_id, CAST(start_tok // $ChunkStride AS INT) AS chunk_idx,
+           | CAST(start_tok AS INT) AS start_tok,
+           | CAST(LEAST(n - start_tok, $ChunkW) AS INT) AS n_tok,
+           | array_to_string(t[start_tok + 1 : start_tok + $ChunkW], ' ') AS chunk_text
+           |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "text_seq_pack" ->
       raw"""WITH f AS (SELECT doc_id, source,

@@ -79,4 +79,23 @@ class TrainingQueriesSpec extends SparkSpec {
       assert(g.map(_.getInt(1)).sorted.toSeq === (0 until g.length))
     }
   }
+
+  test("text_chunk: windows tile every document with the declared stride") {
+    val rows = run("text_chunk")
+      .select("doc_id", "chunk_idx", "start_tok", "n_tok").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (doc, g) =>
+      val chunks = g.sortBy(_.getInt(1))
+      // the document's token count is recoverable from the last window
+      val n = chunks.last.getInt(2) + chunks.last.getInt(3)
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        // indices dense from 0, starts on the stride grid, every window
+        // as wide as the document allows (cap 32 = ChunkW)
+        assert(c.getInt(1) == i && c.getInt(2) == i * 24, s"doc $doc chunk $i grid")
+        assert(c.getInt(3) == math.min(32, n - c.getInt(2)), s"doc $doc chunk $i width")
+      }
+      // tiling is complete: one more stride step would start past the end
+      assert(chunks.last.getInt(2) + 24 >= n, s"doc $doc dropped a tail window")
+    }
+  }
 }
