@@ -159,6 +159,31 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(out.count(_.getAs[Long]("n_incremental") > 0) >= 2)
   }
 
+  test("incremental semantic dedup verdicts cover newcomers, match only the index") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val out = SimilarityQueries.queries("dedup_semantic_incremental")(spark, dir)
+      .collect()
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val split = 3L * n / 4L
+    assert(out.length == n - split, "one verdict row per appended vector")
+    out.foreach { r =>
+      val dupOf = Option(r.getAs[java.lang.Long]("dup_of"))
+      val m = r.getAs[Long]("n_matches")
+      // a match must point INTO the existing index (never newcomer-vs-
+      // newcomer — that work belongs to the next day's index), and the
+      // verdict fields must agree
+      dupOf match {
+        case Some(d) => assert(d < split && m >= 1, s"bad match row $r")
+        case None => assert(m == 0, s"count without a match: $r")
+      }
+    }
+    // the planted near-dup rate (~4% mutations of EARLIER vectors) must
+    // actually surface: some newcomer matches existing content
+    assert(out.exists(_.getAs[Long]("n_matches") > 0),
+      "no newcomer matched the index — probe ring or threshold broke")
+  }
+
   test("bits re-derive for a regenerated dir (cache keyed by session, not dir alone)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bitscache").toString
