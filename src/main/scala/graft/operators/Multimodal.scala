@@ -69,12 +69,49 @@ object Multimodal {
         col("f.header.width").as("decoded_width"),
         col("f.header.height").as("decoded_height"))
 
-  /** "Resize": metadata transform + STUB re-encode (identity bytes). A real
-    * implementation swaps the content expression for a codec call; the
-    * plan shape (narrow projection) is identical. */
+  /** Metadata-only resize: rewrites declared dimensions without touching
+    * payload — the cheap path when downstream only reads metadata (the
+    * payload transform is [[resizeImages]]). Narrow projection. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("meta",
       col("meta").withField("width", lit(w)).withField("height", lit(h)))
+
+  /** REAL payload resize through the codec seam: ImageIO decode →
+    * deterministic floor-sampling resample (dst pixel (x,y) reads src
+    * (⌊x·sw/w⌋, ⌊y·sh/h⌋) — integer arithmetic, so every output pixel has
+    * a closed form an engine without a codec can replay) → lossless PNG
+    * re-encode. Undecodable payloads drop, same contract as
+    * [[pixelStats]]. Per-row narrow work behind mapPartitions; payload
+    * bytes never shuffle. */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { m =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) None
+        else {
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val (sw, sh) = (img.getWidth, img.getHeight)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              out.setRGB(x, y, img.getRGB(x * sw / w, y * sh / h))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(MediaRow(m.media_id, m.kind, bos.toByteArray))
+        }
+      }
+    }
+  }
 
   final case class FrameRow(media_id: Long, frame_ms: Long, frame_idx: Int,
       width: Int, height: Int, frame_bytes: Array[Byte])

@@ -179,13 +179,35 @@ object MediaQueries {
       .orderBy($"media_id", $"frame_ms")
   }
 
+  /** REAL payload resize end to end: plant two-tone PNGs, resample every
+    * image to 8×6 through the codec seam (ImageIO decode → floor-sampling
+    * resample → lossless PNG re-encode,
+    * [[graft.operators.Multimodal.resizeImages]]), then decode the
+    * RESIZED payload back with [[graft.operators.Multimodal.pixelStats]].
+    * Floor sampling gives the resized two-tone a closed form — dst column
+    * x is tone A iff ⌊x·w/8⌋ < ⌊w/2⌋, so tone-A column count is
+    * ⌈(w/2)·8/w⌉ — which the codec-less DuckDB oracle computes in integer
+    * arithmetic. A resample bug (wrong axis, center-sampling, off-by-one)
+    * shifts exact integers and fails the hash compare. */
+  private val mmResizeStats: Q = (s, dir) => {
+    import s.implicits._
+    val ids = Tables(s, dir, "documents")
+      .filter($"doc_id" % 3 === 0).select($"doc_id").as[Long]
+    graft.operators.Multimodal.pixelStats(
+      graft.operators.Multimodal.resizeImages(
+        graft.operators.Multimodal.plantedImages(ids), 8, 6))
+      .toDF()
+      .orderBy($"media_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "mm_media_features" -> mmMediaFeatures,
     "mm_frame_sample" -> mmFrameSample,
     "mm_pixel_stats" -> mmPixelStats,
     "mm_audio_stats" -> mmAudioStats,
     "mm_ulaw_stats" -> mmUlawStats,
-    "mm_video_frames" -> mmVideoFrames
+    "mm_video_frames" -> mmVideoFrames,
+    "mm_resize_stats" -> mmResizeStats
   )
 
   // ------------------------------------------------------------- oracle --
@@ -292,6 +314,33 @@ object MediaQueries {
         |SELECT doc_id AS media_id, L AS n_samples, A AS peak_abs,
         | L * A AS sum_abs, L * A * A AS sum_sq
         |FROM p ORDER BY media_id""".stripMargin,
+
+    // Resized two-tone closed form: dst is 8×6; dst column x reads src
+    // column x*w//8, which is tone A iff < w//2 — so tone-A columns
+    // nA = ceil((w//2)*8/w) = ((w//2)*8 + w - 1) // w (never > 8 since
+    // split < w). Rows are tone-uniform, so stats scale by 6.
+    "mm_resize_stats" ->
+      """WITH base AS (SELECT doc_id,
+        |  CAST(doc_id % 8 + 2 AS BIGINT) w,
+        |  (doc_id * 37) % 256 ra, (doc_id * 59) % 256 ga, (doc_id * 83) % 256 ba
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |tones AS (SELECT doc_id,
+        |  ((w // 2) * 8 + w - 1) // w AS na,
+        |  (299*ra + 587*ga + 114*ba) // 1000 AS la,
+        |  (299*(255-ra) + 587*(255-ga) + 114*(255-ba)) // 1000 AS lb
+        |  FROM base)
+        |SELECT doc_id AS media_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+        | CAST(48 AS BIGINT) AS n_pixels,
+        | 6 * (na*la + (8-na)*lb) AS luma_sum,
+        | 6 * (na*(CASE WHEN la // 64 = 0 THEN 1 ELSE 0 END)
+        |   + (8-na)*(CASE WHEN lb // 64 = 0 THEN 1 ELSE 0 END)) AS hist_0,
+        | 6 * (na*(CASE WHEN la // 64 = 1 THEN 1 ELSE 0 END)
+        |   + (8-na)*(CASE WHEN lb // 64 = 1 THEN 1 ELSE 0 END)) AS hist_1,
+        | 6 * (na*(CASE WHEN la // 64 = 2 THEN 1 ELSE 0 END)
+        |   + (8-na)*(CASE WHEN lb // 64 = 2 THEN 1 ELSE 0 END)) AS hist_2,
+        | 6 * (na*(CASE WHEN la // 64 = 3 THEN 1 ELSE 0 END)
+        |   + (8-na)*(CASE WHEN lb // 64 = 3 THEN 1 ELSE 0 END)) AS hist_3
+        |FROM tones ORDER BY media_id""".stripMargin,
 
     // Video closed forms: the planted AVI's frame f is the two-tone
     // pattern with tones ((id·37+f·11)%256, (id·59+f·13)%256,

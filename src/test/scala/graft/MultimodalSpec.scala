@@ -103,6 +103,21 @@ class MultimodalSpec extends SparkSpec {
     assert(f.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("resizeImages really resamples payload: closed-form match, noise dropped") {
+    import spark.implicits._
+    // id=5 → src 7×5, tones (185,39,159)/complement, split 3; resized to
+    // 8×6 with floor sampling: dst col x is tone A iff x*7//8 < 3 → cols
+    // 0..3 (ceil(3*8/7) = 4)
+    val media = graft.operators.Multimodal.plantedImages(Seq(5L).toDS())
+      .union(Seq(Multimodal.MediaRow(99L, "image", Array[Byte](9, 9))).toDS())
+    val out = Multimodal.pixelStats(Multimodal.resizeImages(media, 8, 6)).collect()
+    assert(out.map(_.media_id).toSeq == Seq(5L)) // undecodable dropped
+    val la = (299 * 185 + 587 * 39 + 114 * 159) / 1000
+    val lb = (299 * 70 + 587 * 216 + 114 * 96) / 1000
+    assert(out.head.width == 8 && out.head.height == 6)
+    assert(out.head.luma_sum == 6L * (4 * la + 4 * lb))
+  }
+
   test("resize rewrites metadata without touching payload") {
     val out = Multimodal.resize(mediaDf, 100, 100).filter(col("media_id") === 1).head()
     val meta = out.getStruct(out.fieldIndex("meta"))
