@@ -151,6 +151,44 @@ class MultimodalSpec extends SparkSpec {
     assert(st.n_pixels == 25 && st.luma_sum == 5L * (2 * la + 3 * lb))
   }
 
+  test("decoders never throw on corrupted containers — they drop (fuzz)") {
+    import spark.implicits._
+    // 240 seeded mutations of real containers (AVI/WAV/µ-law/PNG): bit
+    // flips, truncations, tail garbage. The honesty contract says a
+    // corrupt payload DROPS; one bad file must never kill a task — this
+    // is the property every mapPartitions decoder in the seam shares.
+    val rnd = new scala.util.Random(7)
+    val bases = Seq(
+      Multimodal.syntheticAvi(5, 4, 3, 40000, f => (10 + f, 20, 30)),
+      Multimodal.syntheticWav(8000, 500, 20),
+      Multimodal.syntheticUlawWav(8000, 40, 200, 12),
+      Multimodal.syntheticPng(6, 4, 1, 2, 3))
+    def corrupt(b: Array[Byte]): Array[Byte] = rnd.nextInt(3) match {
+      case 0 =>
+        val c = b.clone()
+        val i = rnd.nextInt(c.length)
+        c(i) = (c(i) ^ (1 << rnd.nextInt(8))).toByte
+        c
+      case 1 => b.take(rnd.nextInt(b.length))
+      case _ =>
+        val c = b.clone()
+        java.util.Arrays.fill(c, rnd.nextInt(c.length), c.length, rnd.nextInt(256).toByte)
+        c
+    }
+    val rows = (0 until 240).map { i =>
+      Multimodal.MediaRow(i.toLong, Seq("video", "audio", "audio", "image")(i % 4),
+        corrupt(bases(i % 4)))
+    }
+    val ds = rows.toDS()
+    // none of these pipelines may throw; counts just force full evaluation
+    val frames = Multimodal.sampleFrames(ds, 100)
+    assert(Multimodal.frameStats(frames).count() <= frames.count())
+    Multimodal.audioStats(ds).count()
+    Multimodal.pixelStats(ds).count()
+    Multimodal.resizeImages(ds, 4, 4).count()
+    Multimodal.decodeViaPartitions(ds).count()
+  }
+
   test("decodeViaPartitions maps batches with an explicit Encoder") {
     import spark.implicits._
     val ds = Seq(
