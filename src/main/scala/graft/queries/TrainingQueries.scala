@@ -34,6 +34,7 @@ object TrainingQueries {
     "text_repetition" -> textRepetition,
     "text_seq_pack" -> textSeqPack,
     "text_chunk" -> textChunk,
+    "text_chunk_decontaminate" -> textChunkDecontaminate,
     "text_tfidf" -> textTfidf,
     "text_decontaminate" -> textDecontaminate,
     "sample_stratified" -> sampleStratified,
@@ -104,7 +105,10 @@ object TrainingQueries {
     * — no shuffle, linear at any corpus size, and payload stays columnar.
     * Output is deterministic text, so DuckDB replays it verbatim via the
     * same split + inclusive-slice arithmetic. */
-  private val textChunk: Q = (s, dir) => {
+  /** The chunk grid shared by [[textChunk]] and
+    * [[textChunkDecontaminate]]: (doc_id, chunk_idx, start_tok, n_tok,
+    * chunk_text). */
+  private def chunked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents")
       .select($"doc_id", Text.tokens(Text.normalized($"text")).as("toks"))
@@ -115,7 +119,34 @@ object TrainingQueries {
       .select($"doc_id", $"chunk_idx", $"start_tok",
         least($"n" - $"start_tok", lit(ChunkW)).as("n_tok"),
         concat_ws(" ", slice($"toks", $"start_tok" + 1, lit(ChunkW))).as("chunk_text"))
-      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  private val textChunk: Q = (s, dir) => {
+    import s.implicits._
+    chunked(s, dir).orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** CHUNK-level decontamination — [[textDecontaminate]]'s doc-level
+    * verdict localized to the window that actually leaks: training
+    * chunks sharing ≥ 3 distinct [[ShingleN]]-gram shingles with a
+    * benchmark document are flagged (doc, chunk, bench, overlap), so the
+    * pipeline can surgically drop the leaking window instead of the
+    * whole document. Same plan shape as the doc-level key — benchmark
+    * shingles broadcast, training side stays partitioned — with the
+    * chunk fan-out upstream; linear in corpus size. */
+  private val textChunkDecontaminate: Q = (s, dir) => {
+    import s.implicits._
+    val chsh = chunked(s, dir).filter($"doc_id" % 50 =!= 0)
+      .select($"doc_id", $"chunk_idx",
+        explode(Text.shingleSet($"chunk_text", ShingleN)).as("shingle"))
+    val bench = Tables(s, dir, "documents").filter($"doc_id" % 50 === 0)
+      .select($"doc_id".as("bench_id"),
+        explode(Text.shingleSet($"text", ShingleN)).as("shingle"))
+    chsh.join(broadcast(bench), "shingle")
+      .groupBy($"doc_id", $"chunk_idx", $"bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 3)
+      .orderBy($"doc_id", $"chunk_idx", $"bench_id")
   }
 
   // ------------------------------------------------ rarity-weighted terms
@@ -298,6 +329,30 @@ object TrainingQueries {
            | CAST(LEAST(n - start_tok, $ChunkW) AS INT) AS n_tok,
            | array_to_string(t[start_tok + 1 : start_tok + $ChunkW], ' ') AS chunk_text
            |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "text_chunk_decontaminate" ->
+      raw"""WITH toks AS (SELECT doc_id,
+           |  regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') t
+           |  FROM documents),
+           |st AS (SELECT doc_id, t,
+           |  unnest(generate_series(0, GREATEST(len(t) - 1, 0), $ChunkStride)) start_tok
+           |  FROM toks),
+           |ch AS (SELECT doc_id, start_tok // $ChunkStride AS chunk_idx,
+           |  regexp_split_to_array(array_to_string(t[start_tok + 1 : start_tok + $ChunkW], ' '), ' ') t2
+           |  FROM st WHERE doc_id % 50 <> 0),
+           |csh AS (SELECT doc_id, chunk_idx, unnest(list_distinct(CASE WHEN len(t2) < $ShingleN
+           |  THEN [array_to_string(t2, ' ')]
+           |  ELSE [array_to_string(t2[i:i+${ShingleN - 1}], ' ') FOR i IN range(1, len(t2) - ${ShingleN - 2})] END)) shingle
+           |  FROM ch),
+           |bsh AS (SELECT doc_id bench_id, unnest(list_distinct(CASE WHEN len(t) < $ShingleN
+           |  THEN [array_to_string(t, ' ')]
+           |  ELSE [array_to_string(t[i:i+${ShingleN - 1}], ' ') FOR i IN range(1, len(t) - ${ShingleN - 2})] END)) shingle
+           |  FROM toks WHERE doc_id % 50 = 0)
+           |SELECT c.doc_id, CAST(c.chunk_idx AS INT) AS chunk_idx, b.bench_id,
+           | COUNT(*) AS n_shared
+           |FROM csh c JOIN bsh b USING (shingle)
+           |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3
+           |ORDER BY 1, 2, 3""".stripMargin,
 
     "text_seq_pack" ->
       raw"""WITH f AS (SELECT doc_id, source,

@@ -80,6 +80,21 @@ class TrainingQueriesSpec extends SparkSpec {
     }
   }
 
+  test("text_chunk_decontaminate: every chunk-level flag implies the doc-level flag") {
+    // a chunk's shingles are a subset of its document's, so a (doc, bench)
+    // pair flagged at chunk level (>= 3 shared in ONE window) must also be
+    // flagged by the doc-level key — the chunk key localizes, never invents
+    val chunk = run("text_chunk_decontaminate")
+      .select("doc_id", "bench_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(chunk.nonEmpty, "no chunk-level leak found — threshold or grid broke")
+    val doc = run("text_decontaminate")
+      .select("doc_id", "bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(chunk.subsetOf(doc),
+      s"chunk flags not contained in doc flags: ${chunk.diff(doc)}")
+  }
+
   test("text_chunk: windows tile every document with the declared stride") {
     val rows = run("text_chunk")
       .select("doc_id", "chunk_idx", "start_tok", "n_tok").collect()
