@@ -46,7 +46,22 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Subset re-runs must NOT repoint un-run keys' oracle SQL: the e2e
+    // key's SQL embeds its per-process landing root, so pairing a stale
+    // dump with a fresh root breaks the replay. Keep the existing entry
+    // for any key not in this run's subset.
+    val prior: Map[String, String] = only match {
+      case Some(_) if Files.exists(Paths.get(s"$outDir/oracle_sql.json")) =>
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        JsonMethods.parse(Files.readString(Paths.get(s"$outDir/oracle_sql.json")))
+          .asInstanceOf[JObject].obj.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
+    val merged = prior ++ SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) } ++
+      SparkEntry.oracleSql.filter { case (k, _) => !prior.contains(k) }
+    val json = merged
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

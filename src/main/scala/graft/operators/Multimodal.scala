@@ -203,6 +203,10 @@ object Multimodal {
       var bitCount = 0
       var compression = -1
       var vids = false
+      // fccType of the most recent strh: the strf that follows belongs to
+      // THAT stream, so on a multi-stream AVI (audio strl before video
+      // strl) the WAVEFORMATEX is not misread as a BITMAPINFOHEADER
+      var lastStrh = ""
       val frames = IndexedSeq.newBuilder[(Int, Int)]
       // walk [from, to) one nesting level; recurse into LIST chunks —
       // depth is bounded by the fixed hdrl/strl/movi tree, not the data
@@ -216,8 +220,10 @@ object Multimodal {
             else if (fcc(i, "avih") && size >= 24) {
               usPerFrame = le32(i + 8); nFrames = le32(i + 24)
             } else if (fcc(i, "strh") && size >= 4) {
-              if (fcc(i + 8, "vids")) vids = true
-            } else if (fcc(i, "strf") && size >= 20 && width == 0) {
+              lastStrh = new String(b, i + 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+              if (lastStrh == "vids") vids = true
+            } else if (fcc(i, "strf") && size >= 20 && width == 0 &&
+                lastStrh == "vids") {
               width = le32(i + 12); height = le32(i + 16)
               bitCount = le16(i + 22); compression = le32(i + 24)
             } else if ((fcc(i, "00db") || fcc(i, "00dc")) && size > 0) {

@@ -744,16 +744,21 @@ object SimilarityQueries {
     * engines). This is the standard pre-ANN shrink at scale: 4× less
     * vector IO for distance work that JL bounds say survives projection —
     * SimilarityScaleSpec measures the survival (cosine correlation
-    * original vs projected) rather than assuming it. */
+    * original vs projected) rather than assuming it.
+    *
+    * Output shape is SCALAR rows (vec_id, j, value), one per projected
+    * component — the harness's canonical sort can't grade array cells
+    * (VERDICT r8 #1), and posexplode of the fused 16-dot Project stays a
+    * single narrow codegen'd stage with no shuffle. */
   private val embRandomProjection: Q = (s, dir) => {
     import s.implicits._
     val emb = spread(Tables(s, dir, "embeddings"))
     emb.select($"vec_id",
-      array((0 until ProjDim).map(j =>
+      posexplode(array((0 until ProjDim).map(j =>
         graft.functions.HashExpr.floatDotWeights($"embedding",
-          graft.functions.HashSketch.plane(EmbDim, ProjSeed * 1000 + j))): _*)
-        .as("projected"))
-      .orderBy($"vec_id")
+          graft.functions.HashSketch.plane(EmbDim, ProjSeed * 1000 + j))): _*)))
+      .select($"vec_id", $"pos".cast("long").as("j"), $"col".as("value"))
+      .orderBy($"vec_id", $"j")
   }
 
   /** Int8 symmetric quantization — the embedding STORAGE path at 100 TB:
@@ -1070,10 +1075,10 @@ object SimilarityQueries {
 
     "emb_random_projection" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings)
-         |SELECT vec_id,
-         | [${planeDotSql("emb", s"${ProjSeed * 1000} + j")} FOR j IN range(0, $ProjDim)]
-         |  AS projected
-         |FROM e ORDER BY vec_id""".stripMargin,
+         |SELECT vec_id, t.j,
+         | ${planeDotSql("emb", s"${ProjSeed * 1000} + t.j")} AS value
+         |FROM e CROSS JOIN range(0, $ProjDim) t(j)
+         |ORDER BY vec_id, t.j""".stripMargin,
 
     "ann_lsh_multiprobe" ->
       s"""WITH $bitsCte,

@@ -33,14 +33,50 @@ def strict_cell(v):
     return str(v)
 
 
+def driver_canonical(df):
+    """The driver's canonicalization: sort_values over ALL columns. This
+    throws on ndarray/list cells (r8: emb_random_projection), so a local
+    pass here predicts the driver gate — do NOT pre-flatten."""
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
+    return df
+
+
+def nonscalar_cols(df):
+    """Columns whose cells the driver's sort can't order (list/ndarray/
+    dict/tuple) — any hit is a hard FAIL before comparing values."""
+    bad = []
+    for c in df.columns:
+        s = df[c].dropna()
+        if len(s) and isinstance(s.iloc[0], (list, tuple, dict)) or \
+           (len(s) and type(s.iloc[0]).__name__ == "ndarray"):
+            bad.append(c)
+    return bad
+
+
 def strict_compare(name, out_dir, con, sql):
-    """Mimic the driver's hash compare: pandas-parquet vs duckdb .df()."""
+    """Mimic the driver's hash compare: pandas-parquet vs duckdb .df(),
+    rows canonicalized via sort_values (driver-faithful — crashes on
+    non-scalar cells exactly where the driver does)."""
     sp = pd.read_parquet(out_dir)
     dk = con.execute(sql).df()
     sp = sp[sorted(sp.columns)]
     dk = dk[sorted(dk.columns)]
-    s_rows = sorted(tuple(strict_cell(v) for v in r) for r in sp.itertuples(index=False))
-    d_rows = sorted(tuple(strict_cell(v) for v in r) for r in dk.itertuples(index=False))
+    bad_cols = nonscalar_cols(sp)
+    if bad_cols:
+        return [f"NON-SCALAR output columns {bad_cols}: the driver's "
+                "sort_values canonicalization cannot grade array/map/struct "
+                "cells — reshape to scalar rows (posexplode)"]
+    try:
+        sp = driver_canonical(sp)
+        dk = driver_canonical(dk)
+    except TypeError as e:
+        return [f"driver canonical sort crashed (driver would too): {e}"]
+    s_rows = [tuple(strict_cell(v) for v in r) for r in sp.itertuples(index=False)]
+    d_rows = [tuple(strict_cell(v) for v in r) for r in dk.itertuples(index=False)]
+    # sort_values on mixed reprs can order ties differently per engine;
+    # the driver hashes the sorted frame, so compare as sorted multisets
+    s_rows, d_rows = sorted(s_rows), sorted(d_rows)
     bad = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
     return [f"STRICT repr mismatch ({len(bad)} rows), e.g. {bad[0][0]} != {bad[0][1]}"] if bad else []
 
@@ -107,6 +143,16 @@ def main():
             spark_rows = sp.fetchall()
         except Exception as e:
             results[name] = [f"failed reading spark output: {e}"]
+            continue
+        # schema lint (VERDICT r8 #3): the driver cannot grade complex-typed
+        # output columns — reject them up front, even for rows-only keys
+        desc = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{d}/*.parquet')").fetchall()
+        complex_cols = [r[0] for r in desc
+                        if any(k in r[1].upper() for k in ("[]", "STRUCT", "MAP"))]
+        if complex_cols:
+            results[name] = [f"SCHEMA LINT: complex-typed output columns {complex_cols} "
+                             "(ArrayType/MapType/StructType) — driver-ungradable"]
             continue
         if name not in oracles:
             results[name] = [] if len(spark_rows) > 0 else ["rows-only check: EMPTY RESULT"]
