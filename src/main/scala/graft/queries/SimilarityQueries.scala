@@ -60,13 +60,15 @@ object SimilarityQueries {
   // quadratic (fatal) at 100×. Instead the bucket count tracks the corpus:
   // bits = smallest b with 2^b · targetBucket ≥ n, so expected bucket size
   // stays ~targetBucket and pair work is O(n · targetBucket) — LINEAR in n.
-  // 128 confirmed by the r8 sweep at the sf1 decade (20k vectors,
-  // hamming-1 multi-probe, recall@3 vs exact truth — PERF.md): target 64
-  // → 437 cand/query, recall 0.48; 128 → 763, 0.56; 256 → 1332, 0.80.
-  // Recall buys candidates roughly linearly — a KNOB, not a cliff; 128
-  // keeps per-query work at ~6 bucket-scans while the shipped recall
-  // ladder (hamming-2 ring, multi-table) lifts recall at measured cost.
-  private val LshTargetBucket = 128L
+  // 256 per the r8 sweep at the sf1 decade (20k vectors, hamming-1
+  // multi-probe, recall@3 vs exact truth — PERF.md): target 64 → 437
+  // cand/query, recall 0.48; 128 → 763, 0.56; 256 → 1332, 0.80. The 256
+  // point DOMINATES 128 on the measured frontier — +0.24 recall at lower
+  // wall (fewer, wider stages) — so it ships (VERDICT r8 #4); candidate
+  // work stays O(n · target), linear in corpus size, and the recall
+  // ladder (hamming-2 ring, multi-table) remains the escalation path
+  // beyond it. Re-proven at the decade after the move (PERF.md r9).
+  private[graft] val LshTargetBucket = 256L
   private val LshBitsMin = 2 // floor: tiny corpora still split once or twice
   private val LshBitsMax = 16 // 65k buckets; lift with corpus growth beyond 8M docs
   /** Pure integer ladder — no float log2 — so the DuckDB oracle replays the
@@ -202,6 +204,7 @@ object SimilarityQueries {
     "ann_mt_recall" -> annMtRecall,
     "ann_ivf_trained" -> annIvfTrained,
     "ann_ivf_incremental" -> annIvfIncremental,
+    "ann_ivf_drift" -> annIvfDrift,
     "emb_random_projection" -> embRandomProjection,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_incremental" -> dedupSemanticIncremental
@@ -675,14 +678,18 @@ object SimilarityQueries {
     * training loop (unrolled CTEs) bit-for-bit. Same plan shape as
     * ann_ivf: broadcast codebook, rank-1 windows, candidates shrink to
     * n·probe/k. */
-  private val annIvfTrained: Q = (s, dir) => {
+  /** Probe-and-score against a trained codebook: assign the quantized
+    * corpus `q` to `cents`, probe each query's IvfProbe nearest cells,
+    * rank candidates by integer cosine → (query_id, rank, neighbor_id).
+    * Shared by [[annIvfTrained]] and both rungs of [[annIvfDrift]] —
+    * broadcast codebook, rank-1 windows, candidates shrink to
+    * n·probe/k. */
+  private def trainedProbeTop3(s: SparkSession, q: DataFrame,
+      cents: DataFrame, queriesPred: org.apache.spark.sql.Column): DataFrame = {
     import s.implicits._
     import graft.operators.KMeans
-    val emb = spread(Tables(s, dir, "embeddings"))
-    val cents = KMeans.fit(emb, "vec_id", "embedding", IvfCentroids, IvfTrainIters)
-    val q = emb.select($"vec_id".as("id"), KMeans.quantize($"embedding").as("qv"))
     val assigned = KMeans.assign(q, cents)
-    val queries = q.filter($"id" >= IvfQLo && $"id" < IvfQHi)
+    val queries = q.filter(queriesPred)
       .select($"id".as("query_id"), $"qv".as("qq"))
     val wp = Window.partitionBy($"query_id").orderBy($"pcos".desc, $"cent_id")
     val probes = queries.crossJoin(broadcast(cents))
@@ -700,7 +707,61 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
       .select($"query_id", $"rank", $"neighbor_id")
+  }
+
+  private val annIvfTrained: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.KMeans
+    val emb = spread(Tables(s, dir, "embeddings"))
+    val cents = KMeans.fit(emb, "vec_id", "embedding", IvfCentroids, IvfTrainIters)
+    val q = emb.select($"vec_id".as("id"), KMeans.quantize($"embedding").as("qv"))
+    trainedProbeTop3(s, q, cents, $"id" >= IvfQLo && $"id" < IvfQHi)
       .orderBy($"query_id", $"rank")
+  }
+
+  /** Drift-query band width: queries drawn from the APPENDED cohort
+    * (ids ≥ split), where a frozen codebook's age shows first. 100, not
+    * 50 — the same sample-size lesson as [[IvfQLo]]/[[IvfQHi]]: at 150
+    * hit slots the frozen-vs-fresh ordering can flip on 3 hits of noise
+    * (measured at the sf1 decade); 300 slots reads the signal. */
+  private val DriftQ = 100
+
+  /** CODEBOOK-DRIFT recall rung (VERDICT r8 #5) — the retrain trigger a
+    * 100 TB index needs: [[annIvfIncremental]] monitors occupancy drift,
+    * this key measures what that drift COSTS. Two codebooks over one
+    * corpus: FROZEN (trained on the existing ¾-prefix, the codebook a
+    * daily-append index actually serves) and FRESH (retrained on
+    * everything, what a rebuild would buy). Both assign the full corpus
+    * and probe the same query band drawn from the appended cohort — the
+    * region the frozen codebook never saw — and both are graded as exact
+    * integer hits@3 against the shared float-exact truth
+    * ([[exactTruthTop3]]). A pipeline reads `avg(fresh) − avg(frozen)`
+    * as the recall a retrain would recover and schedules the rebuild
+    * when it exceeds the SLA. Cost: two linear trains + two broadcast
+    * probe/score passes — flat in index size beyond the corpus scan;
+    * decade-measured (PERF.md r9). */
+  private val annIvfDrift: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.KMeans
+    fenceBruteForce("ann_ivf_drift", s, dir) // float-exact truth side full-scans
+    val split = 3L * corpusCount(s, dir) / 4L
+    val emb = spread(Tables(s, dir, "embeddings"))
+    val q = emb.select($"vec_id".as("id"), KMeans.quantize($"embedding").as("qv"))
+    val frozen = KMeans.fit(emb.filter($"vec_id" < split), "vec_id", "embedding",
+      IvfCentroids, IvfTrainIters)
+    val fresh = KMeans.fit(emb, "vec_id", "embedding", IvfCentroids, IvfTrainIters)
+    val pred = $"id" >= split && $"id" < split + DriftQ
+    val approx =
+      trainedProbeTop3(s, q, frozen, pred).withColumn("method", lit("frozen"))
+        .unionByName(
+          trainedProbeTop3(s, q, fresh, pred).withColumn("method", lit("fresh")))
+        .select($"method", $"query_id", $"neighbor_id")
+    val truth = exactTruthTop3(s, dir,
+      col("vec_id") >= split && col("vec_id") < split + DriftQ)
+    approx.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"method", $"query_id")
+      .agg(coalesce(sum($"hit"), lit(0)).cast("int").as("hits_at_3"))
+      .orderBy($"method", $"query_id")
   }
 
   /** INCREMENTAL IVF index maintenance — the mode a 100 TB index actually
@@ -1007,20 +1068,23 @@ object SimilarityQueries {
        | / (sqrt(list_sum([CAST($a[i + 1] AS DOUBLE) * CAST($a[i + 1] AS DOUBLE) FOR i IN range(0, $EmbDim)]))
        |    * sqrt(list_sum([CAST($b[i + 1] AS DOUBLE) * CAST($b[i + 1] AS DOUBLE) FOR i IN range(0, $EmbDim)]))))""".stripMargin
 
-  /** One unrolled Lloyd iteration over CTE `cin` → `c<t>` (replays
+  /** One unrolled Lloyd iteration over CTE `cin` → `<p>c<t>` (replays
     * KMeans.fit exactly: rank-1 assignment, exact BIGINT dimension sums,
-    * empty clusters carry the previous centroid). */
-  private def lloydCte(t: Int, cin: String): String =
-    s"""a$t AS (SELECT id, cent_id FROM (
-       |  SELECT q.id, c.cent_id,
-       |   ROW_NUMBER() OVER (PARTITION BY q.id
-       |     ORDER BY ${icosSql("q.qv", "c.cvec")} DESC, c.cent_id) r
-       |  FROM q, $cin c) WHERE r = 1),
-       |s$t AS (SELECT a.cent_id, t.range i, CAST(SUM(q.qv[t.range + 1]) AS BIGINT) s
-       |  FROM a$t a JOIN q ON a.id = q.id, range(0, $EmbDim) t GROUP BY 1, 2),
-       |n$t AS (SELECT cent_id, list(s ORDER BY i) nv FROM s$t GROUP BY 1),
-       |c$t AS (SELECT c.cent_id, COALESCE(n.nv, c.cvec) cvec
-       |  FROM $cin c LEFT JOIN n$t n USING (cent_id))""".stripMargin
+    * empty clusters carry the previous centroid). `trainQ` names the
+    * training-set CTE; `p` prefixes every generated CTE name so two
+    * codebooks can train in ONE WITH chain (ann_ivf_drift). */
+  private def lloydCte(t: Int, cin: String, trainQ: String = "q",
+      p: String = ""): String =
+    s"""${p}a$t AS (SELECT id, cent_id FROM (
+       |  SELECT $trainQ.id, c.cent_id,
+       |   ROW_NUMBER() OVER (PARTITION BY $trainQ.id
+       |     ORDER BY ${icosSql(s"$trainQ.qv", "c.cvec")} DESC, c.cent_id) r
+       |  FROM $trainQ, $cin c) WHERE r = 1),
+       |${p}s$t AS (SELECT a.cent_id, t.range i, CAST(SUM($trainQ.qv[t.range + 1]) AS BIGINT) s
+       |  FROM ${p}a$t a JOIN $trainQ ON a.id = $trainQ.id, range(0, $EmbDim) t GROUP BY 1, 2),
+       |${p}n$t AS (SELECT cent_id, list(s ORDER BY i) nv FROM ${p}s$t GROUP BY 1),
+       |${p}c$t AS (SELECT c.cent_id, COALESCE(n.nv, c.cvec) cvec
+       |  FROM $cin c LEFT JOIN ${p}n$t n USING (cent_id))""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "ann_ivf_trained" ->
@@ -1050,6 +1114,65 @@ object SimilarityQueries {
          | SELECT query_id, neighbor_id,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) rank
          | FROM scored) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Codebook drift: TWO codebooks train in one WITH chain (prefixed
+    // lloydCte names) — frozen over the ¾-prefix `qp`, fresh over the
+    // whole corpus `qall`; both assign the corpus, probe the appended-
+    // cohort query band, and grade integer hits@3 against float-exact
+    // truth. Mirrors trainedProbeTop3 + exactTruthTop3 token-for-token.
+    "ann_ivf_drift" -> {
+      def score(p: String, cb: String): String =
+        s"""${p}assign AS (SELECT id, cent_id FROM (
+           |  SELECT qall.id, c.cent_id,
+           |   ROW_NUMBER() OVER (PARTITION BY qall.id
+           |     ORDER BY ${icosSql("qall.qv", "c.cvec")} DESC, c.cent_id) r
+           |  FROM qall, $cb c) WHERE r = 1),
+           |${p}probes AS (SELECT query_id, cent_id FROM (
+           |  SELECT qq.query_id, c.cent_id,
+           |   ROW_NUMBER() OVER (PARTITION BY qq.query_id
+           |     ORDER BY ${icosSql("qq.qv", "c.cvec")} DESC, c.cent_id) r
+           |  FROM qq, $cb c) WHERE r <= $IvfProbe),
+           |${p}top3 AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |   ROW_NUMBER() OVER (PARTITION BY query_id
+           |     ORDER BY cos DESC, neighbor_id) rank FROM (
+           |    SELECT p.query_id, a.id neighbor_id, ${icosSql("x.qv", "y.qv")} cos
+           |    FROM ${p}probes p JOIN ${p}assign a USING (cent_id)
+           |    JOIN qall x ON x.id = p.query_id
+           |    JOIN qall y ON y.id = a.id
+           |    WHERE p.query_id <> a.id) s) WHERE rank <= 3)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+         |nn AS (SELECT 3 * COUNT(*) // 4 AS split FROM embeddings),
+         |qall AS (SELECT vec_id id,
+         |   [CAST(round(x * ${graft.operators.KMeans.Scale}) AS BIGINT) FOR x IN emb] qv FROM e),
+         |qp AS (SELECT qall.* FROM qall, nn WHERE qall.id < nn.split),
+         |f0 AS (SELECT id cent_id, qv cvec FROM qp WHERE id < $IvfCentroids),
+         |${lloydCte(1, "f0", "qp", "f")},
+         |${lloydCte(2, "fc1", "qp", "f")},
+         |g0 AS (SELECT id cent_id, qv cvec FROM qall WHERE id < $IvfCentroids),
+         |${lloydCte(1, "g0", "qall", "g")},
+         |${lloydCte(2, "gc1", "qall", "g")},
+         |qq AS (SELECT qall.id query_id, qall.qv FROM qall, nn
+         |  WHERE qall.id >= nn.split AND qall.id < nn.split + $DriftQ),
+         |${score("fz", "fc2")},
+         |${score("fr", "gc2")},
+         |approx AS (SELECT 'frozen' AS method, query_id, neighbor_id FROM fztop3
+         |  UNION ALL SELECT 'fresh' AS method, query_id, neighbor_id FROM frtop3),
+         |t_scored AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
+         |   (SELECT $cosineSql FROM (SELECT q.emb ea, n.emb eb)) cos
+         |  FROM e q JOIN e n ON q.vec_id <> n.vec_id, nn
+         |  WHERE q.vec_id >= nn.split AND q.vec_id < nn.split + $DriftQ),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+         |  FROM t_scored) WHERE rank <= 3)
+         |SELECT a.method, a.query_id,
+         | CAST(COALESCE(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 END), 0) AS INT) hits_at_3
+         |FROM approx a LEFT JOIN truth t
+         |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY a.method, a.query_id
+         |ORDER BY a.method, a.query_id""".stripMargin
+    },
 
     // Incremental IVF: q is the TRAINING prefix (lloydCte trains over the
     // CTE literally named `q`), qall is the whole corpus assigned against
