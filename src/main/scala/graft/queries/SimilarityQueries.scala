@@ -87,7 +87,7 @@ object SimilarityQueries {
   // regardless — and stay documented as bench-harness caches.)
   private val countCache =
     new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, Long]]
-  private def corpusCount(s: SparkSession, dir: String): Long = {
+  private def cachedCount(s: SparkSession, dir: String, table: String): Long = {
     val perSession = countCache.synchronized {
       var m = countCache.get(s)
       if (m == null) {
@@ -96,8 +96,12 @@ object SimilarityQueries {
       }
       m
     }
-    perSession.getOrElseUpdate(dir, Tables(s, dir, "embeddings").count())
+    perSession.getOrElseUpdate(s"$dir#$table", Tables(s, dir, table).count())
   }
+  private def corpusCount(s: SparkSession, dir: String): Long =
+    cachedCount(s, dir, "embeddings")
+  private def docCount(s: SparkSession, dir: String): Long =
+    cachedCount(s, dir, "documents")
   private[graft] def lshBits(s: SparkSession, dir: String): Int =
     lshBitsFor(corpusCount(s, dir))
 
@@ -207,7 +211,8 @@ object SimilarityQueries {
     "ann_ivf_drift" -> annIvfDrift,
     "emb_random_projection" -> embRandomProjection,
     "dedup_semantic" -> dedupSemantic,
-    "dedup_semantic_incremental" -> dedupSemanticIncremental
+    "dedup_semantic_incremental" -> dedupSemanticIncremental,
+    "dedup_minhash_incremental" -> dedupMinhashIncremental
   )
 
   /** documents/embeddings arrive as ONE parquet file at test scale, so a
@@ -336,6 +341,47 @@ object SimilarityQueries {
   private val dedupMinhashLsh: Q = (s, dir) => {
     import s.implicits._
     minhashVerifiedPairs(s, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** INCREMENTAL text dedup — the third member of the incremental
+    * trilogy ([[dedupSemanticIncremental]] for embeddings,
+    * [[annIvfIncremental]] for the ANN index, this for MinHash text):
+    * match only the APPENDED documents (the newest quarter by id) against
+    * the EXISTING corpus's band index, never existing-vs-existing — that
+    * work was paid on previous days. MinHash banding is symmetric on band
+    * equality, so one-sided probing (incoming bands joined to index
+    * bands) is pair-complete for the ≥1-shared-band relation with NO
+    * probe ring — cost is O(new · bands · bucket), independent of index
+    * size beyond the bucket constant. Candidates verify by exact Jaccard
+    * over shingle sets; output is the per-newcomer verdict a daily
+    * pipeline consumes: min matched existing id (NULL = genuinely new
+    * content) + match count. Oracle replays signatures, bands, the
+    * one-sided join, and the verdict bit-for-bit. */
+  private val dedupMinhashIncremental: Q = (s, dir) => {
+    import s.implicits._
+    val split = 3L * docCount(s, dir) / 4L
+    val shd = shingled(s, dir)
+    val bands = shd.select($"doc_id",
+      explode(Text.minhashBands($"sh", Perms, Bands)).as("band"))
+    val incoming = bands.filter($"doc_id" >= split)
+      .select($"doc_id".as("new_id"), $"band")
+    val index = bands.filter($"doc_id" < split)
+      .select($"doc_id".as("dup_of"), $"band")
+    // band buckets are clusters by construction — stream pairs through a
+    // self-join (AQE splits hot buckets), same shape as the batch path
+    val cand = incoming.hint("shuffle_hash").join(index, Seq("band"))
+      .select($"new_id", $"dup_of").distinct()
+    val matches = cand
+      .join(shd.select($"doc_id".as("new_id"), $"sh".as("sha")), Seq("new_id"))
+      .join(shd.select($"doc_id".as("dup_of"), $"sh".as("shb")), Seq("dup_of"))
+      .withColumn("inter", size(array_intersect($"sha", $"shb")))
+      .filter(($"inter" / (size($"sha") + size($"shb") - $"inter")) >= JaccardT)
+      .groupBy($"new_id")
+      .agg(min($"dup_of").as("dup_of"), count(lit(1)).as("n_matches"))
+    shd.filter($"doc_id" >= split).select($"doc_id".as("new_id"))
+      .join(matches, Seq("new_id"), "left")
+      .select($"new_id", $"dup_of", coalesce($"n_matches", lit(0L)).as("n_matches"))
+      .orderBy($"new_id")
   }
 
   /** Keeper selection at text scale — [[dedupKeepBest]] with the pair
@@ -982,9 +1028,10 @@ object SimilarityQueries {
   private def hash60Sql(x: String): String =
     s"CAST(CONCAT('0x', SUBSTR(md5($x), 1, 15)) AS BIGINT)"
 
-  /** MinHash signature → band → distinct candidate pairs, as CTEs over
-    * `shd` — shared by the three minhash-based oracles. */
-  private val minhashCandCtes =
+  /** MinHash signature → band CTEs over `shd` — shared by every
+    * minhash-based oracle; candidate generation differs per key (all-pairs
+    * banding vs one-sided incremental probing) and composes on top. */
+  private val minhashSigBandCtes =
     s"""sig AS (SELECT doc_id,
        |  [list_min([((1 + ${hash60Sql("CONCAT('a', p)")} % ${HashSketch.MinHashPrime - 1})
        |              * (${hash60Sql("s")} % ${HashSketch.MinHashPrime})
@@ -993,7 +1040,12 @@ object SimilarityQueries {
        |  FROM shd),
        |bands AS (SELECT doc_id,
        |  unnest([CONCAT(b, ':', array_to_string(sig[4*b+1 : 4*b+4], '_')) FOR b IN range(0, $Bands)]) band
-       |  FROM sig),
+       |  FROM sig)""".stripMargin
+
+  /** MinHash signature → band → distinct candidate pairs, as CTEs over
+    * `shd` — shared by the three batch minhash-based oracles. */
+  private val minhashCandCtes =
+    s"""$minhashSigBandCtes,
        |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
 
@@ -1255,6 +1307,29 @@ object SimilarityQueries {
       s"""WITH $shinglesCte,
          |$minhashCandCtes
          |$jaccardVerifySql""".stripMargin,
+
+    // Incremental minhash: one-sided banding — incoming (id >= split)
+    // probes the index side's bands (id < split); exact-Jaccard verify;
+    // per-newcomer verdict with left-join null = genuinely new.
+    "dedup_minhash_incremental" ->
+      s"""WITH $shinglesCte,
+         |$minhashSigBandCtes,
+         |nn AS (SELECT 3 * COUNT(*) // 4 AS split FROM documents),
+         |cand AS (SELECT DISTINCT a.doc_id new_id, b.doc_id dup_of
+         |  FROM bands a JOIN bands b ON a.band = b.band, nn
+         |  WHERE a.doc_id >= nn.split AND b.doc_id < nn.split),
+         |ver AS (SELECT new_id, dup_of FROM (
+         |  SELECT c.new_id, c.dup_of,
+         |   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |     / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) jaccard
+         |  FROM cand c JOIN shd x ON c.new_id = x.doc_id
+         |  JOIN shd y ON c.dup_of = y.doc_id) WHERE jaccard >= $JaccardT),
+         |m AS (SELECT new_id, MIN(dup_of) dup_of, COUNT(*) n_matches
+         |  FROM ver GROUP BY 1),
+         |base AS (SELECT doc_id AS new_id FROM documents, nn WHERE doc_id >= nn.split)
+         |SELECT b.new_id, m.dup_of,
+         | CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches
+         |FROM base b LEFT JOIN m USING (new_id) ORDER BY new_id""".stripMargin,
 
     "dedup_components_lsh" ->
       s"""WITH RECURSIVE $shinglesCte,

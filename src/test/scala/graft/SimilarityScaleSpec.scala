@@ -208,6 +208,28 @@ class SimilarityScaleSpec extends SparkSpec {
       "no newcomer matched the index — probe ring or threshold broke")
   }
 
+  test("incremental minhash dedup verdicts cover newcomers, match only the index") {
+    // the TEXT member of the incremental trilogy: one-sided band probing
+    // of the appended quarter against the existing corpus's band index —
+    // same verdict contract as dedup_semantic_incremental
+    val dir = "/root/testdata/sf0.01"
+    val out = SimilarityQueries.queries("dedup_minhash_incremental")(spark, dir)
+      .collect()
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val split = 3L * n / 4L
+    assert(out.length == n - split, "one verdict row per appended document")
+    out.foreach { r =>
+      val dupOf = Option(r.getAs[java.lang.Long]("dup_of"))
+      val m = r.getAs[Long]("n_matches")
+      dupOf match {
+        case Some(d) => assert(d < split && m >= 1, s"bad match row $r")
+        case None => assert(m == 0, s"count without a match: $r")
+      }
+    }
+    assert(out.exists(_.getAs[Long]("n_matches") > 0),
+      "no newcomer matched the index — banding or threshold broke")
+  }
+
   test("bits re-derive for a regenerated dir (cache keyed by session, not dir alone)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bitscache").toString

@@ -65,6 +65,28 @@ class TrainingQueriesSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("sample_domain_mix: quotas capped at availability, budget respected, deterministic") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val avail = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = avail.values.sum / 2
+    val picked = run("sample_domain_mix").groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // never exceed a domain's availability; the over-weighted src0 is
+    // exactly capped (its declared share exceeds what exists)
+    picked.foreach { case (s, n) => assert(n <= avail(s), s"$s over-sampled") }
+    assert(picked("src0") === avail("src0"), "src0 must cap at availability")
+    // the mixture fills the budget up to integer-DIV remainder losses
+    // (one redistribution round leaves < #domains docs on the table)
+    val total = picked.values.sum
+    assert(total <= budget, "budget exceeded")
+    assert(budget - total < avail.size.toLong, s"left $total of $budget unfilled")
+    // deterministic: a second run yields the identical id set
+    val a = run("sample_domain_mix").select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = run("sample_domain_mix").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
   test("text_pii_redact: every injected PII class is found and masked") {
     val df = run("text_pii_redact")
     assert(df.filter(col("n_emails") < 1 || col("n_phones") < 1 || col("n_ips") < 1)
