@@ -118,6 +118,28 @@ class PlanAssertionsSpec extends SparkSpec {
         !plan.contains("BroadcastNestedLoopJoin"),
         s"$name: must not product-join:\n$plan")
     }
+    // the incremental one-sided probe shares the same contract: a
+    // streamed band join (the index side must never be broadcast — it is
+    // the INDEX, the side that grows without bound)
+    val incPlan = planOf("dedup_minhash_incremental")
+    assert(incPlan.contains("ShuffledHashJoin"),
+      s"incremental band probe should be a shuffled hash join:\n$incPlan")
+    assert(!incPlan.contains("CartesianProduct") &&
+      !incPlan.contains("BroadcastNestedLoopJoin"),
+      s"dedup_minhash_incremental: must not product-join:\n$incPlan")
+  }
+
+  test("domain-mix sampler broadcasts only the per-domain quota table") {
+    // the docs-side scan must join the tiny quota relation broadcast
+    // (never shuffle the corpus against a 20-row table). The 1-row
+    // budget/leftover aggregates legitimately cross as broadcast
+    // nested-loops (bounded side, same contract as the k-row codebook);
+    // only an unbroadcast CartesianProduct is the scale bug.
+    val plan = planOf("sample_domain_mix")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"quota table should broadcast-hash-join the corpus:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"sample_domain_mix: must not cartesian:\n$plan")
   }
 
   test("sketch expressions keep their projection inside whole-stage codegen") {
