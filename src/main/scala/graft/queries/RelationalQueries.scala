@@ -52,6 +52,7 @@ object RelationalQueries {
     "u2_union_dates" -> u2UnionDates,
     "inc_high_watermark" -> incHighWatermark,
     "st_tumbling_window" -> stTumblingWindow,
+    "st_stream_parity" -> stStreamParity,
     "s9_catalog_counts" -> s9CatalogCounts,
     "qa_unique_violations" -> qaUniqueViolations,
     "runner_daily_sales" -> runnerDailySales,
@@ -502,6 +503,46 @@ object RelationalQueries {
       .orderBy($"day")
   }
 
+  /** STREAMING parity — the one st_* key that runs the ACTUAL streaming
+    * engine, not the batch analog: events are consumed through a
+    * file-stream source with `Trigger.AvailableNow` (the reference's
+    * daily micro-batch pattern run as an incremental drain —
+    * SURVEY §2.9), aggregated with the same tumbling-window transform as
+    * [[stTumblingWindow]], and landed in a complete-mode memory sink so
+    * every window — including the still-open last day — is emitted when
+    * the drain finishes. The DuckDB oracle replays the BATCH aggregate:
+    * a hash match certifies the batch/streaming parity Structured
+    * Streaming promises (and that the nanos→micros timestamp seam
+    * behaves identically under the streaming reader). n_users is absent
+    * by design: distinct aggregation is unsupported in streaming — the
+    * scale path for it is the HLL sketch family (a_hll_merge). */
+  private val stStreamParity: Q = (s, dir) => {
+    import s.implicits._
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema // metadata probe
+    // the file-stream source lists a DIRECTORY; the glob filter pins it to
+    // the events table (driver dirs hold one parquet file per table)
+    val raw = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events =
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val agg = events
+      .groupBy(window($"ts", "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"), moneySum($"value").as("total_value"))
+      .select($"w.start".cast("timestamp_ntz").as("day"),
+        $"n_events", $"total_value")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_parity_ckpt").toString
+    agg.writeStream.format("memory").queryName("st_stream_parity_sink")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    s.table("st_stream_parity_sink").orderBy($"day")
+  }
+
   /** S9: catalog probes — per-table row counts as one result set
     * (ref: sample_ecom_raw_query_duckdb.py:8-43). */
   private val s9CatalogCounts: Q = (s, dir) => {
@@ -816,6 +857,13 @@ object RelationalQueries {
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         | COUNT(*) AS n_events,
         | COUNT(DISTINCT user_id) AS n_users,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // batch replay of the streaming drain — a hash match IS the parity proof
+    "st_stream_parity" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
 

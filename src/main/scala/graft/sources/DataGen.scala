@@ -350,14 +350,22 @@ object DataGen {
   /** Persist the graph in the reference's landing shapes (:365-373
     * output_formats): envelope JSON for customers/products/orders/reviews,
     * header CSV for categories/subcategories/order_items/interactions —
-    * exactly what [[Sources.readJsonEnvelope]]/[[Sources.readCsv]] ingest. */
+    * exactly what [[Sources.readJsonEnvelope]]/[[Sources.readCsv]] ingest.
+    * Per-table writes are independent — they run as concurrent Spark jobs
+    * (the daily-loop wall is job-overhead-bound, so overlap is the win,
+    * same as the ingest fan-out in E2EQueries.runDay). */
   def writeAll(data: Map[String, DataFrame], dir: String,
       generatedAt: String): Unit = {
     val jsonTables = Set("customers", "products", "orders", "reviews")
-    data.foreach { case (name, df) =>
-      if (jsonTables(name))
-        Writers.writeJsonEnvelope(df, name, s"$dir/json/$name.json", generatedAt)
-      else Writers.writeCsv(df, s"$dir/csv/$name")
-    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.traverse(data.toSeq) { case (name, df) =>
+      Future {
+        if (jsonTables(name))
+          Writers.writeJsonEnvelope(df, name, s"$dir/json/$name.json", generatedAt)
+        else Writers.writeCsv(df, s"$dir/csv/$name")
+      }
+    }, Duration.Inf)
   }
 }
