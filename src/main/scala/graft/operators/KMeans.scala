@@ -60,6 +60,60 @@ object KMeans {
       .select(col("id"), col("cent_id"))
   }
 
+  /** Rank-1 nearest-centroid assignment per SUBSPACE: input rows
+    * (id, j, qv), centroids (j, cent_id, cvec, ...) — broadcastable
+    * (subspaces × k rows). Returns (id, j, cent_id). The per-(id, j)
+    * window mirrors [[assign]]'s tiebreak exactly. */
+  def assignSub(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id"), col("j"))
+      .orderBy(col("__cos").desc, col("cent_id"))
+    sub.join(broadcast(cents.select(col("j"), col("cent_id"), col("cvec"))), Seq("j"))
+      .withColumn("__cos", icos(col("qv"), col("cvec")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("id"), col("j"), col("cent_id"))
+  }
+
+  /** PRODUCT-QUANTIZATION trainer: one independent codebook PER SUBSPACE,
+    * all trained in ONE shared set of Spark jobs — the key (j) simply
+    * rides through every assignment window and update aggregation, so the
+    * job count equals a single [[fit]] regardless of how many subspaces
+    * there are (8 sequential fits would cost 8× the fixed per-job
+    * overhead AND 8 passes over the data; at 100 TB one pass is the only
+    * acceptable shape). Input: (id: long, j: int, qv: array<bigint>) —
+    * already-quantized subvectors. Returns (j, cent_id, cvec,
+    * n_members), where cvec is the member-SUM vector and n_members the
+    * exact member count of the SAME final update — so `cvec/n_members`
+    * is the centroid mean, the reconstruction value ADC scoring needs
+    * (cosine assignment is scale-free, but cross-subspace ADC sums are
+    * not). Same determinism contract as [[fit]]: exact BIGINT sums,
+    * first-k-ids init, cent_id tiebreaks, per-round lineage cuts. */
+  def fitSub(sub: DataFrame, k: Int, iterations: Int): DataFrame = {
+    require(k >= 1 && iterations >= 0)
+    var cents = sub.filter(col("id") < k)
+      .select(col("j"), col("id").as("cent_id"), col("qv").as("cvec"),
+        lit(1L).as("n_members"))
+    for (_ <- 1 to iterations) {
+      val assigned = assignSub(sub, cents)
+      val sums = assigned.join(sub, Seq("id", "j"))
+        .select(col("j"), col("cent_id"), posexplode(col("qv")).as(Seq("__pos", "__v")))
+        .groupBy(col("j"), col("cent_id"), col("__pos"))
+        .agg(sum(col("__v")).as("__s")) // exact BIGINT — order-free
+        .groupBy(col("j"), col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__s")))),
+          s => s.getField("__s")).as("__newvec"))
+      val counts = assigned.groupBy(col("j"), col("cent_id"))
+        .agg(count(lit(1)).as("__n"))
+      cents = cents.join(sums, Seq("j", "cent_id"), "left")
+        .join(counts, Seq("j", "cent_id"), "left")
+        .select(col("j"), col("cent_id"),
+          coalesce(col("__newvec"), col("cvec")).as("cvec"), // empty → keep
+          coalesce(col("__n"), col("n_members")).as("n_members"))
+        .localCheckpoint() // same geometric-lineage guard as fit()
+    }
+    cents
+  }
+
   /** Train k centroids for `iterations` Lloyd steps. Returns
     * (cent_id, cvec: array<bigint>) where cvec is the member-SUM vector
     * (cosine-equivalent to the mean). Empty clusters keep their previous

@@ -204,6 +204,7 @@ object SimilarityQueries {
     "ann_ivf" -> annIvf,
     "ann_recall_at_k" -> annRecallAtK,
     "ann_q8_recall" -> annQ8Recall,
+    "ann_pq_recall" -> annPqRecall,
     "ann_mp2_recall" -> annMp2Recall,
     "ann_mt_recall" -> annMtRecall,
     "ann_ivf_trained" -> annIvfTrained,
@@ -907,6 +908,71 @@ object SimilarityQueries {
       .orderBy($"query_id")
   }
 
+  private val PqSub = 8 // subspaces (EmbDim / PqSubDim)
+  private val PqSubDim = 8 // dims per subspace
+  private val PqK = 16 // centroids per subspace codebook
+
+  /** PRODUCT QUANTIZATION recall rung — the fourth member of the
+    * compressed-storage family (q8 scalar quantization, JL projection,
+    * IVF cells, now PQ): each vector is stored as [[PqSub]] one-byte
+    * codes (64× smaller than float32 at rest), one codebook per
+    * subspace, and queries score candidates with ASYMMETRIC DISTANCE
+    * COMPUTATION — a per-query lookup table of subspace
+    * dot-products-to-centroid-means, folded left-to-right over the
+    * candidate's codes. This is the storage layout a 10⁹-vector index
+    * actually serves from (IVF prunes candidates, PQ pays their memory),
+    * measured here the same way as [[annQ8Recall]]: top-3 over the
+    * compressed representation vs float-exact cosine truth, per query,
+    * as oracle-checked integers.
+    *
+    * Determinism: all 8 codebooks train in ONE shared job set
+    * ([[KMeans.fitSub]] — exact BIGINT sums); LUT values are
+    * `idot(q_j, cvec_j) / n_members` with identical operand order on
+    * both engines; and the ADC sum is a SEQUENTIAL expression fold over
+    * j (never a groupBy SUM of doubles, whose partial-agg order would
+    * differ between engines). */
+  private val annPqRecall: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.KMeans
+    fenceBruteForce("ann_pq_recall", s, dir) // truth side full-scans per query
+    val emb = spread(Tables(s, dir, "embeddings"))
+    val q = emb.select($"vec_id".as("id"), KMeans.quantize($"embedding").as("qv"))
+    val sub = q.select($"id", explode(array((0 until PqSub).map(j =>
+        struct(lit(j).as("j"), slice($"qv", j * PqSubDim + 1, PqSubDim).as("qv"))): _*))
+        .as("s"))
+      .select($"id", $"s.j".as("j"), $"s.qv".as("qv"))
+    val cents = KMeans.fitSub(sub, PqK, IvfTrainIters)
+    // the stored index: 8 codes per vector, reassembled in j order
+    val codesArr = KMeans.assignSub(sub, cents)
+      .groupBy($"id")
+      .agg(transform(array_sort(collect_list(struct($"j", $"cent_id"))),
+        x => x("cent_id")).as("codes"))
+    // per-query ADC lookup table, ordered (j, cent_id) → index j·K + cent
+    val lutArr = sub.filter($"id" < 10)
+      .join(broadcast(cents), Seq("j"))
+      .select($"id".as("query_id"), $"j", $"cent_id",
+        (KMeans.idot($"qv", $"cvec") / $"n_members").as("pdot"))
+      .groupBy($"query_id")
+      .agg(transform(array_sort(collect_list(struct($"j", $"cent_id", $"pdot"))),
+        x => x("pdot")).as("lut"))
+    val scored = codesArr.select($"id".as("neighbor_id"), $"codes")
+      .crossJoin(broadcast(lutArr))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("score", aggregate(sequence(lit(0), lit(PqSub - 1)), lit(0.0),
+        (acc, j) => acc + element_at($"lut",
+          (j * PqK + element_at($"codes", j + 1).cast("int") + 1))))
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id")
+    val top3 = scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id")
+    top3.join(exactTruthTop3(s, dir, col("vec_id") < 10),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(coalesce(sum($"hit"), lit(0)).cast("int").as("hits_at_3"))
+      .orderBy($"query_id")
+  }
+
   /** SEMANTIC dedup end to end — the composition a 100 TB training
     * pipeline actually runs: LSH-bucketed candidate pairs (never all-pairs;
     * candidates shrink to same-bucket plus the hamming-1 probe ring),
@@ -1113,30 +1179,47 @@ object SimilarityQueries {
        |   (SELECT $cosineSql FROM (SELECT p.qe ea, n.emb eb)) cos
        |  FROM mp_probes p JOIN e n ON p.bucket = n.bucket AND p.query_id <> n.vec_id)""".stripMargin
 
-  /** Integer-vector cosine — sequential fold over the same left-to-right
+  /** Integer dot as double — sequential fold over the same left-to-right
     * order as [[graft.operators.KMeans.idot]], so doubles match exactly. */
-  private def icosSql(a: String, b: String): String =
-    s"""(list_sum([CAST($a[i + 1] AS DOUBLE) * CAST($b[i + 1] AS DOUBLE) FOR i IN range(0, $EmbDim)])
-       | / (sqrt(list_sum([CAST($a[i + 1] AS DOUBLE) * CAST($a[i + 1] AS DOUBLE) FOR i IN range(0, $EmbDim)]))
-       |    * sqrt(list_sum([CAST($b[i + 1] AS DOUBLE) * CAST($b[i + 1] AS DOUBLE) FOR i IN range(0, $EmbDim)]))))""".stripMargin
+  private def idotSql(a: String, b: String, dim: Int = EmbDim): String =
+    s"list_sum([CAST($a[i + 1] AS DOUBLE) * CAST($b[i + 1] AS DOUBLE) FOR i IN range(0, $dim)])"
+
+  /** Integer-vector cosine — built from [[idotSql]] folds. */
+  private def icosSql(a: String, b: String, dim: Int = EmbDim): String =
+    s"""(${idotSql(a, b, dim)}
+       | / (sqrt(${idotSql(a, a, dim)})
+       |    * sqrt(${idotSql(b, b, dim)})))""".stripMargin
 
   /** One unrolled Lloyd iteration over CTE `cin` → `<p>c<t>` (replays
-    * KMeans.fit exactly: rank-1 assignment, exact BIGINT dimension sums,
-    * empty clusters carry the previous centroid). `trainQ` names the
-    * training-set CTE; `p` prefixes every generated CTE name so two
-    * codebooks can train in ONE WITH chain (ann_ivf_drift). */
+    * KMeans.fit/fitSub exactly: rank-1 assignment, exact BIGINT dimension
+    * sums, empty clusters carry the previous centroid). `trainQ` names the
+    * training-set CTE; `p` prefixes every generated CTE name so several
+    * codebooks can train in ONE WITH chain (ann_ivf_drift, ann_pq_recall);
+    * `dim` is the vector width; `carryN` additionally carries the exact
+    * member count `ncnt` (the `cin` CTE must then provide an initial
+    * `ncnt`) — fitSub's mean denominator for ADC scoring. */
   private def lloydCte(t: Int, cin: String, trainQ: String = "q",
-      p: String = ""): String =
+      p: String = "", dim: Int = EmbDim, carryN: Boolean = false): String = {
+    val cntCte = if (carryN)
+      s"""|${p}k$t AS (SELECT cent_id, CAST(COUNT(*) AS BIGINT) n
+          |  FROM ${p}a$t GROUP BY 1),""".stripMargin
+    else ""
+    val cFields = if (carryN)
+      s"COALESCE(n.nv, c.cvec) cvec, COALESCE(k.n, c.ncnt) ncnt"
+    else "COALESCE(n.nv, c.cvec) cvec"
+    val cJoin = if (carryN) s" LEFT JOIN ${p}k$t k USING (cent_id)" else ""
     s"""${p}a$t AS (SELECT id, cent_id FROM (
        |  SELECT $trainQ.id, c.cent_id,
        |   ROW_NUMBER() OVER (PARTITION BY $trainQ.id
-       |     ORDER BY ${icosSql(s"$trainQ.qv", "c.cvec")} DESC, c.cent_id) r
+       |     ORDER BY ${icosSql(s"$trainQ.qv", "c.cvec", dim)} DESC, c.cent_id) r
        |  FROM $trainQ, $cin c) WHERE r = 1),
        |${p}s$t AS (SELECT a.cent_id, t.range i, CAST(SUM($trainQ.qv[t.range + 1]) AS BIGINT) s
-       |  FROM ${p}a$t a JOIN $trainQ ON a.id = $trainQ.id, range(0, $EmbDim) t GROUP BY 1, 2),
+       |  FROM ${p}a$t a JOIN $trainQ ON a.id = $trainQ.id, range(0, $dim) t GROUP BY 1, 2),
        |${p}n$t AS (SELECT cent_id, list(s ORDER BY i) nv FROM ${p}s$t GROUP BY 1),
-       |${p}c$t AS (SELECT c.cent_id, COALESCE(n.nv, c.cvec) cvec
-       |  FROM $cin c LEFT JOIN ${p}n$t n USING (cent_id))""".stripMargin
+       |$cntCte
+       |${p}c$t AS (SELECT c.cent_id, $cFields
+       |  FROM $cin c LEFT JOIN ${p}n$t n USING (cent_id)$cJoin)""".stripMargin
+  }
 
   def oracle: Map[String, String] = Map(
     "ann_ivf_trained" ->
@@ -1224,6 +1307,68 @@ object SimilarityQueries {
          |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
          |GROUP BY a.method, a.query_id
          |ORDER BY a.method, a.query_id""".stripMargin
+    },
+
+    // Product quantization: 8 independent dim-8 Lloyd chains (prefixed
+    // CTEs, member counts carried for the ADC mean), per-subspace code
+    // assignment, per-query LUT, and the ADC score as the SAME
+    // left-to-right list_sum fold the Spark expression uses.
+    "ann_pq_recall" -> {
+      val subCtes = (0 until PqSub).map { j =>
+        s"q$j AS (SELECT id, qv[${j * PqSubDim + 1}:${(j + 1) * PqSubDim}] qv FROM qall)"
+      }.mkString(",\n")
+      val initCtes = (0 until PqSub).map { j =>
+        s"pj${j}c0 AS (SELECT id cent_id, qv cvec, CAST(1 AS BIGINT) ncnt FROM q$j WHERE id < $PqK)"
+      }.mkString(",\n")
+      val lloydChains = (0 until PqSub).map { j =>
+        lloydCte(1, s"pj${j}c0", s"q$j", s"pj$j", PqSubDim, carryN = true) + ",\n" +
+          lloydCte(2, s"pj${j}c1", s"q$j", s"pj$j", PqSubDim, carryN = true)
+      }.mkString(",\n")
+      val codeCtes = (0 until PqSub).map { j =>
+        s"""cd$j AS (SELECT id, $j AS j, cent_id AS code FROM (
+           |  SELECT q.id, c.cent_id,
+           |   ROW_NUMBER() OVER (PARTITION BY q.id
+           |     ORDER BY ${icosSql("q.qv", "c.cvec", PqSubDim)} DESC, c.cent_id) r
+           |  FROM q$j q, pj${j}c2 c) WHERE r = 1)""".stripMargin
+      }.mkString(",\n")
+      val lutCtes = (0 until PqSub).map { j =>
+        s"""lr$j AS (SELECT q.id query_id, $j AS j, c.cent_id,
+           |  ${idotSql("q.qv", "c.cvec", PqSubDim)} / c.ncnt pdot
+           |  FROM q$j q, pj${j}c2 c WHERE q.id < 10)""".stripMargin
+      }.mkString(",\n")
+      val codesUnion = (0 until PqSub).map(j => s"SELECT * FROM cd$j").mkString(" UNION ALL ")
+      val lutUnion = (0 until PqSub).map(j => s"SELECT * FROM lr$j").mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+         |qall AS (SELECT vec_id id,
+         |   [CAST(round(x * ${graft.operators.KMeans.Scale}) AS BIGINT) FOR x IN emb] qv FROM e),
+         |$subCtes,
+         |$initCtes,
+         |$lloydChains,
+         |$codeCtes,
+         |$lutCtes,
+         |codes AS ($codesUnion),
+         |codes_arr AS (SELECT id, list(code ORDER BY j) codes FROM codes GROUP BY id),
+         |lutu AS ($lutUnion),
+         |lut_arr AS (SELECT query_id, list(pdot ORDER BY j, cent_id) lut FROM lutu GROUP BY query_id),
+         |scored AS (SELECT l.query_id, c.id neighbor_id,
+         |   list_sum([l.lut[j * $PqK + c.codes[j + 1] + 1] FOR j IN range(0, $PqSub)]) score
+         |  FROM codes_arr c, lut_arr l WHERE l.query_id <> c.id),
+         |top3 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) rank
+         |  FROM scored) WHERE rank <= 3),
+         |t_scored AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
+         |   (SELECT $cosineSql FROM (SELECT q.emb ea, n.emb eb)) cos
+         |  FROM e q JOIN e n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+         |  FROM t_scored) WHERE rank <= 3)
+         |SELECT a.query_id,
+         | CAST(COALESCE(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 END), 0) AS INT) hits_at_3
+         |FROM top3 a LEFT JOIN truth t
+         |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY a.query_id ORDER BY a.query_id""".stripMargin
     },
 
     // Incremental IVF: q is the TRAINING prefix (lloydCte trains over the

@@ -208,6 +208,26 @@ class SimilarityScaleSpec extends SparkSpec {
       "no newcomer matched the index — probe ring or threshold broke")
   }
 
+  test("pq recall sits between random and scalar quantization (sf0.01)") {
+    // the storage-compression ladder must order by information kept:
+    // q8 (4x compression) >= pq (64x) > random chance. Both rungs share
+    // the same float-exact truth and query band, so the comparison is
+    // apples-to-apples; deterministic corpus + integer-exact training
+    // make the values stable, not statistical.
+    val dir = "/root/testdata/sf0.01"
+    def mean(name: String) =
+      SimilarityQueries.queries(name)(spark, dir)
+        .agg(avg("hits_at_3")).head().getDouble(0)
+    val pq = mean("ann_pq_recall")
+    val q8 = mean("ann_q8_recall")
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val chance = 3.0 * 3.0 / (n - 1).toDouble
+    assert(pq > 4 * chance,
+      s"PQ recall $pq is indistinguishable from random ($chance) — codes carry no signal")
+    assert(q8 >= pq,
+      s"scalar q8 ($q8) must retain at least PQ's recall ($pq) — 16x more bits per vector")
+  }
+
   test("incremental minhash dedup verdicts cover newcomers, match only the index") {
     // the TEXT member of the incremental trilogy: one-sided band probing
     // of the appended quarter against the existing corpus's band index —
