@@ -205,6 +205,7 @@ object SimilarityQueries {
     "ann_recall_at_k" -> annRecallAtK,
     "ann_q8_recall" -> annQ8Recall,
     "ann_pq_recall" -> annPqRecall,
+    "ann_ivfpq_recall" -> annIvfPqRecall,
     "ann_mp2_recall" -> annMp2Recall,
     "ann_mt_recall" -> annMtRecall,
     "ann_ivf_trained" -> annIvfTrained,
@@ -931,23 +932,23 @@ object SimilarityQueries {
     * both engines; and the ADC sum is a SEQUENTIAL expression fold over
     * j (never a groupBy SUM of doubles, whose partial-agg order would
     * differ between engines). */
-  private val annPqRecall: Q = (s, dir) => {
+  /** Shared PQ machinery: subvector rows, trained subspace codebooks, the
+    * stored code index (8 codes per vector in j order), and the per-query
+    * ADC lookup table for queries with id < 10 — used by both the
+    * full-scan rung ([[annPqRecall]]) and the IVF-pruned composition
+    * ([[annIvfPqRecall]]). */
+  private def pqParts(s: SparkSession, q: DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
     import graft.operators.KMeans
-    fenceBruteForce("ann_pq_recall", s, dir) // truth side full-scans per query
-    val emb = spread(Tables(s, dir, "embeddings"))
-    val q = emb.select($"vec_id".as("id"), KMeans.quantize($"embedding").as("qv"))
     val sub = q.select($"id", explode(array((0 until PqSub).map(j =>
         struct(lit(j).as("j"), slice($"qv", j * PqSubDim + 1, PqSubDim).as("qv"))): _*))
         .as("s"))
       .select($"id", $"s.j".as("j"), $"s.qv".as("qv"))
     val cents = KMeans.fitSub(sub, PqK, IvfTrainIters)
-    // the stored index: 8 codes per vector, reassembled in j order
     val codesArr = KMeans.assignSub(sub, cents)
       .groupBy($"id")
       .agg(transform(array_sort(collect_list(struct($"j", $"cent_id"))),
         x => x("cent_id")).as("codes"))
-    // per-query ADC lookup table, ordered (j, cent_id) → index j·K + cent
     val lutArr = sub.filter($"id" < 10)
       .join(broadcast(cents), Seq("j"))
       .select($"id".as("query_id"), $"j", $"cent_id",
@@ -955,22 +956,82 @@ object SimilarityQueries {
       .groupBy($"query_id")
       .agg(transform(array_sort(collect_list(struct($"j", $"cent_id", $"pdot"))),
         x => x("pdot")).as("lut"))
-    val scored = codesArr.select($"id".as("neighbor_id"), $"codes")
-      .crossJoin(broadcast(lutArr))
-      .filter($"query_id" =!= $"neighbor_id")
-      .withColumn("score", aggregate(sequence(lit(0), lit(PqSub - 1)), lit(0.0),
-        (acc, j) => acc + element_at($"lut",
-          (j * PqK + element_at($"codes", j + 1).cast("int") + 1))))
+    (codesArr, lutArr)
+  }
+
+  /** ADC score: sequential left-to-right fold over the candidate's codes
+    * against the query's LUT — identical fold order to the oracle's
+    * list_sum comprehension, so doubles match bit-for-bit. */
+  private def adcScore(codes: org.apache.spark.sql.Column,
+      lut: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(sequence(lit(0), lit(PqSub - 1)), lit(0.0),
+      (acc, j) => acc + element_at(lut,
+        (j * PqK + element_at(codes, j + 1).cast("int") + 1)))
+
+  private def pqHitsAt3(s: SparkSession, dir: String,
+      scored: DataFrame): DataFrame = {
+    import s.implicits._
     val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id")
-    val top3 = scored
+    scored
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
       .select($"query_id", $"neighbor_id")
-    top3.join(exactTruthTop3(s, dir, col("vec_id") < 10),
+      .join(exactTruthTop3(s, dir, col("vec_id") < 10),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy($"query_id")
       .agg(coalesce(sum($"hit"), lit(0)).cast("int").as("hits_at_3"))
       .orderBy($"query_id")
+  }
+
+  private val annPqRecall: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.KMeans
+    fenceBruteForce("ann_pq_recall", s, dir) // truth side full-scans per query
+    val emb = spread(Tables(s, dir, "embeddings"))
+    val q = emb.select($"vec_id".as("id"), KMeans.quantize($"embedding").as("qv"))
+    val (codesArr, lutArr) = pqParts(s, q)
+    val scored = codesArr.select($"id".as("neighbor_id"), $"codes")
+      .crossJoin(broadcast(lutArr))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("score", adcScore($"codes", $"lut"))
+    pqHitsAt3(s, dir, scored)
+  }
+
+  /** IVF-PQ — the COMPOSED serving stack a 10⁹-vector index runs: the
+    * coarse trained quantizer prunes each query to its [[IvfProbe]]
+    * nearest cells (candidates shrink to n·probe/k), and only those
+    * members are ADC-scored over their 8-byte PQ codes. Memory per
+    * candidate is the code, not the vector; work per query is
+    * probe-bounded, not corpus-bounded. Graded against the same
+    * float-exact truth and query band as [[annPqRecall]], so the
+    * delta between the two keys IS the recall cost of IVF pruning on
+    * top of PQ compression — the two knobs a deployment tunes
+    * independently. Every stage replays in the oracle: the full-dim
+    * coarse Lloyd chain, the 8 subspace chains, probe selection, and
+    * the pruned ADC fold. */
+  private val annIvfPqRecall: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.KMeans
+    fenceBruteForce("ann_ivfpq_recall", s, dir) // truth side full-scans per query
+    val emb = spread(Tables(s, dir, "embeddings"))
+    val q = emb.select($"vec_id".as("id"), KMeans.quantize($"embedding").as("qv"))
+    val coarse = KMeans.fit(emb, "vec_id", "embedding", IvfCentroids, IvfTrainIters)
+    val assigned = KMeans.assign(q, coarse)
+    val queries = q.filter($"id" < 10).select($"id".as("query_id"), $"qv".as("qq"))
+    val wp = Window.partitionBy($"query_id").orderBy($"pcos".desc, $"cent_id")
+    val probes = queries.crossJoin(broadcast(coarse))
+      .withColumn("pcos", KMeans.icos($"qq", $"cvec"))
+      .withColumn("pr", row_number().over(wp))
+      .filter($"pr" <= IvfProbe)
+      .select($"query_id", $"cent_id")
+    val (codesArr, lutArr) = pqParts(s, q)
+    val scored = probes
+      .join(assigned.select($"id".as("neighbor_id"), $"cent_id"), Seq("cent_id"))
+      .join(codesArr.select($"id".as("neighbor_id"), $"codes"), Seq("neighbor_id"))
+      .join(broadcast(lutArr), Seq("query_id"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("score", adcScore($"codes", $"lut"))
+    pqHitsAt3(s, dir, scored)
   }
 
   /** SEMANTIC dedup end to end — the composition a 100 TB training
@@ -1221,6 +1282,70 @@ object SimilarityQueries {
        |  FROM $cin c LEFT JOIN ${p}n$t n USING (cent_id)$cJoin)""".stripMargin
   }
 
+  /** PQ oracle fragment over `qall` → `codes_arr` + `lut_arr`: 8 subspace
+    * slices, 8 prefixed dim-8 Lloyd chains with member counts, code
+    * assignment, and the per-query (id < 10) ADC lookup table — shared by
+    * ann_pq_recall and ann_ivfpq_recall. */
+  private lazy val pqOracleCtes: String = {
+    val subCtes = (0 until PqSub).map { j =>
+      s"q$j AS (SELECT id, qv[${j * PqSubDim + 1}:${(j + 1) * PqSubDim}] qv FROM qall)"
+    }.mkString(",\n")
+    val initCtes = (0 until PqSub).map { j =>
+      s"pj${j}c0 AS (SELECT id cent_id, qv cvec, CAST(1 AS BIGINT) ncnt FROM q$j WHERE id < $PqK)"
+    }.mkString(",\n")
+    val lloydChains = (0 until PqSub).map { j =>
+      lloydCte(1, s"pj${j}c0", s"q$j", s"pj$j", PqSubDim, carryN = true) + ",\n" +
+        lloydCte(2, s"pj${j}c1", s"q$j", s"pj$j", PqSubDim, carryN = true)
+    }.mkString(",\n")
+    val codeCtes = (0 until PqSub).map { j =>
+      s"""cd$j AS (SELECT id, $j AS j, cent_id AS code FROM (
+         |  SELECT q.id, c.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY q.id
+         |     ORDER BY ${icosSql("q.qv", "c.cvec", PqSubDim)} DESC, c.cent_id) r
+         |  FROM q$j q, pj${j}c2 c) WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    val lutCtes = (0 until PqSub).map { j =>
+      s"""lr$j AS (SELECT q.id query_id, $j AS j, c.cent_id,
+         |  ${idotSql("q.qv", "c.cvec", PqSubDim)} / c.ncnt pdot
+         |  FROM q$j q, pj${j}c2 c WHERE q.id < 10)""".stripMargin
+    }.mkString(",\n")
+    val codesUnion = (0 until PqSub).map(j => s"SELECT * FROM cd$j").mkString(" UNION ALL ")
+    val lutUnion = (0 until PqSub).map(j => s"SELECT * FROM lr$j").mkString(" UNION ALL ")
+    s"""$subCtes,
+       |$initCtes,
+       |$lloydChains,
+       |$codeCtes,
+       |$lutCtes,
+       |codes AS ($codesUnion),
+       |codes_arr AS (SELECT id, list(code ORDER BY j) codes FROM codes GROUP BY id),
+       |lutu AS ($lutUnion),
+       |lut_arr AS (SELECT query_id, list(pdot ORDER BY j, cent_id) lut FROM lutu GROUP BY query_id)""".stripMargin
+  }
+
+  /** The ADC fold — identical order to [[adcScore]]'s expression fold. */
+  private def adcScoreSql(lut: String, codes: String): String =
+    s"list_sum([$lut[j * $PqK + $codes[j + 1] + 1] FOR j IN range(0, $PqSub)])"
+
+  /** Shared tail of the two PQ oracles: rank `scored` to top-3, derive
+    * float-exact truth for the 10-query band, emit integer hits@3. */
+  private lazy val pqTruthAndSelect: String =
+    s"""top3 AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) rank
+       |  FROM scored) WHERE rank <= 3),
+       |t_scored AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
+       |   (SELECT $cosineSql FROM (SELECT q.emb ea, n.emb eb)) cos
+       |  FROM e q JOIN e n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
+       |truth AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+       |  FROM t_scored) WHERE rank <= 3)
+       |SELECT a.query_id,
+       | CAST(COALESCE(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 END), 0) AS INT) hits_at_3
+       |FROM top3 a LEFT JOIN truth t
+       |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+       |GROUP BY a.query_id ORDER BY a.query_id""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "ann_ivf_trained" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
@@ -1313,63 +1438,46 @@ object SimilarityQueries {
     // CTEs, member counts carried for the ADC mean), per-subspace code
     // assignment, per-query LUT, and the ADC score as the SAME
     // left-to-right list_sum fold the Spark expression uses.
-    "ann_pq_recall" -> {
-      val subCtes = (0 until PqSub).map { j =>
-        s"q$j AS (SELECT id, qv[${j * PqSubDim + 1}:${(j + 1) * PqSubDim}] qv FROM qall)"
-      }.mkString(",\n")
-      val initCtes = (0 until PqSub).map { j =>
-        s"pj${j}c0 AS (SELECT id cent_id, qv cvec, CAST(1 AS BIGINT) ncnt FROM q$j WHERE id < $PqK)"
-      }.mkString(",\n")
-      val lloydChains = (0 until PqSub).map { j =>
-        lloydCte(1, s"pj${j}c0", s"q$j", s"pj$j", PqSubDim, carryN = true) + ",\n" +
-          lloydCte(2, s"pj${j}c1", s"q$j", s"pj$j", PqSubDim, carryN = true)
-      }.mkString(",\n")
-      val codeCtes = (0 until PqSub).map { j =>
-        s"""cd$j AS (SELECT id, $j AS j, cent_id AS code FROM (
-           |  SELECT q.id, c.cent_id,
-           |   ROW_NUMBER() OVER (PARTITION BY q.id
-           |     ORDER BY ${icosSql("q.qv", "c.cvec", PqSubDim)} DESC, c.cent_id) r
-           |  FROM q$j q, pj${j}c2 c) WHERE r = 1)""".stripMargin
-      }.mkString(",\n")
-      val lutCtes = (0 until PqSub).map { j =>
-        s"""lr$j AS (SELECT q.id query_id, $j AS j, c.cent_id,
-           |  ${idotSql("q.qv", "c.cvec", PqSubDim)} / c.ncnt pdot
-           |  FROM q$j q, pj${j}c2 c WHERE q.id < 10)""".stripMargin
-      }.mkString(",\n")
-      val codesUnion = (0 until PqSub).map(j => s"SELECT * FROM cd$j").mkString(" UNION ALL ")
-      val lutUnion = (0 until PqSub).map(j => s"SELECT * FROM lr$j").mkString(" UNION ALL ")
+    "ann_pq_recall" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
          |qall AS (SELECT vec_id id,
          |   [CAST(round(x * ${graft.operators.KMeans.Scale}) AS BIGINT) FOR x IN emb] qv FROM e),
-         |$subCtes,
-         |$initCtes,
-         |$lloydChains,
-         |$codeCtes,
-         |$lutCtes,
-         |codes AS ($codesUnion),
-         |codes_arr AS (SELECT id, list(code ORDER BY j) codes FROM codes GROUP BY id),
-         |lutu AS ($lutUnion),
-         |lut_arr AS (SELECT query_id, list(pdot ORDER BY j, cent_id) lut FROM lutu GROUP BY query_id),
+         |$pqOracleCtes,
          |scored AS (SELECT l.query_id, c.id neighbor_id,
-         |   list_sum([l.lut[j * $PqK + c.codes[j + 1] + 1] FOR j IN range(0, $PqSub)]) score
+         |   ${adcScoreSql("l.lut", "c.codes")} score
          |  FROM codes_arr c, lut_arr l WHERE l.query_id <> c.id),
-         |top3 AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id,
-         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) rank
-         |  FROM scored) WHERE rank <= 3),
-         |t_scored AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
-         |   (SELECT $cosineSql FROM (SELECT q.emb ea, n.emb eb)) cos
-         |  FROM e q JOIN e n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
-         |truth AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id,
-         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
-         |  FROM t_scored) WHERE rank <= 3)
-         |SELECT a.query_id,
-         | CAST(COALESCE(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 END), 0) AS INT) hits_at_3
-         |FROM top3 a LEFT JOIN truth t
-         |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
-         |GROUP BY a.query_id ORDER BY a.query_id""".stripMargin
-    },
+         |$pqTruthAndSelect""".stripMargin,
+
+    // IVF-PQ composition: the coarse full-dim Lloyd chain prunes each
+    // query to IvfProbe cells; only those members are ADC-scored over
+    // their codes. Shares every PQ fragment with ann_pq_recall — the
+    // keys differ ONLY in the candidate set, so their recall delta is
+    // the pruning cost.
+    "ann_ivfpq_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+         |qall AS (SELECT vec_id id,
+         |   [CAST(round(x * ${graft.operators.KMeans.Scale}) AS BIGINT) FOR x IN emb] qv FROM e),
+         |c0 AS (SELECT id cent_id, qv cvec FROM qall WHERE id < $IvfCentroids),
+         |${lloydCte(1, "c0", "qall")},
+         |${lloydCte(2, "c1", "qall")},
+         |assign AS (SELECT id, cent_id FROM (
+         |  SELECT qall.id, c.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY qall.id
+         |     ORDER BY ${icosSql("qall.qv", "c.cvec")} DESC, c.cent_id) r
+         |  FROM qall, c2 c) WHERE r = 1),
+         |probes AS (SELECT query_id, cent_id FROM (
+         |  SELECT qall.id query_id, c.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY qall.id
+         |     ORDER BY ${icosSql("qall.qv", "c.cvec")} DESC, c.cent_id) r
+         |  FROM qall, c2 c WHERE qall.id < 10) WHERE r <= $IvfProbe),
+         |$pqOracleCtes,
+         |scored AS (SELECT p.query_id, a.id neighbor_id,
+         |   ${adcScoreSql("l.lut", "c.codes")} score
+         |  FROM probes p JOIN assign a USING (cent_id)
+         |  JOIN codes_arr c ON c.id = a.id
+         |  JOIN lut_arr l ON l.query_id = p.query_id
+         |  WHERE p.query_id <> a.id),
+         |$pqTruthAndSelect""".stripMargin,
 
     // Incremental IVF: q is the TRAINING prefix (lloydCte trains over the
     // CTE literally named `q`), qall is the whole corpus assigned against

@@ -226,6 +226,15 @@ class SimilarityScaleSpec extends SparkSpec {
       s"PQ recall $pq is indistinguishable from random ($chance) — codes carry no signal")
     assert(q8 >= pq,
       s"scalar q8 ($q8) must retain at least PQ's recall ($pq) — 16x more bits per vector")
+    // the composed serving stack: IVF pruning on top of PQ codes may only
+    // SHED recall relative to the full ADC scan (measured, deterministic
+    // on this corpus: 0.6 vs 0.7), and must itself stay above chance —
+    // the probe knob works as documented
+    val ivfpq = mean("ann_ivfpq_recall")
+    assert(ivfpq > 4 * chance,
+      s"IVF-PQ recall $ivfpq collapsed to random — pruning discards the signal cells")
+    assert(ivfpq <= pq + 1e-9,
+      s"IVF-PQ ($ivfpq) exceeding the full ADC scan ($pq) means the candidate join leaked")
   }
 
   test("incremental minhash dedup verdicts cover newcomers, match only the index") {
