@@ -22,8 +22,36 @@ object TextQueries {
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
     "dedup_exact" -> dedupExact,
-    "text_df_stats" -> textDfStats
+    "text_df_stats" -> textDfStats,
+    "pipeline_doc_filter" -> pipelineDocFilter
   )
+
+  /** The document-filter FUNNEL — the composed keep/drop decision a
+    * pretraining pipeline applies per document, in the canonical order
+    * (dedup before quality, so a short duplicate reports 'duplicate'):
+    * exact-fingerprint duplicate → too-short → boilerplate-stopword-ratio.
+    * Output is the per-doc verdict (kept, first-failing drop_reason) the
+    * downstream mix consumes. ONE pass over the corpus: the only shuffle
+    * is the fingerprint window the dedup gate already needs; the quality
+    * signals are the same codegen'd expressions graded individually by
+    * text_quality. First-fail semantics mirror production funnels, where
+    * a doc dropped early never pays the later gates' compute. */
+  private val pipelineDocFilter: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy(Text.fingerprint($"text")).orderBy($"doc_id")
+    Tables(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_tokens", Text.tokenCount($"text"))
+      .withColumn("stopword_ratio",
+        round(Text.stopwordCount($"text").cast("double") / Text.tokenCount($"text"), 6))
+      .withColumn("drop_reason",
+        when($"rn" =!= 1, "duplicate")
+          .when($"n_tokens" < 20, "short")
+          .when($"stopword_ratio" > 0.2, "boilerplate")
+          .otherwise(lit(null).cast("string")))
+      .select($"doc_id", $"drop_reason".isNull.as("kept"), $"drop_reason")
+      .orderBy($"doc_id")
+  }
 
   /** Corpus-level document-frequency stats per doc — the IDF-style rarity
     * signal a quality filter uses, with INTEGER outputs only (an avg-IDF
@@ -190,6 +218,23 @@ object TextQueries {
          | SELECT doc_id, lang, source,
          |  ROW_NUMBER() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) AS rn
          | FROM documents) WHERE rn = 1
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // the funnel replays its gates from the same fragments the individual
+    // oracles use — first-fail CASE ordering is the contract under test
+    "pipeline_doc_filter" ->
+      s"""WITH f AS (SELECT doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) AS rn,
+         |  len($normTokensSql) AS n_tokens,
+         |  round(CAST(len(list_filter($normTokensSql, t -> list_contains($stopwordsSql, t))) AS DOUBLE)
+         |        / len($normTokensSql), 6) AS stopword_ratio
+         | FROM documents),
+         |r AS (SELECT doc_id,
+         |  CASE WHEN rn <> 1 THEN 'duplicate'
+         |       WHEN n_tokens < 20 THEN 'short'
+         |       WHEN stopword_ratio > 0.2 THEN 'boilerplate' END AS drop_reason
+         | FROM f)
+         |SELECT doc_id, drop_reason IS NULL AS kept, drop_reason
+         |FROM r ORDER BY doc_id""".stripMargin
   )
 }
