@@ -42,7 +42,10 @@ object TrainingQueries {
     "sample_domain_mix" -> sampleDomainMix,
     "text_pii_redact" -> textPiiRedact,
     "l_explode_pack" -> lExplodePack,
-    "text_vocab" -> textVocab
+    "text_vocab" -> textVocab,
+    "text_lm_score" -> textLmScore,
+    "train_shard_shuffle" -> trainShardShuffle,
+    "text_bpe_merges" -> textBpeMerges
   )
 
   // ------------------------------------------------- repetition filtering
@@ -335,6 +338,119 @@ object TrainingQueries {
       .orderBy($"vocab_id")
   }
 
+  // ------------------------------------------------------ n-gram LM scoring
+  /** Bigram-LM fluency scoring — the CCNet/KenLM-style "score every
+    * document against a reference-corpus language model" filter: a bigram
+    * LM is trained on the benchmark slice (doc_id % 50 = 0, the same
+    * held-out set the decontamination keys use) and every training
+    * document is scored against it. Signals are kept INTEGER-EXACT
+    * (position counts, hit counts, summed bigram frequencies, plus two
+    * int/int ratios) rather than summed log-probabilities — the same
+    * cross-engine trade [[textTfidf]] makes: IEEE +,*,/ over exact
+    * integers reproduce bit-identically in any engine, while a sum of
+    * `ln` terms varies by libm ULPs AND by Spark's partial-agg addition
+    * order. The ranking the filter needs survives the proxy.
+    *
+    * Scale shape: the LM is an aggregate over the (tiny, by construction)
+    * reference slice → broadcast to both lookup joins; the corpus side is
+    * one bigram fan-out + map-side joins + ONE shuffle (the per-doc
+    * aggregate). Linear in corpus size, no pairwise work. */
+  private val textLmScore: Q = (s, dir) => {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select($"doc_id", Text.tokens(Text.normalized($"text")).as("t"))
+    val bigrams = toks.select($"doc_id",
+      explode(zip_with(slice($"t", lit(1), size($"t") - 1),
+        slice($"t", lit(2), size($"t") - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+    val lmBi = bigrams.filter($"doc_id" % 50 === 0)
+      .groupBy($"bg").agg(count(lit(1)).as("c12"))
+    val lmUni = toks.filter($"doc_id" % 50 === 0)
+      .select(explode($"t").as("w1")).groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val agg = bigrams.filter($"doc_id" % 50 =!= 0)
+      // tokens are \s+-split, so the first word of the bigram is prefix-exact
+      .withColumn("w1", split($"bg", " ").getItem(0))
+      .join(broadcast(lmBi), Seq("bg"), "left")
+      .join(broadcast(lmUni), Seq("w1"), "left")
+      .groupBy($"doc_id")
+      .agg(sum(when($"c1".isNotNull, 1L).otherwise(0L)).as("k_known"),
+        sum(when($"c12".isNotNull, 1L).otherwise(0L)).as("k_hit"),
+        sum(coalesce($"c12", lit(0L))).as("k_sum_c12"))
+    toks.filter($"doc_id" % 50 =!= 0)
+      .select($"doc_id", greatest(size($"t") - 1, lit(0)).cast("long").as("n_pos"))
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_pos",
+        coalesce($"k_known", lit(0L)).as("n_known"),
+        coalesce($"k_hit", lit(0L)).as("n_hit"),
+        coalesce($"k_sum_c12", lit(0L)).as("sum_c12"),
+        round(coalesce($"k_hit", lit(0L)).cast("double")
+          / greatest($"n_pos", lit(1L)), 6).as("hit_rate"),
+        round(coalesce($"k_sum_c12", lit(0L)).cast("double")
+          / greatest(coalesce($"k_hit", lit(0L)), lit(1L)), 6).as("avg_hit_count"))
+      .orderBy($"doc_id")
+  }
+
+  // --------------------------------------------------- epoch shard shuffle
+  private val NumShards = 8
+
+  /** Deterministic epoch-aware global shuffle — the "reshuffle the corpus
+    * every epoch" step a training run needs, without ever materializing a
+    * global ordering: each (epoch, doc) gets a salted-md5 key, the key's
+    * residue picks one of [[NumShards]] shards, and the within-shard
+    * position is the rank of the key. Shards are mutually independent, so
+    * the only shuffle is the window partitioned BY SHARD — at 100 TB the
+    * shard count rises with the cluster and each shard sorts locally;
+    * no stage ever sees a global sort barrier. Epoch changes the salt,
+    * which provably re-deals both shard assignment and order, and the
+    * whole deal is reproducible across runs/engines/partitionings
+    * (the property `sample*` keys establish for the same hash). */
+  private val trainShardShuffle: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select($"doc_id")
+    val epochs = Seq(0, 1)
+      .map(e => docs.withColumn("epoch", lit(e))).reduce(_.unionByName(_))
+    val keyed = epochs.withColumn("h",
+        Vectors.hash60(concat(lit("shuf"), $"epoch".cast("string"),
+          lit("_"), $"doc_id".cast("string"))))
+      .withColumn("shard", pmod($"h", lit(NumShards.toLong)).cast("int"))
+    val w = Window.partitionBy($"epoch", $"shard").orderBy($"h", $"doc_id")
+    keyed.withColumn("pos", row_number().over(w))
+      .select($"epoch", $"doc_id", $"shard", $"pos")
+      .orderBy($"epoch", $"shard", $"pos")
+  }
+
+  // ------------------------------------------------- BPE merge candidates
+  private val BpeTopK = 20
+
+  /** First-round BPE merge scoring — the pair-frequency count a tokenizer
+    * trainer runs before its first merge: adjacent character pairs inside
+    * each word, weighted by the word's corpus frequency, ranked by total
+    * count. The corpus-sized work is the word-count aggregate (one hash
+    * shuffle on the token — the same shape as [[textVocab]]); everything
+    * after runs over the VOCABULARY (bounded by the token domain, not the
+    * corpus), so the pair aggregate and the single-partition top-k window
+    * stay small at any input size — the canonical "aggregate early, then
+    * compute on the summary" scale pattern. */
+  private val textBpeMerges: Q = (s, dir) => {
+    import s.implicits._
+    val words = Tables(s, dir, "documents")
+      .select(explode(Text.tokens(Text.normalized($"text"))).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("wc"))
+      .filter(length($"word") >= 2)
+    val pairs = words
+      .select($"word", $"wc",
+        explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+      .groupBy($"pair")
+      .agg(sum($"wc").as("pair_count"), countDistinct($"word").as("n_words"))
+    val w = Window.orderBy($"pair_count".desc, $"pair")
+    pairs.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= BpeTopK)
+      .select($"rank", $"pair", $"pair_count", $"n_words")
+      .orderBy($"rank")
+  }
+
   // ----------------------------------------------------- generator (UDTF)
   /** Token positions via posexplode — the generator/UDTF surface (flatten
     * with ordinality). Row fan-out happens executor-side with no shuffle;
@@ -515,6 +631,53 @@ object TrainingQueries {
          |  FROM toksv GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 2)
          |SELECT CAST(row_number() OVER (ORDER BY df DESC, tf_total DESC, term) - 1 AS INT) AS vocab_id,
          | term, df, tf_total
-         |FROM tf ORDER BY vocab_id""".stripMargin
+         |FROM tf ORDER BY vocab_id""".stripMargin,
+
+    "text_lm_score" ->
+      s"""WITH toksv AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+         |  FROM toksv),
+         |lm_bi AS (SELECT bg, COUNT(*) AS c12 FROM bg WHERE doc_id % 50 = 0 GROUP BY 1),
+         |lm_uni AS (SELECT w1, COUNT(*) AS c1 FROM
+         |  (SELECT unnest(t) AS w1 FROM toksv WHERE doc_id % 50 = 0) GROUP BY 1),
+         |pos AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg WHERE doc_id % 50 <> 0),
+         |agg AS (SELECT p.doc_id,
+         |  CAST(SUM(CASE WHEN u.c1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_known,
+         |  CAST(SUM(CASE WHEN b.c12 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_hit,
+         |  CAST(SUM(COALESCE(b.c12, 0)) AS BIGINT) AS k_sum_c12
+         | FROM pos p LEFT JOIN lm_bi b USING (bg) LEFT JOIN lm_uni u USING (w1)
+         | GROUP BY 1)
+         |SELECT d.doc_id, CAST(GREATEST(len(d.t) - 1, 0) AS BIGINT) AS n_pos,
+         | COALESCE(k_known, 0) AS n_known, COALESCE(k_hit, 0) AS n_hit,
+         | COALESCE(k_sum_c12, 0) AS sum_c12,
+         | round(CAST(COALESCE(k_hit, 0) AS DOUBLE)
+         |   / GREATEST(CAST(GREATEST(len(d.t) - 1, 0) AS BIGINT), 1), 6) AS hit_rate,
+         | round(CAST(COALESCE(k_sum_c12, 0) AS DOUBLE)
+         |   / GREATEST(COALESCE(k_hit, 0), 1), 6) AS avg_hit_count
+         |FROM toksv d LEFT JOIN agg USING (doc_id)
+         |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    "train_shard_shuffle" ->
+      """WITH e AS (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),
+        |k AS (SELECT epoch, doc_id,
+        |  CAST(CONCAT('0x', SUBSTR(md5(CONCAT('shuf', CAST(epoch AS VARCHAR), '_',
+        |    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        | FROM e)
+        |SELECT epoch, doc_id, CAST(h % 8 AS INT) AS shard,
+        | CAST(row_number() OVER (PARTITION BY epoch, h % 8 ORDER BY h, doc_id) AS INT) AS pos
+        |FROM k ORDER BY epoch, shard, pos""".stripMargin,
+
+    "text_bpe_merges" ->
+      s"""WITH w AS (SELECT word, COUNT(*) AS wc FROM
+         |  (SELECT unnest($toksSql) AS word FROM documents) GROUP BY 1),
+         |p AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count,
+         |  CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+         | FROM (SELECT word, wc, unnest([substr(word, i, 2) FOR i IN range(1, length(word))]) AS pair
+         |       FROM w WHERE length(word) >= 2)
+         | GROUP BY 1)
+         |SELECT rank, pair, pair_count, n_words FROM
+         | (SELECT pair, pair_count, n_words,
+         |   CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS INT) AS rank FROM p)
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin
   )
 }

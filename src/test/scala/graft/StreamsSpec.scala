@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, count, lit, min}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Streams
 import graft.streaming.Streams.Event
@@ -175,5 +176,19 @@ class StreamsSpec extends SparkSpec {
     val after2 = spark.read.parquet(target)
       .select("user_id", "value").as[(Long, Double)].collect().toSet
     assert(after2 === Set((1L, 9.0), (2L, 5.0), (3L, 7.0)))
+  }
+
+  test("st_stream_dedup drains to exactly the batch dedup state") {
+    import graft.queries.RelationalQueries
+    val streamed = RelationalQueries.queries("st_stream_dedup")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.Tables(spark, sfDir, "documents")
+      .groupBy(graft.functions.Text.fingerprint(col("text")).as("fingerprint"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch, "streaming state diverged from the batch replay")
+    // every document is accounted for exactly once across the state
+    val total = graft.Tables(spark, sfDir, "documents").count()
+    assert(streamed.toSeq.map(_._2).sum === total)
   }
 }

@@ -135,4 +135,49 @@ class TrainingQueriesSpec extends SparkSpec {
       assert(chunks.last.getInt(2) + 24 >= n, s"doc $doc dropped a tail window")
     }
   }
+
+  test("text_lm_score: counters nested, ratios consistent, bench excluded") {
+    val df = run("text_lm_score")
+    assert(df.count() > 0)
+    // hits are a subset of known-context positions, which are a subset of
+    // all positions; a hit implies its bigram count contributes >= 1
+    val bad = df.filter(col("doc_id") % 50 === 0 ||
+      col("n_hit") > col("n_known") || col("n_known") > col("n_pos") ||
+      col("sum_c12") < col("n_hit") ||
+      col("hit_rate") < 0 || col("hit_rate") > 1)
+    assert(bad.count() === 0)
+    // the reference slice exists, so some training doc shares a bigram
+    assert(df.filter(col("n_hit") > 0).count() > 0, "LM never hit — bigram key broken")
+  }
+
+  test("train_shard_shuffle: positions dense per shard, epochs re-deal") {
+    val rows = run("train_shard_shuffle")
+      .select("epoch", "doc_id", "shard", "pos").collect()
+    val nDocs = rows.length / 2
+    rows.groupBy(r => (r.getInt(0), r.getInt(2))).foreach { case ((e, sh), g) =>
+      val ps = g.map(_.getInt(3)).sorted
+      assert(ps.toSeq === (1 to ps.length), s"epoch $e shard $sh positions not dense")
+    }
+    // epoch 1 must re-deal: most docs land in a different shard (7/8 expected)
+    val byDoc = rows.groupBy(_.getLong(1))
+    val moved = byDoc.count { case (_, g) =>
+      g.map(r => (r.getInt(0), r.getInt(2))).toMap.values.toSet.size == 2
+    }
+    assert(moved > nDocs / 2, s"only $moved/$nDocs docs changed shard across epochs")
+    // deterministic: a second run is identical
+    val again = run("train_shard_shuffle").select("epoch", "doc_id", "shard", "pos").collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("text_bpe_merges: dense ranks, non-increasing counts, 2-char pairs") {
+    val rows = run("text_bpe_merges")
+      .select("rank", "pair", "pair_count", "n_words").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getInt(0)).toSeq === (1 to rows.length))
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(r => r.getString(1).length == 2))
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(3)),
+      "weighted pair count cannot be below the distinct-word count")
+  }
 }
