@@ -214,7 +214,8 @@ object SimilarityQueries {
     "emb_random_projection" -> embRandomProjection,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_incremental" -> dedupSemanticIncremental,
-    "dedup_minhash_incremental" -> dedupMinhashIncremental
+    "dedup_minhash_incremental" -> dedupMinhashIncremental,
+    "dedup_substring_runs" -> dedupSubstringRuns
   )
 
   /** documents/embeddings arrive as ONE parquet file at test scale, so a
@@ -269,6 +270,57 @@ object SimilarityQueries {
   private val dedupNgramJaccard: Q = (s, dir) => {
     import s.implicits._
     ngramJaccardPairs(s, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  // ------------------------------------------- shared-substring detection
+  private val SubW = 5       // positioned-shingle width (tokens)
+  private val SubMinRun = 12 // report runs of at least this many tokens
+  private val SubMaxDf = 64  // stop-shingle cap: df > this ⇒ boilerplate
+
+  /** SUBSTRING-level dedup — detects long VERBATIM shared runs between
+    * document pairs (the "Deduplicating Training Data" regime), which the
+    * set-based keys cannot see: two docs sharing one 50-token paragraph
+    * inside otherwise-different text have low Jaccard but are still
+    * training-harmful. Method: positioned [[SubW]]-token shingles, an
+    * inverted-index self-join restricted to NON-BOILERPLATE shingles
+    * (document frequency ≤ [[SubMaxDf]] — the standard stop-shingle drop,
+    * and simultaneously the scale bound: with per-shingle df capped at a
+    * constant, Σ pairs ≤ SubMaxDf · total positions, LINEAR in the
+    * corpus, unlike the uncapped exact index the saturation fence guards),
+    * then maximal-run extraction on each (pair, diagonal) via the classic
+    * pos − row_number island trick. A run of k consecutive matching
+    * shingle positions certifies a verbatim shared substring of
+    * k + [[SubW]] − 1 tokens. Output: pairs sharing ≥ [[SubMinRun]]
+    * tokens, with the longest run and run count. At 100 TB the same plan
+    * holds: one shuffle to build the index, one bounded self-join, one
+    * window per surviving (pair, diagonal). */
+  private val dedupSubstringRuns: Q = (s, dir) => {
+    import s.implicits._
+    val toks = spread(Tables(s, dir, "documents"))
+      .select($"doc_id", Text.tokens(Text.normalized($"text")).as("t"))
+    val sh = toks.select($"doc_id",
+        posexplode(expr(
+          s"transform(sequence(1, greatest(size(t) - ${SubW - 1}, 1)), " +
+            s"i -> concat_ws(' ', slice(t, i, $SubW)))")).as(Seq("p0", "sh")))
+      .select($"doc_id", ($"p0" + 1).as("pos"), $"sh")
+    val keep = sh.groupBy($"sh")
+      .agg(countDistinct($"doc_id").as("df")).filter($"df" <= SubMaxDf)
+      .select($"sh")
+    val shf = sh.join(keep.hint("shuffle_hash"), "sh")
+    val pairs = shf.as("a").hint("shuffle_hash").join(shf.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    val wIsl = Window.partitionBy($"da", $"db", $"diag").orderBy($"pa")
+    val runs = pairs.withColumn("diag", $"pa" - $"pb")
+      .withColumn("island", $"pa" - row_number().over(wIsl))
+      .groupBy($"da", $"db", $"diag", $"island")
+      .agg((count(lit(1)) + (SubW - 1)).as("run_tokens"))
+      .filter($"run_tokens" >= SubMinRun)
+    runs.groupBy($"da", $"db")
+      .agg(max($"run_tokens").as("max_run_tokens"), count(lit(1)).as("n_runs"))
+      .select($"da".as("doc_id"), $"db".as("dup_id"), $"max_run_tokens", $"n_runs")
+      .orderBy($"doc_id", $"dup_id")
   }
 
   /** Near-dup pairs → duplicate GROUPS: connected components of the
@@ -1522,6 +1574,27 @@ object SimilarityQueries {
       s"""WITH $shinglesCte,
          |cand AS (SELECT x.doc_id doc_a, y.doc_id doc_b FROM shd x JOIN shd y ON x.doc_id < y.doc_id)
          |$jaccardVerifySql""".stripMargin,
+
+    "dedup_substring_runs" ->
+      raw"""WITH toks AS (SELECT doc_id,
+           |  regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') t
+           |  FROM documents),
+           |shp AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+${SubW - 1}], ' ') AS sh
+           |  FROM (SELECT doc_id, t,
+           |    unnest(generate_series(1, GREATEST(len(t) - ${SubW - 1}, 1))) AS i FROM toks)),
+           |keep AS (SELECT sh FROM shp GROUP BY sh HAVING COUNT(DISTINCT doc_id) <= $SubMaxDf),
+           |shf AS (SELECT s.doc_id, s.pos, s.sh FROM shp s JOIN keep USING (sh)),
+           |pr AS (SELECT a.doc_id da, b.doc_id db, a.pos pa, b.pos pb
+           |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+           |isl AS (SELECT da, db, pa - pb AS diag, pa,
+           |  pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS island
+           |  FROM pr),
+           |runs AS (SELECT da, db, CAST(COUNT(*) + ${SubW - 1} AS BIGINT) AS run_tokens
+           |  FROM isl GROUP BY da, db, diag, island
+           |  HAVING COUNT(*) + ${SubW - 1} >= $SubMinRun)
+           |SELECT da AS doc_id, db AS dup_id, MAX(run_tokens) AS max_run_tokens,
+           | CAST(COUNT(*) AS BIGINT) AS n_runs
+           |FROM runs GROUP BY 1, 2 ORDER BY doc_id, dup_id""".stripMargin,
 
     "dedup_components" ->
       s"""WITH RECURSIVE $shinglesCte,

@@ -360,4 +360,23 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(hits("fresh") >= hits("frozen"),
       s"at sf1 the fresh retrain ${hits("fresh")} fell below frozen ${hits("frozen")}")
   }
+
+  test("dedup_substring_runs: reported runs are genuine verbatim substrings") {
+    val out = SimilarityQueries.queries("dedup_substring_runs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty, "no shared-substring pairs found at sf0.001")
+    assert(out.forall { case (a, b, run, n) => a < b && run >= 12 && n >= 1 })
+    // strongest pair: re-derive the shared run directly from the two texts
+    val (da, db, maxRun, _) = out.maxBy(_._3)
+    val texts = graft.Tables(spark, sfDir, "documents")
+      .filter(col("doc_id").isin(da, db))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+").toSeq
+    def runsOf(t: String, l: Int) = toks(t).sliding(l).map(_.mkString(" ")).toSet
+    val l = maxRun.toInt
+    val shared = runsOf(texts(da), l).intersect(runsOf(texts(db), l))
+    assert(shared.nonEmpty,
+      s"pair ($da,$db) claims a $maxRun-token verbatim run but none exists")
+  }
 }
