@@ -54,6 +54,7 @@ object RelationalQueries {
     "st_tumbling_window" -> stTumblingWindow,
     "st_stream_parity" -> stStreamParity,
     "st_stream_dedup" -> stStreamDedup,
+    "st_stream_session" -> stStreamSession,
     "s9_catalog_counts" -> s9CatalogCounts,
     "qa_unique_violations" -> qaUniqueViolations,
     "runner_daily_sales" -> runnerDailySales,
@@ -575,6 +576,52 @@ object RelationalQueries {
     s.table("st_stream_dedup_sink").orderBy($"keeper")
   }
 
+  /** STREAMING stateful sessionization — the third real-streaming key, and
+    * the one that exercises CUSTOM state: [[graft.streaming.Streams
+    * .sessionizeCents]] (flatMapGroupsWithState, EventTimeTimeout) drained
+    * over the events table with `Trigger.AvailableNow` in APPEND mode.
+    * Each user's session state lives partitioned by key across executors —
+    * the 100 TB regime where state scales with LIVE users, not history.
+    *
+    * What the oracle certifies is the full streaming contract, not just
+    * the fold: sessions closed by a later event emit in-batch; each user's
+    * TRAILING session emits only if its event-time timeout (end + gap)
+    * fell STRICTLY behind the final watermark (max event time − lateness)
+    * when the closing no-data micro-batch ran — the boundary strictness is
+    * probed and pinned in StreamsSpec, and the DuckDB replay encodes the
+    * same rule. Money rides as integer cents and times as epoch ms, so
+    * every emitted cell is order-free exact (see sessionizeCents). */
+  private val stStreamSession: Q = (s, dir) => {
+    import s.implicits._
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val raw = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events =
+      (if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw)
+      // NTZ parquet reads cast to TIMESTAMP (UTC session: same instant) —
+      // watermarks require the instant-bearing type
+      .select($"ts".cast("timestamp").as("ts"), $"user_id",
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .as[graft.streaming.Streams.EventC]
+    val sess = graft.streaming.Streams.sessionizeCents(events,
+      gapMs = 30 * 60 * 1000L, latenessMs = 60 * 60 * 1000L)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_session_ckpt").toString
+    // per-invocation sink name: append-mode memory tables accumulate per
+    // query; a fresh name per run keeps warm-up passes from stacking rows
+    val sink = "st_stream_session_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    sess.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    s.table(sink).orderBy($"user_id", $"session_start_ms")
+  }
+
   /** S9: catalog probes — per-table row counts as one result set
     * (ref: sample_ecom_raw_query_duckdb.py:8-43). */
   private val s9CatalogCounts: Q = (s, dir) => {
@@ -898,6 +945,34 @@ object RelationalQueries {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // batch replay of the streaming sessionization drain, INCLUDING its
+    // emission rule: every non-trailing session, plus trailing sessions
+    // whose timeout (end + gap) fell strictly behind the final watermark
+    // (max event ms − lateness). Gap 30 min, lateness 60 min, all in the
+    // same epoch-ms floor the engine's event-time bookkeeping uses.
+    "st_stream_session" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |marks AS (SELECT user_id, tms, cents,
+        |  CASE WHEN lag(tms) OVER w IS NULL
+        |       OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+        |sess AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms
+        |                                    ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM marks),
+        |agg AS (SELECT user_id, sid, MIN(tms) AS session_start_ms,
+        |         MAX(tms) AS session_end_ms,
+        |         COUNT(*) AS n_events,
+        |         CAST(SUM(cents) AS BIGINT) AS total_cents
+        |        FROM sess GROUP BY user_id, sid),
+        |lastsid AS (SELECT user_id, MAX(sid) AS max_sid FROM agg GROUP BY user_id),
+        |wm AS (SELECT MAX(epoch_ms(ts)) - 3600000 AS w FROM events)
+        |SELECT a.user_id, a.session_start_ms, a.session_end_ms,
+        | a.n_events, a.total_cents
+        |FROM agg a JOIN lastsid l ON a.user_id = l.user_id, wm
+        |WHERE a.sid < l.max_sid OR a.session_end_ms + 1800000 < wm.w
+        |ORDER BY a.user_id, a.session_start_ms""".stripMargin,
 
     // batch replay of the streaming stateful dedup drain
     "st_stream_dedup" ->

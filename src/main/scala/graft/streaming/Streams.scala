@@ -90,6 +90,67 @@ object Streams {
       }
   }
 
+  final case class EventC(ts: java.sql.Timestamp, user_id: Long, cents: Long)
+  final case class SessionStateC(start: Long, end: Long, n: Long, cents: Long)
+  final case class SessionC(user_id: Long, session_start_ms: Long,
+      session_end_ms: Long, n_events: Long, total_cents: Long)
+
+  /** [[sessionize]] with ORDER-FREE arithmetic, for hash-graded outputs:
+    * money is carried as integer cents and timestamps as epoch
+    * milliseconds (`Timestamp.getTime` — the same ms floor the engine's
+    * event-time bookkeeping uses), so the emitted rows are bit-identical
+    * under any partition order or within-millisecond event tie order (a
+    * double sum would depend on fold order; long sums commute).
+    *
+    * Emission semantics under an AvailableNow drain (what the oracle must
+    * replay): a session CLOSED by a later event emits in that batch; a
+    * TRAILING session (each user's last) emits only if its event-time
+    * timeout (session_end + gap) falls behind the final watermark
+    * (max event time − max(gap, lateness)) when the closing no-data
+    * micro-batch runs. StreamsSpec pins the boundary strictness. */
+  def sessionizeCents(events: Dataset[EventC], gapMs: Long,
+      latenessMs: Long = 60 * 60 * 1000L): Dataset[SessionC] = {
+    import events.sparkSession.implicits._
+    val watermarkMs = math.max(gapMs, latenessMs)
+    events
+      .withWatermark("ts", s"$watermarkMs milliseconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionStateC, SessionC](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[EventC], state: GroupState[SessionStateC]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionC(userId, s.start, s.end, s.n, s.cents))
+          } else {
+            // ms-floored sort: ties are harmless because every per-session
+            // accumulator below is commutative over equal timestamps
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionC]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionStateC(s.start, math.max(s.end, t),
+                    s.n + 1, s.cents + e.cents))
+                case Some(s) =>
+                  closed ::= SessionC(userId, s.start, s.end, s.n, s.cents)
+                  cur = Some(SessionStateC(t, t, 1, e.cents))
+                case None =>
+                  cur = Some(SessionStateC(t, t, 1, e.cents))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              val floor = state.getCurrentWatermarkMs() + 1
+              state.setTimeoutTimestamp(math.max(floor, s.end + gapMs))
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Keyed dedup on a stream: first occurrence per key wins, with state
     * bounded by the watermark — the streaming twin of DedupLatest.
     * dropDuplicatesWithinWatermark dedups on the keys ALONE (any ts), and

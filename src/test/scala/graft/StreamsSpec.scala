@@ -65,6 +65,45 @@ class StreamsSpec extends SparkSpec {
     assert(got.contains((7L, ts("2024-01-01 12:00:00"), 1L, 5.0)))
   }
 
+  test("sessionizeCents AvailableNow drain: emission boundary is STRICT " +
+      "(timeout == final watermark does not fire)") {
+    import spark.implicits._
+    import graft.streaming.Streams.EventC
+    // gap 30 min, lateness 60 min; max event 20:00 → final watermark 19:00.
+    // Trailing-session timeouts: 18:30 → 19:00 (== watermark, must NOT
+    // emit), 18:29:59 → 18:59:59 (< watermark, must emit), 18:30:01 →
+    // 19:00:01 (> watermark, must not emit). User 6's first session is
+    // closed in-batch by its second event and must emit regardless.
+    val dir = java.nio.file.Files.createTempDirectory("sessbound").toString
+    Seq(
+      EventC(ts("2024-01-01 10:00:00"), 1, 100),
+      EventC(ts("2024-01-01 18:30:00"), 3, 300),
+      EventC(ts("2024-01-01 18:29:59"), 4, 400),
+      EventC(ts("2024-01-01 18:30:01"), 5, 500),
+      EventC(ts("2024-01-01 09:00:00"), 6, 600),
+      EventC(ts("2024-01-01 11:00:00"), 6, 601),
+      EventC(ts("2024-01-01 20:00:00"), 9, 900)
+    ).toDS().coalesce(1).write.parquet(s"$dir/in")
+    val in = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[EventC]].schema)
+      .parquet(s"$dir/in").as[EventC]
+    val sess = Streams.sessionizeCents(in, gapMs = 30 * 60 * 1000L,
+      latenessMs = 60 * 60 * 1000L)
+    sess.writeStream.format("memory").queryName("sessbound")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val got = spark.table("sessbound").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+    def ms(s: String) = ts(s).getTime
+    assert(got == Set(
+      (1L, ms("2024-01-01 10:00:00"), 1L, 100L),
+      (4L, ms("2024-01-01 18:29:59"), 1L, 400L),
+      (6L, ms("2024-01-01 09:00:00"), 1L, 600L),
+      (6L, ms("2024-01-01 11:00:00"), 1L, 601L)))
+  }
+
   test("runAvailableNow drains a file source incrementally to parquet") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("avnow").toString
