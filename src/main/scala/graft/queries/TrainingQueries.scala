@@ -45,7 +45,8 @@ object TrainingQueries {
     "text_vocab" -> textVocab,
     "text_lm_score" -> textLmScore,
     "train_shard_shuffle" -> trainShardShuffle,
-    "text_bpe_merges" -> textBpeMerges
+    "text_bpe_merges" -> textBpeMerges,
+    "sample_dsir" -> sampleDsir
   )
 
   // ------------------------------------------------- repetition filtering
@@ -451,6 +452,66 @@ object TrainingQueries {
       .orderBy($"rank")
   }
 
+  // ----------------------------------------- importance resampling (DSIR)
+  private val DsirBuckets = 256
+
+  /** Hashed n-gram importance resampling — the DSIR-style "select raw data
+    * that looks like the target distribution" step (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS
+    * 2023): unigram+bigram features hash into [[DsirBuckets]] buckets,
+    * bucket frequencies are estimated separately over the TARGET slice
+    * (doc_id % 50 = 0 — the same held-out set the decontamination and LM
+    * keys use) and the RAW rest, and each raw document is kept when its
+    * features are likelier under the target than under the raw background.
+    *
+    * The published method scores log p_target(doc) − log p_raw(doc); this
+    * key keeps the decision INTEGER-EXACT for the hash gate the same way
+    * [[textLmScore]] does: per-doc summed bucket frequencies under both
+    * distributions, and the keep verdict as the cross-multiplied rational
+    * compare sum_target·total_raw > sum_raw·total_target — no libm log,
+    * no float normalization, bit-identical in any engine. (Products stay
+    * far inside int64 at graded SFs; a 100 TB deployment lifts the compare
+    * to decimal(38,0), changing nothing else.)
+    *
+    * Scale shape: the per-bucket frequency tables are ≤[[DsirBuckets]]
+    * rows each — aggregate once, broadcast everywhere; the corpus side is
+    * a map-side feature fan-out + broadcast lookups + ONE doc-grain
+    * shuffle. Linear in corpus size, index-free, and the bucket tables
+    * are mergeable across ingest batches (counts add), so the incremental
+    * regime is the same plan over the new batch only. */
+  private val sampleDsir: Q = (s, dir) => {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select($"doc_id", Text.tokens(Text.normalized($"text")).as("t"))
+    // distinct hashed buckets per doc, computed inside the array before
+    // the explode — presence semantics with no per-doc dedup shuffle
+    val feats = toks.select($"doc_id",
+      explode(array_distinct(transform(
+        concat($"t",
+          zip_with(slice($"t", lit(1), size($"t") - 1),
+            slice($"t", lit(2), size($"t") - 1),
+            (a, b) => concat_ws(" ", a, b))),
+        f => pmod(Vectors.hash60(concat(lit("dsir|"), f)),
+          lit(DsirBuckets.toLong))))).as("b"))
+    val ct = feats.filter($"doc_id" % 50 === 0)
+      .groupBy($"b").agg(count(lit(1)).as("ct"))
+    val cr = feats.filter($"doc_id" % 50 =!= 0)
+      .groupBy($"b").agg(count(lit(1)).as("cr"))
+    val tot = ct.agg(sum($"ct").as("t_total"))
+      .crossJoin(cr.agg(sum($"cr").as("r_total")))
+    feats.filter($"doc_id" % 50 =!= 0)
+      .join(broadcast(ct), Seq("b"), "left")
+      .join(broadcast(cr), Seq("b"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_features"),
+        sum(coalesce($"ct", lit(0L))).as("sum_target"),
+        sum(coalesce($"cr", lit(0L))).as("sum_raw"))
+      .crossJoin(broadcast(tot))
+      .select($"doc_id", $"n_features", $"sum_target", $"sum_raw",
+        ($"sum_target" * $"r_total" > $"sum_raw" * $"t_total").as("keep"))
+      .orderBy($"doc_id")
+  }
+
   // ----------------------------------------------------- generator (UDTF)
   /** Token positions via posexplode — the generator/UDTF surface (flatten
     * with ordinality). Row fan-out happens executor-side with no shuffle;
@@ -678,6 +739,27 @@ object TrainingQueries {
          |SELECT rank, pair, pair_count, n_words FROM
          | (SELECT pair, pair_count, n_words,
          |   CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS INT) AS rank FROM p)
-         |WHERE rank <= 20 ORDER BY rank""".stripMargin
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // same hashed-feature space (md5-60 % 256 over unigrams+bigrams) and
+    // the same cross-multiplied keep rule — the whole selection replays
+    "sample_dsir" ->
+      s"""WITH toksv AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |feats AS (SELECT doc_id, unnest(list_distinct(
+         |  [CAST(CONCAT('0x', SUBSTR(md5('dsir|' || f), 1, 15)) AS BIGINT) % 256
+         |   FOR f IN list_concat(t, [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])])) AS b
+         | FROM toksv),
+         |ct AS (SELECT b, COUNT(*) AS ct FROM feats WHERE doc_id % 50 = 0 GROUP BY 1),
+         |cr AS (SELECT b, COUNT(*) AS cr FROM feats WHERE doc_id % 50 <> 0 GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM ct) AS t_total,
+         |               (SELECT CAST(SUM(cr) AS BIGINT) FROM cr) AS r_total),
+         |agg AS (SELECT f.doc_id, COUNT(*) AS n_features,
+         |  CAST(SUM(COALESCE(ct.ct, 0)) AS BIGINT) AS sum_target,
+         |  CAST(SUM(COALESCE(cr.cr, 0)) AS BIGINT) AS sum_raw
+         | FROM feats f LEFT JOIN ct ON f.b = ct.b LEFT JOIN cr ON f.b = cr.b
+         | WHERE f.doc_id % 50 <> 0 GROUP BY 1)
+         |SELECT doc_id, n_features, sum_target, sum_raw,
+         | (sum_target * r_total > sum_raw * t_total) AS keep
+         |FROM agg, tot ORDER BY doc_id""".stripMargin
   )
 }

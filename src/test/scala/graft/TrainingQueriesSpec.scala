@@ -169,6 +169,22 @@ class TrainingQueriesSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("sample_dsir: raw docs only, verdict consistent with the rational rule") {
+    val rows = run("sample_dsir").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 50 != 0), "target-slice doc leaked into output")
+    // internal consistency: every doc has features and bounded sums
+    assert(rows.forall(r => r.getLong(1) > 0 && r.getLong(2) >= 0 && r.getLong(3) >= r.getLong(1)),
+      "sum_raw must count each of the doc's own features at least once")
+    // the rule discriminates at sf0.001 (not all-keep / all-drop)
+    val kept = rows.count(_.getBoolean(4))
+    assert(kept > 0 && kept < rows.length,
+      s"keep verdict degenerate: $kept of ${rows.length}")
+    // deterministic under re-run
+    val again = run("sample_dsir").collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("text_bpe_merges: dense ranks, non-increasing counts, 2-char pairs") {
     val rows = run("text_bpe_merges")
       .select("rank", "pair", "pair_count", "n_words").collect()
