@@ -493,19 +493,19 @@ object TrainingQueries {
             (a, b) => concat_ws(" ", a, b))),
         f => pmod(Vectors.hash60(concat(lit("dsir|"), f)),
           lit(DsirBuckets.toLong))))).as("b"))
-    val ct = feats.filter($"doc_id" % 50 === 0)
-      .groupBy($"b").agg(count(lit(1)).as("ct"))
-    val cr = feats.filter($"doc_id" % 50 =!= 0)
-      .groupBy($"b").agg(count(lit(1)).as("cr"))
-    val tot = ct.agg(sum($"ct").as("t_total"))
-      .crossJoin(cr.agg(sum($"cr").as("r_total")))
+    // both frequency tables in ONE pass over the fan-out (conditional
+    // aggregates), so the corpus is scanned twice total, not three times
+    val freq = feats.groupBy($"b").agg(
+      sum(when($"doc_id" % 50 === 0, 1L).otherwise(0L)).as("ct"),
+      sum(when($"doc_id" % 50 =!= 0, 1L).otherwise(0L)).as("cr"))
+    val tot = freq.agg(sum($"ct").as("t_total"), sum($"cr").as("r_total"))
     feats.filter($"doc_id" % 50 =!= 0)
-      .join(broadcast(ct), Seq("b"), "left")
-      .join(broadcast(cr), Seq("b"), "left")
+      // inner join is exact: a raw doc's bucket always has cr >= 1
+      .join(broadcast(freq), Seq("b"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_features"),
-        sum(coalesce($"ct", lit(0L))).as("sum_target"),
-        sum(coalesce($"cr", lit(0L))).as("sum_raw"))
+        sum($"ct").as("sum_target"),
+        sum($"cr").as("sum_raw"))
       .crossJoin(broadcast(tot))
       .select($"doc_id", $"n_features", $"sum_target", $"sum_raw",
         ($"sum_target" * $"r_total" > $"sum_raw" * $"t_total").as("keep"))
@@ -749,14 +749,16 @@ object TrainingQueries {
          |  [CAST(CONCAT('0x', SUBSTR(md5('dsir|' || f), 1, 15)) AS BIGINT) % 256
          |   FOR f IN list_concat(t, [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])])) AS b
          | FROM toksv),
-         |ct AS (SELECT b, COUNT(*) AS ct FROM feats WHERE doc_id % 50 = 0 GROUP BY 1),
-         |cr AS (SELECT b, COUNT(*) AS cr FROM feats WHERE doc_id % 50 <> 0 GROUP BY 1),
-         |tot AS (SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM ct) AS t_total,
-         |               (SELECT CAST(SUM(cr) AS BIGINT) FROM cr) AS r_total),
+         |freq AS (SELECT b,
+         |  CAST(SUM(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |  CAST(SUM(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cr
+         | FROM feats GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS t_total,
+         |               CAST(SUM(cr) AS BIGINT) AS r_total FROM freq),
          |agg AS (SELECT f.doc_id, COUNT(*) AS n_features,
-         |  CAST(SUM(COALESCE(ct.ct, 0)) AS BIGINT) AS sum_target,
-         |  CAST(SUM(COALESCE(cr.cr, 0)) AS BIGINT) AS sum_raw
-         | FROM feats f LEFT JOIN ct ON f.b = ct.b LEFT JOIN cr ON f.b = cr.b
+         |  CAST(SUM(fr.ct) AS BIGINT) AS sum_target,
+         |  CAST(SUM(fr.cr) AS BIGINT) AS sum_raw
+         | FROM feats f JOIN freq fr ON f.b = fr.b
          | WHERE f.doc_id % 50 <> 0 GROUP BY 1)
          |SELECT doc_id, n_features, sum_target, sum_raw,
          | (sum_target * r_total > sum_raw * t_total) AS keep
