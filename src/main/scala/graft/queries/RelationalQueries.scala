@@ -55,6 +55,8 @@ object RelationalQueries {
     "st_stream_parity" -> stStreamParity,
     "st_stream_dedup" -> stStreamDedup,
     "st_stream_session" -> stStreamSession,
+    "st_stream_enrich" -> stStreamEnrich,
+    "st_stream_join" -> stStreamJoin,
     "s9_catalog_counts" -> s9CatalogCounts,
     "qa_unique_violations" -> qaUniqueViolations,
     "runner_daily_sales" -> runnerDailySales,
@@ -622,6 +624,72 @@ object RelationalQueries {
     s.table(sink).orderBy($"user_id", $"session_start_ms")
   }
 
+  /** STREAMING stream-static enrichment — [[graft.streaming.Streams
+    * .enrichWithDim]] through the REAL engine: the events file-stream
+    * left-joins the customer dimension (re-read and BROADCAST per
+    * micro-batch — zero streaming state, the cheapest join shape on a
+    * stream) and the enriched rows aggregate per market segment in
+    * complete mode. The DuckDB batch replay hash-certifies that the
+    * per-batch broadcast enrichment loses/duplicates nothing across the
+    * drain. Money rides as integer cents (order-free sum). */
+  private val stStreamEnrich: Q = (s, dir) => {
+    import s.implicits._
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val raw = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val dim = s.read.parquet(s"$dir/customer.parquet")
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    val agg = graft.streaming.Streams.enrichWithDim(raw, dim, Seq("user_id"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("total_cents"))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_enrich_ckpt").toString
+    val sink = "st_stream_enrich_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    agg.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    s.table(sink).orderBy($"c_mktsegment")
+  }
+
+  /** STREAMING stream-stream interval join — [[graft.streaming.Streams
+    * .purchaseAttribution]] through the REAL engine: purchases and views
+    * of the same user join within a 1-hour attribution window, both sides
+    * watermarked so the engine can BOUND the buffered state (a view older
+    * than watermark + interval can never match and is evicted — without
+    * the range bounds this join buffers both streams forever; that
+    * eviction contract is the whole 100 TB story). Drained AvailableNow in
+    * append mode, the emitted match set equals the batch interval join,
+    * which the DuckDB replay hash-certifies. */
+  private val stStreamJoin: Q = (s, dir) => {
+    import s.implicits._
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val raw = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events =
+      (if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw)
+        .withColumn("ts", $"ts".cast("timestamp"))
+    val joined = graft.streaming.Streams.purchaseAttribution(events)
+      .select($"user_id", $"purchase_id", $"view_id")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_join_ckpt").toString
+    val sink = "st_stream_join_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    joined.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    s.table(sink).orderBy($"user_id", $"purchase_id", $"view_id")
+  }
+
   /** S9: catalog probes — per-table row counts as one result set
     * (ref: sample_ecom_raw_query_duckdb.py:8-43). */
   private val s9CatalogCounts: Q = (s, dir) => {
@@ -973,6 +1041,23 @@ object RelationalQueries {
         |FROM agg a JOIN lastsid l ON a.user_id = l.user_id, wm
         |WHERE a.sid < l.max_sid OR a.session_end_ms + 1800000 < wm.w
         |ORDER BY a.user_id, a.session_start_ms""".stripMargin,
+
+    // batch replay of the per-micro-batch broadcast enrichment drain
+    "st_stream_enrich" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // batch replay of the stream-stream interval join: with a complete
+    // AvailableNow drain the emitted matches equal the batch join
+    "st_stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view'
+        | AND v.ts > p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     // batch replay of the streaming stateful dedup drain
     "st_stream_dedup" ->
