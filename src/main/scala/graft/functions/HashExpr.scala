@@ -180,6 +180,93 @@ case class MinHashBandKeysExpr(child: Expression, perms: Int, bands: Int)
     copy(child = c)
 }
 
+/** Full MinHash signature (the per-permutation minima as `array<long>`)
+  * from an `array<long>` of shingle hashes — the same universal-hash
+  * family and one-pass min loop as [[MinHashBandKeysExpr]], without the
+  * band formatting. Used where the signature itself is the output (the
+  * estimation-accuracy rung compares signature positions pairwise). */
+case class MinHashSigExpr(child: Expression, perms: Int)
+    extends UnaryExpression {
+  @transient private lazy val (as, bs) = HashSketch.permCoefficients(perms)
+  private val P = HashSketch.MinHashPrime
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  /** Public seam for generated code (nullSafeEval is protected). */
+  def compute(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val ref = ctx.addReferenceObj("minhashSigExpr", this, classOf[MinHashSigExpr].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($x);"
+    })
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val mins = Array.fill(perms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val base = hs.getLong(i) % P
+        var p = 0
+        while (p < perms) {
+          val v = (as(p) * base + bs(p)) % P
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
+    copy(child = c)
+}
+
+/** Count of positions where two `array<long>` columns hold equal values
+  * (up to the shorter length) — the signature-agreement counter for the
+  * MinHash estimation rung. The composable form (`aggregate(zip_with(
+  * ...))`) runs an interpreted lambda per element and breaks the stage
+  * out of whole-stage codegen; this inlines one compiled loop. */
+case class ArrayEqCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "array_eq_count"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int ${ev.value}_c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)
+         |      && $a.getLong($i) == $b.getLong($i)) ${ev.value}_c++;
+         |}
+         |${ev.value} = ${ev.value}_c;""".stripMargin
+    })
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayEqCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Distinct word n-gram shingles from an `array<string>` token column, in
   * one compiled pass.
   *
@@ -424,6 +511,15 @@ object HashExpr {
   def minhashBandKeys(shingleHashes: Column, perms: Int, bands: Int): Column =
     org.apache.spark.sql.GraftExprBridge.column(
       MinHashBandKeysExpr(org.apache.spark.sql.GraftExprBridge.expression(shingleHashes), perms, bands))
+
+  def minhashSig(shingleHashes: Column, perms: Int): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      MinHashSigExpr(org.apache.spark.sql.GraftExprBridge.expression(shingleHashes), perms))
+
+  def arrayEqCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExprBridge.column(
+      ArrayEqCountExpr(org.apache.spark.sql.GraftExprBridge.expression(a),
+        org.apache.spark.sql.GraftExprBridge.expression(b)))
 
   def floatDotWeights(vec: Column, weights: Array[Double]): Column =
     org.apache.spark.sql.GraftExprBridge.column(

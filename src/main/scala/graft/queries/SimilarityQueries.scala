@@ -193,6 +193,7 @@ object SimilarityQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_keep_best" -> dedupKeepBest,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_minhash_estimate" -> dedupMinhashEstimate,
     "dedup_simhash" -> dedupSimhash,
     "dedup_components" -> dedupComponents,
     "dedup_components_lsh" -> dedupComponentsLsh,
@@ -395,6 +396,54 @@ object SimilarityQueries {
   private val dedupMinhashLsh: Q = (s, dir) => {
     import s.implicits._
     minhashVerifiedPairs(s, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** MinHash ESTIMATION-ACCURACY rung — the dedup family's analog of
+    * [[annRecallAtK]]: over every banded candidate pair, the sketch's
+    * similarity estimate against the exact truth, AGGREGATED into the
+    * accuracy profile a reader actually consumes: one row per n_match
+    * level (count of equal signature positions; E[n_match/perms] = true
+    * Jaccard — the Broder identity the whole construction rests on) with
+    * the pair count and the exact summed intersection/union counts, all
+    * integers. sum_inter/sum_union recover the mean true Jaccard per
+    * estimate level, so bias anywhere in the permutation family lands in
+    * the hash compare.
+    *
+    * Scale shape: the per-pair fan-out COLLAPSES into a ≤perms+1-key
+    * aggregate — output constant in corpus size, per-pair work one
+    * zip_with over two 32-long arrays, nothing materialized. The cost
+    * left is the banded candidate join itself, the same one the `_lsh`
+    * dedup keys pay (their saturated-corpus decade envelope applies). */
+  private val dedupMinhashEstimate: Q = (s, dir) => {
+    import s.implicits._
+    val shd = shingled(s, dir)
+    // one feature row per doc (shingles + full signature): a single join
+    // per pair side instead of separate sig/shingle joins
+    val feat = shd.select($"doc_id",
+      graft.functions.HashExpr.minhashSig(
+        Text.shingleHashes($"sh"), Perms).as("sig"), $"sh")
+    val bands = shd.select($"doc_id",
+      explode(Text.minhashBands($"sh", Perms, Bands)).as("band"))
+    val cand = bands.as("a").hint("shuffle_hash")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(feat.select($"doc_id".as("doc_a"), $"sig".as("siga"), $"sh".as("sha")),
+        Seq("doc_a"))
+      .join(feat.select($"doc_id".as("doc_b"), $"sig".as("sigb"), $"sh".as("shb")),
+        Seq("doc_b"))
+      .withColumn("inter", size(array_intersect($"sha", $"shb")))
+      .select(
+        graft.functions.HashExpr.arrayEqCount($"siga", $"sigb").as("n_match"),
+        $"inter".as("n_inter"),
+        (size($"sha") + size($"shb") - $"inter").as("n_union"))
+      .groupBy($"n_match")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"n_inter").as("sum_inter"),
+        sum($"n_union").as("sum_union"))
+      .orderBy($"n_match")
   }
 
   /** INCREMENTAL text dedup — the third member of the incremental
@@ -1633,6 +1682,26 @@ object SimilarityQueries {
       s"""WITH $shinglesCte,
          |$minhashCandCtes
          |$jaccardVerifySql""".stripMargin,
+
+    // positional signature compare aggregated per estimate level:
+    // n_match counts equal minima across the permutations; exact summed
+    // overlap rides alongside as integers
+    "dedup_minhash_estimate" ->
+      s"""WITH $shinglesCte,
+         |$minhashCandCtes,
+         |pair AS (SELECT
+         |  CAST(len([p FOR p IN range(1, ${Perms + 1})
+         |            IF x.sig[p] = y.sig[p]]) AS INT) AS n_match,
+         |  CAST(len(list_intersect(xs.sh, ys.sh)) AS INT) AS n_inter,
+         |  CAST(len(xs.sh) + len(ys.sh)
+         |       - len(list_intersect(xs.sh, ys.sh)) AS INT) AS n_union
+         | FROM cand c
+         | JOIN sig x ON c.doc_a = x.doc_id JOIN sig y ON c.doc_b = y.doc_id
+         | JOIN shd xs ON c.doc_a = xs.doc_id JOIN shd ys ON c.doc_b = ys.doc_id)
+         |SELECT n_match, COUNT(*) AS n_pairs,
+         | CAST(SUM(n_inter) AS BIGINT) AS sum_inter,
+         | CAST(SUM(n_union) AS BIGINT) AS sum_union
+         |FROM pair GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Incremental minhash: one-sided banding — incoming (id >= split)
     // probes the index side's bands (id < split); exact-Jaccard verify;

@@ -31,6 +31,30 @@ class FunctionsSpec extends SparkSpec {
     assert(r(0).isEmpty && r(1).contains(5.0))
   }
 
+  test("minhashSig matches the band-key minima; arrayEqCount counts positions") {
+    import org.apache.spark.sql.functions.{col, lit, array}
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps over the lazy dog")
+      .toDF("text")
+      .select(Text.shingleSet($"text", 3).as("sh"))
+      .select(
+        graft.functions.HashExpr.minhashSig(Text.shingleHashes($"sh"), 32).as("sig"),
+        Text.minhashBands($"sh", 32, 8).as("bands"))
+    val row = df.head()
+    val sig = row.getSeq[Long](0)
+    val bands = row.getSeq[String](1)
+    assert(sig.length == 32)
+    // band b encodes minima 4b..4b+3 as "b:m_m_m_m" — positional parity
+    bands.zipWithIndex.foreach { case (b, i) =>
+      val expected = s"$i:" + sig.slice(4 * i, 4 * i + 4).mkString("_")
+      assert(b == expected, s"band $i diverged from the signature")
+    }
+    val eq = spark.range(1).select(graft.functions.HashExpr.arrayEqCount(
+      array(lit(1L), lit(2L), lit(3L), lit(9L)),
+      array(lit(1L), lit(5L), lit(3L))).as("c")).head().getInt(0)
+    assert(eq == 2, "eq-count over min length with two matches")
+  }
+
   test("text token/fingerprint/shingles") {
     import spark.implicits._
     val df = Seq("  Hello   World hello ").toDF("text")
