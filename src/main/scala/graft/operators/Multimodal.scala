@@ -141,6 +141,64 @@ object Multimodal {
     })
   }
 
+  final case class FrameDeltaRow(media_id: Long, frame_idx: Int,
+      width: Int, height: Int, n_pixels: Long, delta_sum: Long,
+      changed_pixels: Long)
+
+  /** Temporal motion signal per consecutive frame pair — the shot-boundary
+    * / static-clip detector a video training pipeline runs before
+    * sampling: Σ|luma_f − luma_{f−1}| and the changed-pixel count, both
+    * exact integers. A video's frames live INSIDE its row's payload, so
+    * the whole per-media sequential decode (one rolling previous-luma
+    * buffer) happens inside mapPartitions with ZERO shuffle — media
+    * parallelize as rows, payload bytes never leave the executor. A
+    * non-decodable frame drops and resets the buffer (no delta bridges a
+    * gap) — the seam's honest-drop contract. */
+  def frameDeltas(media: Dataset[MediaRow]): Dataset[FrameDeltaRow] = {
+    implicit val enc = Encoders.product[FrameDeltaRow]
+    media.mapPartitions(_.flatMap { m =>
+      aviDemux(m.content).toSeq.flatMap { avi =>
+        val stride = ((3 * avi.width + 3) / 4) * 4
+        var prev: Array[Int] = null
+        avi.frames.zipWithIndex.flatMap { case ((off, len), idx) =>
+          if (len != stride * avi.height ||
+              off + len > m.content.length) { prev = null; None }
+          else {
+            val lum = new Array[Int](avi.width * avi.height)
+            var y = 0
+            while (y < avi.height) {
+              val row = off + (avi.height - 1 - y) * stride
+              var x = 0
+              while (x < avi.width) {
+                val b = m.content(row + 3 * x) & 0xff
+                val g = m.content(row + 3 * x + 1) & 0xff
+                val r = m.content(row + 3 * x + 2) & 0xff
+                lum(y * avi.width + x) = (299 * r + 587 * g + 114 * b) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            val res = if (prev != null) {
+              var ds = 0L
+              var ch = 0L
+              var i = 0
+              while (i < lum.length) {
+                val d = math.abs(lum(i) - prev(i))
+                ds += d
+                if (d != 0) ch += 1
+                i += 1
+              }
+              Some(FrameDeltaRow(m.media_id, idx, avi.width, avi.height,
+                lum.length.toLong, ds, ch))
+            } else None
+            prev = lum
+            res
+          }
+        }
+      }
+    })
+  }
+
   final case class FrameStatsRow(media_id: Long, frame_ms: Long, frame_idx: Int,
       width: Int, height: Int, n_bytes: Int, n_pixels: Long, luma_sum: Long,
       hist_0: Long, hist_1: Long, hist_2: Long, hist_3: Long)

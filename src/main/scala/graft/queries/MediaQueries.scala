@@ -168,6 +168,20 @@ object MediaQueries {
     * DuckDB oracle verify via the planted two-tone closed form. A demux
     * bug (wrong chunk, off-by-one frame index, stride/channel error)
     * shifts exact integers and fails the hash compare. */
+  /** Per-consecutive-frame motion over the planted AVIs — exact integer
+    * Σ|Δluma| + changed-pixel counts from [[graft.operators.Multimodal
+    * .frameDeltas]]; the closed-form two-tone frames make every delta
+    * replayable arithmetic in the oracle. */
+  private val mmVideoMotion: Q = (s, dir) => {
+    import s.implicits._
+    val ids = Tables(s, dir, "documents")
+      .filter($"doc_id" % 3 === 2).select($"doc_id").as[Long]
+    graft.operators.Multimodal.frameDeltas(
+      graft.operators.Multimodal.plantedAvis(ids))
+      .toDF()
+      .orderBy($"media_id", $"frame_idx")
+  }
+
   private val mmVideoFrames: Q = (s, dir) => {
     import s.implicits._
     val ids = Tables(s, dir, "documents")
@@ -207,6 +221,7 @@ object MediaQueries {
     "mm_audio_stats" -> mmAudioStats,
     "mm_ulaw_stats" -> mmUlawStats,
     "mm_video_frames" -> mmVideoFrames,
+    "mm_video_motion" -> mmVideoMotion,
     "mm_resize_stats" -> mmResizeStats
   )
 
@@ -346,6 +361,33 @@ object MediaQueries {
     // pattern with tones ((id·37+f·11)%256, (id·59+f·13)%256,
     // (id·83+f·17)%256); sampling every 100 ms over nFrames·40 ms picks
     // frame ⌊ms/40⌋; n_bytes replays the 4-byte DIB row stride.
+    // consecutive-frame deltas over the same closed-form two-tone frames:
+    // per half, every pixel moves |la(f)-la(f-1)| (resp. lb), so the sums
+    // collapse to per-column counts
+    "mm_video_motion" ->
+      """WITH p AS (SELECT doc_id,
+        |  CAST(doc_id % 6 + 2 AS BIGINT) w, CAST(doc_id % 4 + 2 AS BIGINT) h,
+        |  CAST(doc_id % 5 + 2 AS BIGINT) nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fx AS (SELECT doc_id, w, h, unnest(generate_series(1, nf - 1)) f FROM p),
+        |t AS (SELECT doc_id, w, h, f, w // 2 AS split,
+        |  (299*((doc_id*37 + f*11) % 256) + 587*((doc_id*59 + f*13) % 256)
+        |    + 114*((doc_id*83 + f*17) % 256)) // 1000 AS la1,
+        |  (299*((doc_id*37 + (f-1)*11) % 256) + 587*((doc_id*59 + (f-1)*13) % 256)
+        |    + 114*((doc_id*83 + (f-1)*17) % 256)) // 1000 AS la0,
+        |  (299*(255 - (doc_id*37 + f*11) % 256) + 587*(255 - (doc_id*59 + f*13) % 256)
+        |    + 114*(255 - (doc_id*83 + f*17) % 256)) // 1000 AS lb1,
+        |  (299*(255 - (doc_id*37 + (f-1)*11) % 256) + 587*(255 - (doc_id*59 + (f-1)*13) % 256)
+        |    + 114*(255 - (doc_id*83 + (f-1)*17) % 256)) // 1000 AS lb0
+        |  FROM fx)
+        |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+        | CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        | w * h AS n_pixels,
+        | h * (split * abs(la1 - la0) + (w - split) * abs(lb1 - lb0)) AS delta_sum,
+        | h * (split * (CASE WHEN la1 <> la0 THEN 1 ELSE 0 END)
+        |   + (w - split) * (CASE WHEN lb1 <> lb0 THEN 1 ELSE 0 END)) AS changed_pixels
+        |FROM t ORDER BY media_id, frame_idx""".stripMargin,
+
     "mm_video_frames" ->
       """WITH p AS (SELECT doc_id,
         |  CAST(doc_id % 6 + 2 AS BIGINT) w, CAST(doc_id % 4 + 2 AS BIGINT) h,

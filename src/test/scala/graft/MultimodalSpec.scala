@@ -151,6 +151,28 @@ class MultimodalSpec extends SparkSpec {
     assert(st.n_pixels == 25 && st.luma_sum == 5L * (2 * la + 3 * lb))
   }
 
+  test("frameDeltas: closed-form motion, noise dropped, count = frames-1") {
+    import spark.implicits._
+    val media = Multimodal.plantedAvis(Seq(3L).toDS())
+      .union(Seq(Multimodal.MediaRow(99L, "video", Array[Byte](1, 2, 3))).toDS())
+    val deltas = Multimodal.frameDeltas(media).collect().sortBy(_.frame_idx)
+    // id=3 → w=5,h=5,nFrames=5: 4 consecutive pairs, noise drops
+    assert(deltas.map(_.media_id).distinct.toSeq == Seq(3L))
+    assert(deltas.map(_.frame_idx).toSeq == Seq(1, 2, 3, 4))
+    // frame f tones: A=(3*37+11f, 3*59+13f, 3*83+17f) mod 256, B=complement;
+    // per-pixel motion is |Δluma| per half, h rows x split/rest columns
+    def la(f: Int) = (299 * ((3 * 37 + f * 11) % 256) + 587 * ((3 * 59 + f * 13) % 256) +
+      114 * ((3 * 83 + f * 17) % 256)) / 1000
+    def lb(f: Int) = (299 * (255 - (3 * 37 + f * 11) % 256) + 587 * (255 - (3 * 59 + f * 13) % 256) +
+      114 * (255 - (3 * 83 + f * 17) % 256)) / 1000
+    deltas.foreach { d =>
+      val f = d.frame_idx
+      assert(d.n_pixels == 25)
+      assert(d.delta_sum ==
+        5L * (2 * math.abs(la(f) - la(f - 1)) + 3 * math.abs(lb(f) - lb(f - 1))))
+    }
+  }
+
   test("decoders never throw on corrupted containers — they drop (fuzz)") {
     import spark.implicits._
     // 240 seeded mutations of real containers (AVI/WAV/µ-law/PNG): bit
