@@ -64,6 +64,20 @@ object RelationalQueries {
     "a_approx_distinct" -> aApproxDistinct
   )
 
+
+  /** Streaming file source for a table that is either ONE parquet file
+    * (driver testdata) or a DIRECTORY of part files (generated scale
+    * dirs). The source's basePath must be a directory, so the single-file
+    * shape lists the parent with a leaf-name glob filter and the
+    * directory shape is passed directly. */
+  private def streamTable(s: SparkSession, dir: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new java.io.File(s"$dir/$table.parquet")
+    if (p.isDirectory) s.readStream.schema(schema).parquet(p.getPath)
+    else s.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   /** Row type for the typed-Dataset demonstration. */
   final case class OrderRow(o_custkey: Long, o_orderstatus: String)
 
@@ -523,10 +537,10 @@ object RelationalQueries {
   private val stStreamParity: Q = (s, dir) => {
     import s.implicits._
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema // metadata probe
-    // the file-stream source lists a DIRECTORY; the glob filter pins it to
-    // the events table (driver dirs hold one parquet file per table)
-    val raw = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // the source takes the TABLE path itself, which lists correctly
+    // whether the table is one parquet file (driver dirs) or a directory
+    // of part files (generated scale dirs)
+    val raw = streamTable(s, dir, "events", rawSchema)
     val events =
       if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -561,8 +575,7 @@ object RelationalQueries {
   private val stStreamDedup: Q = (s, dir) => {
     import s.implicits._
     val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
-    val raw = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val raw = streamTable(s, dir, "documents", rawSchema)
     val agg = raw
       .select(Text.fingerprint($"text").as("fingerprint"), $"doc_id")
       .groupBy($"fingerprint")
@@ -596,8 +609,7 @@ object RelationalQueries {
   private val stStreamSession: Q = (s, dir) => {
     import s.implicits._
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val raw = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val raw = streamTable(s, dir, "events", rawSchema)
     val events =
       (if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -635,8 +647,7 @@ object RelationalQueries {
   private val stStreamEnrich: Q = (s, dir) => {
     import s.implicits._
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val raw = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val raw = streamTable(s, dir, "events", rawSchema)
     val dim = s.read.parquet(s"$dir/customer.parquet")
       .select($"c_custkey".as("user_id"), $"c_mktsegment")
     val agg = graft.streaming.Streams.enrichWithDim(raw, dim, Seq("user_id"))
@@ -668,8 +679,7 @@ object RelationalQueries {
   private val stStreamJoin: Q = (s, dir) => {
     import s.implicits._
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val raw = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val raw = streamTable(s, dir, "events", rawSchema)
     val events =
       (if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -142,6 +142,36 @@ class PlanAssertionsSpec extends SparkSpec {
       s"sample_domain_mix: must not cartesian:\n$plan")
   }
 
+  test("heavy hitters: candidate filter is a pushed predicate, aggregate is partial+final") {
+    val plan = planOf("text_heavy_hitters")
+    // the ≤k-candidate recount must filter BEFORE the shuffle (map-side
+    // INSET predicate), so the groupBy exchanges at most k distinct keys
+    assert(plan.contains("Filter tok#") && plan.contains("INSET"),
+      s"candidate INSET filter missing:\n$plan")
+    assert(countOf(plan, "HashAggregate") >= 2,
+      s"recount must be partial (map-side) + final:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"heavy hitters must not join beyond the 1-row broadcast total:\n$plan")
+  }
+
+  test("sample_dsir: frequency table broadcasts, no cartesian beyond 1-row totals") {
+    val plan = planOf("sample_dsir")
+    assert(countOf(plan, "BroadcastHashJoin") >= 1,
+      s"bucket-frequency join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"dsir must not shuffle-join the corpus side:\n$plan")
+  }
+
+  test("minhash estimation rung: histogram aggregate is partial+final, eq-count codegen'd") {
+    val plan = planOf("dedup_minhash_estimate")
+    assert(countOf(plan, "HashAggregate") >= 2,
+      s"estimate histogram must aggregate partial+final:\n$plan")
+    val eqLines = plan.linesIterator.filter(l =>
+      l.contains("array_eq_count(") && !l.contains("FileScan")).toSeq
+    assert(eqLines.nonEmpty && eqLines.forall(_.contains("*(")),
+      s"array_eq_count fell out of whole-stage codegen:\n${eqLines.mkString("\n")}")
+  }
+
   test("sketch expressions keep their projection inside whole-stage codegen") {
     // simhash (inline codegen) and minhash band keys (reference-object
     // dispatch) both must NOT break the surrounding codegen stage.
