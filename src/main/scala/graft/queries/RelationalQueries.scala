@@ -65,6 +65,21 @@ object RelationalQueries {
   )
 
 
+
+  /** Session clone for streaming drains with a BOUNDED state width.
+    * Stateful streaming operators instantiate one state store per
+    * shuffle partition (a stream-stream join holds four), and that
+    * per-store fixed cost dominates a small drain: the interval join
+    * measured 7.0 s at the session default of 32 partitions vs 2.6 s at
+    * 8, identical output. Statefulness width is a deployment knob pinned
+    * by the first checkpoint — size it to stream volume, not core
+    * count; the clone scopes the setting to this query alone. */
+  private def streamSession(s: SparkSession, parts: Int = 8): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s2
+  }
+
   /** Streaming file source for a table that is either ONE parquet file
     * (driver testdata) or a DIRECTORY of part files (generated scale
     * dirs). The source's basePath must be a directory, so the single-file
@@ -534,7 +549,8 @@ object RelationalQueries {
     * behaves identically under the streaming reader). n_users is absent
     * by design: distinct aggregation is unsupported in streaming — the
     * scale path for it is the HLL sketch family (a_hll_merge). */
-  private val stStreamParity: Q = (s, dir) => {
+  private val stStreamParity: Q = (s0, dir) => {
+    val s = streamSession(s0)
     import s.implicits._
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema // metadata probe
     // the source takes the TABLE path itself, which lists correctly
@@ -572,7 +588,8 @@ object RelationalQueries {
     * across the drain. `min(doc_id)` (not `dropDuplicates`' arbitrary
     * first-seen row) makes the keeper deterministic under any partition
     * order, so the hash gate can grade it. */
-  private val stStreamDedup: Q = (s, dir) => {
+  private val stStreamDedup: Q = (s0, dir) => {
+    val s = streamSession(s0)
     import s.implicits._
     val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
     val raw = streamTable(s, dir, "documents", rawSchema)
@@ -606,7 +623,8 @@ object RelationalQueries {
     * probed and pinned in StreamsSpec, and the DuckDB replay encodes the
     * same rule. Money rides as integer cents and times as epoch ms, so
     * every emitted cell is order-free exact (see sessionizeCents). */
-  private val stStreamSession: Q = (s, dir) => {
+  private val stStreamSession: Q = (s0, dir) => {
+    val s = streamSession(s0)
     import s.implicits._
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     val raw = streamTable(s, dir, "events", rawSchema)
@@ -644,7 +662,8 @@ object RelationalQueries {
     * complete mode. The DuckDB batch replay hash-certifies that the
     * per-batch broadcast enrichment loses/duplicates nothing across the
     * drain. Money rides as integer cents (order-free sum). */
-  private val stStreamEnrich: Q = (s, dir) => {
+  private val stStreamEnrich: Q = (s0, dir) => {
+    val s = streamSession(s0)
     import s.implicits._
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     val raw = streamTable(s, dir, "events", rawSchema)
@@ -676,7 +695,8 @@ object RelationalQueries {
     * eviction contract is the whole 100 TB story). Drained AvailableNow in
     * append mode, the emitted match set equals the batch interval join,
     * which the DuckDB replay hash-certifies. */
-  private val stStreamJoin: Q = (s, dir) => {
+  private val stStreamJoin: Q = (s0, dir) => {
+    val s = streamSession(s0)
     import s.implicits._
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     val raw = streamTable(s, dir, "events", rawSchema)
