@@ -46,7 +46,8 @@ object TrainingQueries {
     "text_lm_score" -> textLmScore,
     "train_shard_shuffle" -> trainShardShuffle,
     "text_bpe_merges" -> textBpeMerges,
-    "sample_dsir" -> sampleDsir
+    "sample_dsir" -> sampleDsir,
+    "train_curriculum_order" -> trainCurriculumOrder
   )
 
   // ------------------------------------------------- repetition filtering
@@ -452,6 +453,39 @@ object TrainingQueries {
       .orderBy($"rank")
   }
 
+  // --------------------------------------------- curriculum ordering
+  /** GLOBAL curriculum order without a global sort barrier — the
+    * "schedule easy → hard" ordering a curriculum-training run needs,
+    * built counting-sort style: the quality score (token count) has a
+    * BOUNDED integer domain, so its exact histogram is a tiny aggregate;
+    * the running-total of the histogram gives every score its global
+    * start offset (one window over the SUMMARY, |distinct scores| rows —
+    * never the corpus); and each doc's global position is that broadcast
+    * offset plus its rank WITHIN its score (one shuffle, partitioned by
+    * score — partitions sort independently, nothing funnels through a
+    * single global range). The oracle computes the same ordering the
+    * expensive way — ROW_NUMBER over a true global ORDER BY — so the
+    * hash match IS the proof that the two constructions agree, ties and
+    * all. At 100 TB the histogram stays tiny while a global sort would
+    * range-partition and spill the entire corpus. */
+  private val trainCurriculumOrder: Q = (s, dir) => {
+    import s.implicits._
+    val scored = Tables(s, dir, "documents")
+      .select($"doc_id", Text.tokenCount($"text").as("score"))
+    val hist = scored.groupBy($"score").agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy($"score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist
+      .withColumn("start_pos", coalesce(sum($"c").over(wCum), lit(0L)))
+      .select($"score", $"start_pos")
+    val wIn = Window.partitionBy($"score").orderBy($"doc_id")
+    scored.join(broadcast(offsets), Seq("score"))
+      .withColumn("position",
+        $"start_pos" + row_number().over(wIn).cast("long") - 1L)
+      .select($"position", $"doc_id", $"score")
+      .orderBy($"position")
+  }
+
   // ----------------------------------------- importance resampling (DSIR)
   private val DsirBuckets = 256
 
@@ -762,6 +796,14 @@ object TrainingQueries {
          | WHERE f.doc_id % 50 <> 0 GROUP BY 1)
          |SELECT doc_id, n_features, sum_target, sum_raw,
          | (sum_target * r_total > sum_raw * t_total) AS keep
-         |FROM agg, tot ORDER BY doc_id""".stripMargin
+         |FROM agg, tot ORDER BY doc_id""".stripMargin,
+
+    // the expensive way: ROW_NUMBER over a true global ORDER BY — the
+    // hash match proves the counting-sort construction equals it
+    "train_curriculum_order" ->
+      s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY len($toksSql), doc_id) AS BIGINT) - 1
+         |   AS position,
+         | doc_id, CAST(len($toksSql) AS INT) AS score
+         |FROM documents ORDER BY position""".stripMargin
   )
 }

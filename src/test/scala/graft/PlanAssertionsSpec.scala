@@ -172,6 +172,18 @@ class PlanAssertionsSpec extends SparkSpec {
       s"array_eq_count fell out of whole-stage codegen:\n${eqLines.mkString("\n")}")
   }
 
+  test("curriculum order: no global sort beyond the presentation orderBy") {
+    val plan = planOf("train_curriculum_order")
+    // exactly ONE rangepartitioning exchange — the deterministic
+    // presentation sort every oracle-compared key carries; the operator
+    // itself must counting-sort via hash partitions, never range-sort
+    // the corpus by score
+    assert(countOf(plan, "Exchange rangepartitioning") === 1,
+      s"counting-sort ordering must not range-partition the corpus:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(score"),
+      s"within-score rank must hash-partition by score:\n$plan")
+  }
+
   test("sketch expressions keep their projection inside whole-stage codegen") {
     // simhash (inline codegen) and minhash band keys (reference-object
     // dispatch) both must NOT break the surrounding codegen stage.
