@@ -205,6 +205,7 @@ object SimilarityQueries {
     "ann_ivf" -> annIvf,
     "ann_recall_at_k" -> annRecallAtK,
     "ann_q8_recall" -> annQ8Recall,
+    "ann_matryoshka_recall" -> annMatryoshkaRecall,
     "ann_pq_recall" -> annPqRecall,
     "ann_ivfpq_recall" -> annIvfPqRecall,
     "ann_mp2_recall" -> annMp2Recall,
@@ -979,6 +980,46 @@ object SimilarityQueries {
     * same exact-integer recall contract as [[annRecallAtK]]. All
     * arithmetic (round-half-up, fold order, division tree) is mirrored
     * token-for-token by the DuckDB replay. */
+  /** Matryoshka (truncated-dimension) recall rung — the storage/compute
+    * half-step between full vectors and PQ codes (Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022): score with only
+    * the FIRST d components of each embedding (d = 16 and 32 of 64) and
+    * measure hits@3 against the full-dimension exact truth. A serving
+    * stack uses the truncated prefix for the cheap first pass (4×/2× less
+    * memory bandwidth) and re-ranks survivors at full width; this rung is
+    * the measured recall cost of that truncation on THIS corpus, next to
+    * [[annQ8Recall]] (quantization) and [[annPqRecall]] (codebooks).
+    * Same fenced brute-force measurement class as the other rungs. */
+  private val annMatryoshkaRecall: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.Column
+    fenceBruteForce("ann_matryoshka_recall", s, dir)
+    def top3(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+      scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+        .select($"query_id", $"neighbor_id")
+    }
+    val emb = spread(Tables(s, dir, "embeddings")).select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("fe"))
+    def scored(dim: Option[Int]): DataFrame = {
+      def v(c: Column): Column = dim.map(d => slice(c, 1, d)).getOrElse(c)
+      broadcast(emb.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), v($"fe").as("qv")))
+        .join(emb.select($"vec_id".as("neighbor_id"), v($"fe").as("nv")),
+          $"query_id" =!= $"neighbor_id")
+        .select($"query_id", $"neighbor_id", Vectors.cosine($"qv", $"nv").as("cos"))
+    }
+    val truth = top3(scored(None)).withColumn("hit", lit(1))
+    def hits(d: Int, name: String): DataFrame =
+      top3(scored(Some(d)))
+        .join(truth, Seq("query_id", "neighbor_id"), "left")
+        .groupBy($"query_id")
+        .agg(coalesce(sum($"hit"), lit(0)).cast("int").as(name))
+    hits(16, "hits16_at_3")
+      .join(hits(32, "hits32_at_3"), Seq("query_id"))
+      .orderBy($"query_id")
+  }
+
   private val annQ8Recall: Q = (s, dir) => {
     import s.implicits._
     import org.apache.spark.sql.Column
@@ -1931,6 +1972,34 @@ object SimilarityQueries {
          |FROM mt_top a LEFT JOIN mt_truth t
          |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
          |GROUP BY a.query_id ORDER BY a.query_id""".stripMargin,
+
+    "ann_matryoshka_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) fe FROM embeddings),
+         |t_scored AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
+         |   (SELECT $cosineSql FROM (SELECT q.fe ea, n.fe eb)) cos
+         |  FROM e q JOIN e n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+         |  FROM t_scored) WHERE rank <= 3),
+         |${Seq(16, 32).map { d =>
+            s"""s$d AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
+               |   list_sum([q.fe[i + 1] * n.fe[i + 1] FOR i IN range(0, $d)])
+               |   / (sqrt(list_sum([q.fe[i + 1] * q.fe[i + 1] FOR i IN range(0, $d)]))
+               |      * sqrt(list_sum([n.fe[i + 1] * n.fe[i + 1] FOR i IN range(0, $d)]))) cos
+               |  FROM e q JOIN e n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
+               |a$d AS (SELECT query_id, neighbor_id FROM (
+               |  SELECT query_id, neighbor_id,
+               |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+               |  FROM s$d) WHERE rank <= 3),
+               |h$d AS (SELECT a.query_id,
+               |  CAST(COALESCE(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 END), 0) AS INT) hits${d}_at_3
+               | FROM a$d a LEFT JOIN truth t
+               |   ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+               | GROUP BY a.query_id)""".stripMargin
+          }.mkString(",\n")}
+         |SELECT h16.query_id, h16.hits16_at_3, h32.hits32_at_3
+         |FROM h16 JOIN h32 USING (query_id) ORDER BY query_id""".stripMargin,
 
     "ann_q8_recall" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) fe FROM embeddings),
