@@ -67,9 +67,12 @@ case class MisraGriesAgg(
         case None =>
           // classic MG step: a miss with a full table decrements every
           // counter; zeros free their slots. Amortized O(1): each
-          // decrement pass cancels k+1 prior increments.
+          // decrement pass cancels k+1 prior increments. Mutating a
+          // mutable.HashMap while iterating it is undefined by the
+          // collection contract (even value-only updates), so snapshot
+          // the entries first.
           val dead = mutable.ArrayBuffer.empty[String]
-          buffer.iterator.foreach { case (kk, c) =>
+          buffer.toArray.foreach { case (kk, c) =>
             if (c == 1L) dead += kk else buffer.update(kk, c - 1L)
           }
           dead.foreach(buffer.remove)
@@ -90,7 +93,7 @@ case class MisraGriesAgg(
       java.util.Arrays.sort(counts)
       val threshold = counts(counts.length - (k + 1))
       val dead = mutable.ArrayBuffer.empty[String]
-      buffer.iterator.foreach { case (kk, c) =>
+      buffer.toArray.foreach { case (kk, c) =>
         if (c - threshold <= 0L) dead += kk else buffer.update(kk, c - threshold)
       }
       dead.foreach(buffer.remove)

@@ -158,16 +158,20 @@ object Multimodal {
     implicit val enc = Encoders.product[FrameDeltaRow]
     media.mapPartitions(_.flatMap { m =>
       aviDemux(m.content).toSeq.flatMap { avi =>
-        val stride = ((3 * avi.width + 3) / 4) * 4
+        // Long arithmetic: corrupt strf dims must not wrap Int and slip
+        // past the length guard (after it holds, w·h ≤ len/3 < 2^31)
+        val stride = ((3L * avi.width + 3) / 4) * 4
         var prev: Array[Int] = null
         avi.frames.zipWithIndex.flatMap { case ((off, len), idx) =>
-          if (len != stride * avi.height ||
-              off + len > m.content.length) { prev = null; None }
-          else {
+          if (avi.height <= 0 || stride * avi.height != len ||
+              off < 0 || off.toLong + len > m.content.length) {
+            prev = null; None
+          } else {
+            val strideI = stride.toInt // fits: stride * height == len (Int)
             val lum = new Array[Int](avi.width * avi.height)
             var y = 0
             while (y < avi.height) {
-              val row = off + (avi.height - 1 - y) * stride
+              val row = off + (avi.height - 1 - y) * strideI
               var x = 0
               while (x < avi.width) {
                 val b = m.content(row + 3 * x) & 0xff

@@ -157,17 +157,6 @@ object MediaQueries {
       .orderBy($"media_id")
   }
 
-  /** REAL video decode end to end — the third modality closing the suite's
-    * last stub payload (VERDICT r7 #6): plant uncompressed BI_RGB AVIs
-    * (shape/frame-count/tones from doc_id,
-    * [[graft.operators.Multimodal.plantedAvis]]), demux the actual `movi`
-    * frame chunks at a 100 ms sampling grid
-    * ([[graft.operators.Multimodal.sampleFrames]]), decode each frame's
-    * bottom-up BGR pixels to integer luma stats
-    * ([[graft.operators.Multimodal.frameStats]]), and let the codec-less
-    * DuckDB oracle verify via the planted two-tone closed form. A demux
-    * bug (wrong chunk, off-by-one frame index, stride/channel error)
-    * shifts exact integers and fails the hash compare. */
   /** Per-consecutive-frame motion over the planted AVIs — exact integer
     * Σ|Δluma| + changed-pixel counts from [[graft.operators.Multimodal
     * .frameDeltas]]; the closed-form two-tone frames make every delta
@@ -182,6 +171,17 @@ object MediaQueries {
       .orderBy($"media_id", $"frame_idx")
   }
 
+  /** REAL video decode end to end — the third modality closing the suite's
+    * last stub payload (VERDICT r7 #6): plant uncompressed BI_RGB AVIs
+    * (shape/frame-count/tones from doc_id,
+    * [[graft.operators.Multimodal.plantedAvis]]), demux the actual `movi`
+    * frame chunks at a 100 ms sampling grid
+    * ([[graft.operators.Multimodal.sampleFrames]]), decode each frame's
+    * bottom-up BGR pixels to integer luma stats
+    * ([[graft.operators.Multimodal.frameStats]]), and let the codec-less
+    * DuckDB oracle verify via the planted two-tone closed form. A demux
+    * bug (wrong chunk, off-by-one frame index, stride/channel error)
+    * shifts exact integers and fails the hash compare. */
   private val mmVideoFrames: Q = (s, dir) => {
     import s.implicits._
     val ids = Tables(s, dir, "documents")

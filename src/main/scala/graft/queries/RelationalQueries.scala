@@ -536,6 +536,36 @@ object RelationalQueries {
       .orderBy($"day")
   }
 
+
+  /** The events table as a TIMESTAMP-typed stream: legacy nanos-as-long
+    * converts to micros, and NTZ parquet reads cast to the instant-bearing
+    * type watermarks require (UTC session: same instant). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val raw = streamTable(s, dir, "events", rawSchema)
+    val withTs =
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    withTs.withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  /** Drain a streaming DataFrame with `Trigger.AvailableNow` into a
+    * uniquely-named memory sink and return the sink table. The fresh name
+    * per invocation keeps warm-up passes from stacking append-mode rows. */
+  private def drainToTable(s: SparkSession, df: DataFrame, prefix: String,
+      mode: String): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory(prefix + "_ckpt").toString
+    val sink = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    df.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    s.table(sink)
+  }
+
   /** STREAMING parity — the one st_* key that runs the ACTUAL streaming
     * engine, not the batch analog: events are consumed through a
     * file-stream source with `Trigger.AvailableNow` (the reference's
@@ -552,29 +582,12 @@ object RelationalQueries {
   private val stStreamParity: Q = (s0, dir) => {
     val s = streamSession(s0)
     import s.implicits._
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema // metadata probe
-    // the source takes the TABLE path itself, which lists correctly
-    // whether the table is one parquet file (driver dirs) or a directory
-    // of part files (generated scale dirs)
-    val raw = streamTable(s, dir, "events", rawSchema)
-    val events =
-      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
-    val agg = events
+    val agg = eventsStream(s, dir)
       .groupBy(window($"ts", "1 day").as("w"))
       .agg(count(lit(1)).as("n_events"), moneySum($"value").as("total_value"))
       .select($"w.start".cast("timestamp_ntz").as("day"),
         $"n_events", $"total_value")
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_parity_ckpt").toString
-    agg.writeStream.format("memory").queryName("st_stream_parity_sink")
-      .option("checkpointLocation", ckpt)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-    s.table("st_stream_parity_sink").orderBy($"day")
+    drainToTable(s, agg, "st_stream_parity", "complete").orderBy($"day")
   }
 
   /** STREAMING stateful dedup — the second real-streaming key: documents
@@ -592,20 +605,11 @@ object RelationalQueries {
     val s = streamSession(s0)
     import s.implicits._
     val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
-    val raw = streamTable(s, dir, "documents", rawSchema)
-    val agg = raw
+    val agg = streamTable(s, dir, "documents", rawSchema)
       .select(Text.fingerprint($"text").as("fingerprint"), $"doc_id")
       .groupBy($"fingerprint")
       .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keeper"))
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_dedup_ckpt").toString
-    agg.writeStream.format("memory").queryName("st_stream_dedup_sink")
-      .option("checkpointLocation", ckpt)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-    s.table("st_stream_dedup_sink").orderBy($"keeper")
+    drainToTable(s, agg, "st_stream_dedup", "complete").orderBy($"keeper")
   }
 
   /** STREAMING stateful sessionization — the third real-streaming key, and
@@ -626,32 +630,14 @@ object RelationalQueries {
   private val stStreamSession: Q = (s0, dir) => {
     val s = streamSession(s0)
     import s.implicits._
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val raw = streamTable(s, dir, "events", rawSchema)
-    val events =
-      (if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw)
-      // NTZ parquet reads cast to TIMESTAMP (UTC session: same instant) —
-      // watermarks require the instant-bearing type
-      .select($"ts".cast("timestamp").as("ts"), $"user_id",
+    val events = eventsStream(s, dir)
+      .select($"ts", $"user_id",
         expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
       .as[graft.streaming.Streams.EventC]
     val sess = graft.streaming.Streams.sessionizeCents(events,
       gapMs = 30 * 60 * 1000L, latenessMs = 60 * 60 * 1000L)
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_session_ckpt").toString
-    // per-invocation sink name: append-mode memory tables accumulate per
-    // query; a fresh name per run keeps warm-up passes from stacking rows
-    val sink = "st_stream_session_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    sess.writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-    s.table(sink).orderBy($"user_id", $"session_start_ms")
+    drainToTable(s, sess.toDF(), "st_stream_session", "append")
+      .orderBy($"user_id", $"session_start_ms")
   }
 
   /** STREAMING stream-static enrichment — [[graft.streaming.Streams
@@ -665,25 +651,14 @@ object RelationalQueries {
   private val stStreamEnrich: Q = (s0, dir) => {
     val s = streamSession(s0)
     import s.implicits._
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val raw = streamTable(s, dir, "events", rawSchema)
     val dim = s.read.parquet(s"$dir/customer.parquet")
       .select($"c_custkey".as("user_id"), $"c_mktsegment")
-    val agg = graft.streaming.Streams.enrichWithDim(raw, dim, Seq("user_id"))
+    val agg = graft.streaming.Streams
+      .enrichWithDim(eventsStream(s, dir), dim, Seq("user_id"))
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_events"),
         sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("total_cents"))
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_enrich_ckpt").toString
-    val sink = "st_stream_enrich_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    agg.writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckpt)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-    s.table(sink).orderBy($"c_mktsegment")
+    drainToTable(s, agg, "st_stream_enrich", "complete").orderBy($"c_mktsegment")
   }
 
   /** STREAMING stream-stream interval join — [[graft.streaming.Streams
@@ -698,26 +673,11 @@ object RelationalQueries {
   private val stStreamJoin: Q = (s0, dir) => {
     val s = streamSession(s0)
     import s.implicits._
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val raw = streamTable(s, dir, "events", rawSchema)
-    val events =
-      (if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw)
-        .withColumn("ts", $"ts".cast("timestamp"))
-    val joined = graft.streaming.Streams.purchaseAttribution(events)
+    val joined = graft.streaming.Streams
+      .purchaseAttribution(eventsStream(s, dir))
       .select($"user_id", $"purchase_id", $"view_id")
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_join_ckpt").toString
-    val sink = "st_stream_join_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    joined.writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-    s.table(sink).orderBy($"user_id", $"purchase_id", $"view_id")
+    drainToTable(s, joined, "st_stream_join", "append")
+      .orderBy($"user_id", $"purchase_id", $"view_id")
   }
 
   /** S9: catalog probes — per-table row counts as one result set

@@ -55,15 +55,17 @@ object TextQueries {
     import s.implicits._
     val toks = Tables(s, dir, "documents")
       .select(explode(Text.tokens(Text.normalized($"text"))).as("tok"))
-    val cand = toks
-      .agg(graft.functions.SketchAgg.misraGries($"tok", HhK).as("cand"))
-      .head().getSeq[String](0)
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    // n_total rides the sketch pass (one extra counter in the same
+    // aggregate), so the corpus is scanned exactly twice
+    val first = toks.agg(
+      graft.functions.SketchAgg.misraGries($"tok", HhK).as("cand"),
+      count(lit(1)).as("n_total")).head()
+    val cand = first.getSeq[String](0)
+    val nTotal = first.getLong(1)
     toks.filter($"tok".isin(cand: _*))
       .groupBy($"tok").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
-      .filter($"cnt" * lit(HhK.toLong) > $"n_total")
-      .select($"tok".as("token"), $"cnt", $"n_total")
+      .filter($"cnt" * lit(HhK.toLong) > nTotal)
+      .select($"tok".as("token"), $"cnt", lit(nTotal).as("n_total"))
       .orderBy($"token")
   }
 

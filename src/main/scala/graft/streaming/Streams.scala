@@ -66,13 +66,25 @@ object Streams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t),
-                    s.n + 1, s.total + e.value))
-                case Some(s) =>
+                // within gap of the open session's SPAN — including an
+                // admitted straggler earlier than its start, which must
+                // widen the session, not ride a vacuously-true `t - end`
+                case Some(s) if t - s.end <= gapMs && t >= s.start - gapMs =>
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.end, t), s.n + 1, s.total + e.value))
+                // more than a gap AFTER the session: close it, open next
+                case Some(s) if t > s.end =>
                   closed ::= Session(userId, new java.sql.Timestamp(s.start),
                     new java.sql.Timestamp(s.end), s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
+                // more than a gap BEFORE the session (cross-batch
+                // straggler): it can never merge with anything later —
+                // in-batch events are sorted ascending and future batches
+                // sit at/after the watermark — so it closes immediately
+                // as its own singleton session
+                case Some(_) =>
+                  closed ::= Session(userId, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), 1, e.value)
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }
@@ -131,12 +143,18 @@ object Streams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionStateC(s.start, math.max(s.end, t),
-                    s.n + 1, s.cents + e.cents))
-                case Some(s) =>
+                // same three-way branch as [[sessionize]]: widen on
+                // within-gap (either side of the span), close-and-open on
+                // after-gap, emit a singleton for an admitted straggler
+                // more than a gap BEFORE the open session
+                case Some(s) if t - s.end <= gapMs && t >= s.start - gapMs =>
+                  cur = Some(SessionStateC(math.min(s.start, t),
+                    math.max(s.end, t), s.n + 1, s.cents + e.cents))
+                case Some(s) if t > s.end =>
                   closed ::= SessionC(userId, s.start, s.end, s.n, s.cents)
                   cur = Some(SessionStateC(t, t, 1, e.cents))
+                case Some(_) =>
+                  closed ::= SessionC(userId, t, t, 1, e.cents)
                 case None =>
                   cur = Some(SessionStateC(t, t, 1, e.cents))
               }

@@ -205,6 +205,7 @@ class MultimodalSpec extends SparkSpec {
     // none of these pipelines may throw; counts just force full evaluation
     val frames = Multimodal.sampleFrames(ds, 100)
     assert(Multimodal.frameStats(frames).count() <= frames.count())
+    Multimodal.frameDeltas(ds).count()
     Multimodal.audioStats(ds).count()
     Multimodal.pixelStats(ds).count()
     Multimodal.resizeImages(ds, 4, 4).count()

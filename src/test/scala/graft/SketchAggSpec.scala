@@ -51,9 +51,27 @@ class SketchAggSpec extends SparkSpec {
     assert(base.map(r => r.head.toString -> r(1).asInstanceOf[Long]).toMap == truth)
   }
 
-  test("merge keeps at most k counters and never over-counts") {
-    val data = (0 until 500).map(i => s"v${i % 40}") // 40 distinct, k=8
+  test("merge keeps at most k counters; two-pass verify yields the exact " +
+      "heavy-hitter set even when candidates churn") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // skewed 40-distinct stream with k=8: only v0 exceeds n/k; the sketch
+    // must track it through merges, and the exact recount must reject
+    // every over-counted extra candidate
+    val data = Seq.fill(200)("v0") ++ (0 until 390).map(i => s"v${1 + i % 39}")
+    val n = data.size
     val cand = candidates(data, k = 8, parts = 16)
     assert(cand.size <= 8)
+    assert(cand.contains("v0"), "the one true heavy hitter must survive")
+    // two-pass verify = exact recount of candidates + threshold filter:
+    // the result must equal the exact heavy-hitter set, whatever extra
+    // candidates the sketch carried
+    val df = data.toDF("v").repartition(16)
+    val verified = df.filter(col("v").isin(cand: _*))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 8 > n)
+      .as[(String, Long)].collect().toMap
+    assert(verified == Map("v0" -> 200L),
+      s"exact recount must reject sketch over-counts: $verified")
   }
 }

@@ -65,6 +65,44 @@ class StreamsSpec extends SparkSpec {
     assert(got.contains((7L, ts("2024-01-01 12:00:00"), 1L, 5.0)))
   }
 
+  test("sessionizeCents cross-batch stragglers: before-gap event is its own " +
+      "session, within-gap event widens the span (never a vacuous merge)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.EventC
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventC]
+    val q = Streams.sessionizeCents(in.toDS(), gapMs = 30 * 60 * 1000L,
+      latenessMs = 60 * 60 * 1000L).writeStream
+      .format("memory").queryName("sess_straggler")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    // batch 1 opens sessions at 12:00; watermark advances to 11:00
+    in.addData(EventC(ts("2024-01-01 12:00:00"), 7, 100),
+      EventC(ts("2024-01-01 12:00:00"), 9, 900))
+    q.processAllAvailable()
+    // batch 2 delivers admitted stragglers: u7 @11:15 is >30min BEFORE the
+    // open session (must close as its own singleton, NOT merge via the
+    // vacuously-true t-end<=gap), u9 @11:50 is within gap (must WIDEN)
+    in.addData(EventC(ts("2024-01-01 11:15:00"), 7, 5),
+      EventC(ts("2024-01-01 11:50:00"), 9, 50))
+    q.processAllAvailable()
+    // push the watermark far enough to time out the open sessions
+    in.addData(EventC(ts("2024-01-01 18:00:00"), 8, 0))
+    q.processAllAvailable()
+    in.addData(EventC(ts("2024-01-01 19:00:00"), 8, 0))
+    q.processAllAvailable()
+    val got = spark.table("sess_straggler").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    q.stop()
+    def ms(s: String) = ts(s).getTime
+    assert(got.contains((7L, ms("2024-01-01 11:15:00"), ms("2024-01-01 11:15:00"), 1L, 5L)),
+      s"straggler before the gap must close as its own session: $got")
+    assert(got.contains((7L, ms("2024-01-01 12:00:00"), ms("2024-01-01 12:00:00"), 1L, 100L)),
+      s"the open session must stay unmerged: $got")
+    assert(got.contains((9L, ms("2024-01-01 11:50:00"), ms("2024-01-01 12:00:00"), 2L, 950L)),
+      s"within-gap straggler must widen the session span: $got")
+  }
+
   test("sessionizeCents AvailableNow drain: emission boundary is STRICT " +
       "(timeout == final watermark does not fire)") {
     import spark.implicits._
