@@ -24,7 +24,8 @@ object TextQueries {
     "dedup_exact" -> dedupExact,
     "text_df_stats" -> textDfStats,
     "pipeline_doc_filter" -> pipelineDocFilter,
-    "text_heavy_hitters" -> textHeavyHitters
+    "text_heavy_hitters" -> textHeavyHitters,
+    "text_langid_trained" -> textLangidTrained
   )
 
   /** Heavy-hitter capacity: emitted tokens have frequency > n/HhK. */
@@ -136,6 +137,50 @@ object TextQueries {
         $"doc_id",
         Text.fingerprint($"text").as("fingerprint"),
         Text.rollingHash($"text").as("rolling_hash"))
+      .orderBy($"doc_id")
+  }
+
+  /** TRAINED language ID — the Cavnar–Trenkle-style character-n-gram
+    * profile classifier next to the fixed marker-word heuristic
+    * ([[textLangId]]): char-trigram frequency profiles are trained on the
+    * labeled held-out slice (doc_id % 50 = 0, the same slice every
+    * trained key uses), broadcast, and each remaining doc is scored per
+    * language by the summed profile counts of its distinct trigrams —
+    * argmax with a fixed language tie order. Scores stay exact integers
+    * (counts, no tf-idf floats), so the whole train→score→argmax loop
+    * replays in DuckDB. Plan: one tiny profile aggregate (bounded by the
+    * trigram domain) broadcast to a map-side join; the corpus side pays
+    * one trigram fan-out + one doc-grain shuffle —
+    * `TrainingQueries.textLmScore`'s shape over characters instead of
+    * words.
+    *
+    * Measured accuracy is volume-dependent by nature (the synthetic
+    * corpus draws all languages from one shared vocabulary): ~10 train
+    * docs/lang at sf0.001 is noise-dominated (0.16), 500/lang at sf0.1
+    * reaches 0.41 vs the 0.25 four-way chance floor — the honest "how
+    * much labeled data does the profile need" curve. */
+  private val textLangidTrained: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val grams = docs
+      .withColumn("norm", Text.normalized($"text"))
+      .select($"doc_id", $"lang", explode(array_distinct(expr(
+        "transform(sequence(1, greatest(length(norm) - 2, 1))," +
+          " i -> substring(norm, i, 3))"))).as("tg"))
+    val prof = grams.filter($"doc_id" % 50 === 0)
+      .groupBy($"lang".as("plang"), $"tg").agg(count(lit(1)).as("pc"))
+    val scores = grams.filter($"doc_id" % 50 =!= 0)
+      .join(broadcast(prof), Seq("tg"))
+      .groupBy($"doc_id", $"plang").agg(sum($"pc").as("score"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"plang")
+    val pred = scores.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"doc_id", $"plang", $"score")
+    docs.filter($"doc_id" % 50 =!= 0).select($"doc_id", $"lang")
+      .join(pred, Seq("doc_id"), "left")
+      .withColumn("predicted_lang", coalesce($"plang", lit("unknown")))
+      .select($"doc_id", $"lang", $"predicted_lang",
+        coalesce($"score", lit(0L)).as("best_score"),
+        ($"lang" === $"predicted_lang").as("correct"))
       .orderBy($"doc_id")
   }
 
@@ -262,6 +307,28 @@ object TextQueries {
          |  ROW_NUMBER() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) AS rn
          | FROM documents) WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+
+    // trained profiles, scoring, and argmax all replay as exact integers
+    "text_langid_trained" ->
+      raw"""WITH nd AS (SELECT doc_id, lang,
+           |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm FROM documents),
+           |g AS (SELECT doc_id, lang, unnest(list_distinct(
+           |  [substr(norm, i, 3) FOR i IN range(1, greatest(length(norm) - 2, 1) + 1)])) AS tg
+           | FROM nd),
+           |prof AS (SELECT lang AS plang, tg, COUNT(*) AS pc
+           | FROM g WHERE doc_id % 50 = 0 GROUP BY 1, 2),
+           |sc AS (SELECT g.doc_id, p.plang, CAST(SUM(p.pc) AS BIGINT) AS score
+           | FROM g JOIN prof p USING (tg) WHERE g.doc_id % 50 <> 0 GROUP BY 1, 2),
+           |pred AS (SELECT doc_id, plang, score FROM (
+           |  SELECT doc_id, plang, score,
+           |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) rn
+           |  FROM sc) WHERE rn = 1)
+           |SELECT d.doc_id, d.lang,
+           | COALESCE(p.plang, 'unknown') AS predicted_lang,
+           | CAST(COALESCE(p.score, 0) AS BIGINT) AS best_score,
+           | d.lang = COALESCE(p.plang, 'unknown') AS correct
+           |FROM documents d LEFT JOIN pred p USING (doc_id)
+           |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin,
 
     // exact ground truth: the sketch's two-pass output IS the exact
     // heavy-hitter set, so the oracle needs no sketch — just the HAVING

@@ -47,7 +47,8 @@ object TrainingQueries {
     "train_shard_shuffle" -> trainShardShuffle,
     "text_bpe_merges" -> textBpeMerges,
     "sample_dsir" -> sampleDsir,
-    "train_curriculum_order" -> trainCurriculumOrder
+    "train_curriculum_order" -> trainCurriculumOrder,
+    "qa_drift_psi" -> qaDriftPsi
   )
 
   // ------------------------------------------------- repetition filtering
@@ -453,6 +454,39 @@ object TrainingQueries {
       .orderBy($"rank")
   }
 
+  // ------------------------------------------------- distribution drift
+  private val DriftBins = 16
+
+  /** Batch-over-batch distribution drift monitor — the PSI-style check a
+    * daily-ingest pipeline runs before accepting a new batch into the
+    * training mix: bucket a per-doc signal (token count, 16 fixed-width
+    * bins) for the OLD cohort vs the NEW (doc_id parity stands in for
+    * consecutive ingest batches), and flag bins whose share moved by more
+    * than 2 percentage points. The flag is the cross-multiplied rational
+    * compare |n_new·N_old − n_old·N_new|·50 > N_old·N_new — exact
+    * integers end to end, no float proportions (the [[sampleDsir]] /
+    * [[textLmScore]] trade). ONE conditional-aggregate pass over the
+    * corpus produces both cohorts' histograms; everything after runs on
+    * [[DriftBins]] rows. The real PSI's Σ(p−q)·ln(p/q) needs libm — the
+    * bin shares to compute it ride along as exact integers for any
+    * downstream that wants the float. */
+  private val qaDriftPsi: Q = (s, dir) => {
+    import s.implicits._
+    val binned = Tables(s, dir, "documents")
+      .select(($"doc_id" % 2 === 0).as("is_old"),
+        least(Text.tokenCount($"text") / 16, lit(DriftBins - 1))
+          .cast("int").as("bin"))
+    val hist = binned.groupBy($"bin").agg(
+      sum(when($"is_old", 1L).otherwise(0L)).as("n_old"),
+      sum(when(!$"is_old", 1L).otherwise(0L)).as("n_new"))
+    val tot = hist.agg(sum($"n_old").as("t_old"), sum($"n_new").as("t_new"))
+    hist.crossJoin(broadcast(tot))
+      .select($"bin", $"n_old", $"n_new",
+        (abs($"n_new" * $"t_old" - $"n_old" * $"t_new") * 50 >
+          $"t_old" * $"t_new").as("drifted"))
+      .orderBy($"bin")
+  }
+
   // --------------------------------------------- curriculum ordering
   /** GLOBAL curriculum order without a global sort barrier — the
     * "schedule easy → hard" ordering a curriculum-training run needs,
@@ -804,6 +838,20 @@ object TrainingQueries {
       s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY len($toksSql), doc_id) AS BIGINT) - 1
          |   AS position,
          | doc_id, CAST(len($toksSql) AS INT) AS score
-         |FROM documents ORDER BY position""".stripMargin
+         |FROM documents ORDER BY position""".stripMargin,
+
+    // same fixed-width binning and the same cross-multiplied 2pp flag
+    "qa_drift_psi" ->
+      s"""WITH b AS (SELECT doc_id % 2 = 0 AS is_old,
+         |  CAST(LEAST(len($toksSql) // 16, 15) AS INT) AS bin FROM documents),
+         |h AS (SELECT bin,
+         |  CAST(SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         |  CAST(SUM(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+         | FROM b GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_old) AS BIGINT) t_old,
+         |             CAST(SUM(n_new) AS BIGINT) t_new FROM h)
+         |SELECT bin, n_old, n_new,
+         | (abs(n_new * t_old - n_old * t_new) * 50 > t_old * t_new) AS drifted
+         |FROM h, t ORDER BY bin""".stripMargin
   )
 }
