@@ -48,7 +48,8 @@ object TrainingQueries {
     "text_bpe_merges" -> textBpeMerges,
     "sample_dsir" -> sampleDsir,
     "train_curriculum_order" -> trainCurriculumOrder,
-    "qa_drift_psi" -> qaDriftPsi
+    "qa_drift_psi" -> qaDriftPsi,
+    "text_bpe_apply" -> textBpeApply
   )
 
   // ------------------------------------------------- repetition filtering
@@ -580,6 +581,40 @@ object TrainingQueries {
       .orderBy($"doc_id")
   }
 
+  // --------------------------------------------------- BPE merge apply
+  /** Apply the WINNING first-round BPE merge ([[textBpeMerges]]'s rank-1
+    * pair) across the vocabulary — the other half of the tokenizer-train
+    * loop: for every word containing the pair, the non-overlapping
+    * leftmost occurrence count (literal `replace` semantics, identical in
+    * the JVM and DuckDB) and the unit count before/after the merge. Real
+    * BPE iterates merge→recount; one full round is the honest distributed
+    * slice, and its plan IS the iteration's: corpus-sized work is the one
+    * word-count aggregate, the winner is a broadcast 1-row relation, and
+    * application maps over the VOCABULARY (token-domain-bounded, not
+    * corpus-bounded). */
+  private val textBpeApply: Q = (s, dir) => {
+    import s.implicits._
+    val words = Tables(s, dir, "documents")
+      .select(explode(Text.tokens(Text.normalized($"text"))).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("wc"))
+      .filter(length($"word") >= 2)
+    val pairs = words
+      .select($"word", $"wc", explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy($"pair").agg(sum($"wc").as("pair_count"))
+    val top = pairs.orderBy($"pair_count".desc, $"pair").limit(1)
+      .select($"pair", $"pair_count")
+    words.crossJoin(broadcast(top))
+      .withColumn("n_occ",
+        expr("(length(word) - length(replace(word, pair, ''))) div 2").cast("int"))
+      .filter($"n_occ" > 0)
+      .select($"word", $"wc", $"pair", $"n_occ",
+        length($"word").as("n_units_before"),
+        (length($"word") - $"n_occ").as("n_units_after"))
+      .orderBy($"word")
+  }
+
   // ----------------------------------------------------- generator (UDTF)
   /** Token positions via posexplode — the generator/UDTF surface (flatten
     * with ordinality). Row fan-out happens executor-side with no shuffle;
@@ -852,6 +887,26 @@ object TrainingQueries {
          |             CAST(SUM(n_new) AS BIGINT) t_new FROM h)
          |SELECT bin, n_old, n_new,
          | (abs(n_new * t_old - n_old * t_new) * 50 > t_old * t_new) AS drifted
-         |FROM h, t ORDER BY bin""".stripMargin
+         |FROM h, t ORDER BY bin""".stripMargin,
+
+    // literal replace has identical leftmost non-overlapping semantics in
+    // both engines, so the applied merge replays exactly
+    "text_bpe_apply" ->
+      s"""WITH w AS (SELECT word, COUNT(*) AS wc FROM
+         |  (SELECT unnest($toksSql) AS word FROM documents) GROUP BY 1),
+         |w2 AS (SELECT * FROM w WHERE length(word) >= 2),
+         |p AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+         | FROM (SELECT word, wc, unnest([substr(word, i, 2) FOR i IN range(1, length(word))]) AS pair
+         |       FROM w2)
+         | GROUP BY 1),
+         |top1 AS (SELECT pair FROM p ORDER BY pair_count DESC, pair LIMIT 1)
+         |SELECT w2.word, w2.wc, t.pair,
+         | CAST((length(w2.word) - length(replace(w2.word, t.pair, ''))) // 2 AS INT) AS n_occ,
+         | CAST(length(w2.word) AS INT) AS n_units_before,
+         | CAST(length(w2.word)
+         |   - (length(w2.word) - length(replace(w2.word, t.pair, ''))) // 2 AS INT) AS n_units_after
+         |FROM w2, top1 t
+         |WHERE (length(w2.word) - length(replace(w2.word, t.pair, ''))) // 2 > 0
+         |ORDER BY word""".stripMargin
   )
 }

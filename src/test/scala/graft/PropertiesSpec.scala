@@ -54,6 +54,38 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("MisraGries property: for random skewed streams and any partition " +
+      "count, the two-pass verified set equals the exact heavy hitters") {
+    import graft.functions.SketchAgg
+    // 20 seeded trials: random Zipf-ish streams, random k, random
+    // partitioning — the superset guarantee must make the verified
+    // two-pass result EXACT every time
+    for (trial <- 1 to 20) {
+      val k = 4 + rnd.nextInt(12)
+      val nVals = 5 + rnd.nextInt(60)
+      val data = (0 until 400 + rnd.nextInt(400)).map { _ =>
+        // skew: low ids exponentially more likely
+        val v = math.min((-math.log(rnd.nextDouble()) * 4).toInt, nVals - 1)
+        s"v$v"
+      }
+      val n = data.size
+      val parts = 1 + rnd.nextInt(24)
+      val df = spark.createDataFrame(data.map(Tuple1(_))).toDF("v")
+        .repartition(parts)
+      val cand = df.agg(SketchAgg.misraGries(col("v"), k).as("c"))
+        .head().getSeq[String](0)
+      assert(cand.size <= k, s"trial $trial: summary exceeded k=$k")
+      val verified = df.filter(col("v").isin(cand: _*))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * k > n)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = data.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * k > n }.toMap
+      assert(verified === exact,
+        s"trial $trial (k=$k, parts=$parts, n=$n): verified $verified != exact $exact")
+    }
+  }
+
   test("DedupLatest: one row per key, and it is the max-order row") {
     val rows = (1 to 200).map(_ => (rnd.nextInt(6), rnd.nextInt(1000)))
     val df = spark.createDataFrame(rows).toDF("k", "v")
