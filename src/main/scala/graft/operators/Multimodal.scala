@@ -455,6 +455,45 @@ object Multimodal {
     })
   }
 
+  /** Naive PCM decimation resample through the same codec seam: keep
+    * every `factor`-th 16-bit sample and re-wrap at rate/factor — a REAL
+    * payload transform (decode → subsample → re-encode), like
+    * [[resizeImages]] for audio. Deliberately naive: no anti-alias
+    * low-pass first, so the planted ±A square wave (Nyquist-frequency
+    * content) decimates to pure DC — the aliasing a production resampler
+    * filters away, made VISIBLE as a closed form the oracle checks
+    * (every kept sample is +A). Non-PCM or undecodable payloads drop
+    * (the seam's honesty contract); payload bytes never shuffle. */
+  def resampleAudio(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    require(factor >= 1, "decimation factor must be >= 1")
+    implicit val enc = Encoders.product[MediaRow]
+    media.mapPartitions(_.flatMap { m =>
+      val b = m.content
+      def le16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      wavChunks(b).flatMap { w =>
+        if (w.codec != 1 || w.bits != 16 || w.rate <= 0) None
+        else {
+          val n = w.dataLen / 2
+          val nOut = (n + factor - 1) / factor
+          val out = java.nio.ByteBuffer.allocate(44 + nOut * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val newRate = math.max(w.rate / factor, 1)
+          out.put("RIFF".getBytes("ASCII")).putInt(36 + nOut * 2)
+            .put("WAVE".getBytes("ASCII"))
+          out.put("fmt ".getBytes("ASCII")).putInt(16).putShort(1).putShort(1)
+          out.putInt(newRate).putInt(newRate * 2).putShort(2).putShort(16)
+          out.put("data".getBytes("ASCII")).putInt(nOut * 2)
+          var k = 0
+          while (k < n) {
+            if (k % factor == 0) out.putShort(le16(w.dataAt + 2 * k).toShort)
+            k += 1
+          }
+          Some(MediaRow(m.media_id, "audio", out.array()))
+        }
+      }
+    })
+  }
+
   /** G.711 µ-law byte → linear PCM value (the classic ulaw2linear:
     * complement, ((mant << 3) + 0x84) << exp, bias removal, sign). Pure
     * integer arithmetic, so an engine without an audio path (the DuckDB
@@ -475,46 +514,63 @@ object Multimodal {
     * contract as [[pixelStats]]: undecodable or unsupported-codec
     * payloads drop; a sample-order or sign bug shifts exact integers and
     * fails the oracle hash. */
+  /** Parsed WAV container: (codec, bits, rate, dataAt, dataLen). */
+  private final case class WavInfo(codec: Int, bits: Int, rate: Int,
+      dataAt: Int, dataLen: Int)
+
+  /** Shared RIFF/WAVE chunk walk (used by [[audioStats]] and
+    * [[resampleAudio]]): bounds-checked like MediaHeader's scanner
+    * (corrupt sizes stop the walk, not the task); walks ALL chunks (fmt
+    * and data in either order — MediaHeader's scanner accepts both
+    * layouts, so this one must too). FIRST fmt wins, tracked by its own
+    * latch (ADVICE r6): a malformed multi-fmt container must read the
+    * same fmt here as MediaHeader's first-fmt-returns scanner, or the
+    * decode surfaces disagree on the codec. */
+  private def wavChunks(b: Array[Byte]): Option[WavInfo] = {
+    def le16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def le32(i: Int) = le16(i) | (le16(i + 2) << 16)
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') None
+    else {
+      var i = 12
+      var fmtSeen = false
+      var codec = 0
+      var sampleBits = 0
+      var rate = 0
+      var dataAt = -1
+      var dataLen = 0
+      while (i + 8 <= b.length) {
+        val size = le32(i + 4)
+        if (size < 0 || size > b.length - i - 8) { i = b.length } // corrupt → stop
+        else {
+          if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ' &&
+            !fmtSeen) {
+            fmtSeen = true
+            if (size >= 16) {
+              codec = le16(i + 8); sampleBits = le16(i + 22); rate = le32(i + 12)
+            }
+          } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
+            b(i + 3) == 'a' && dataAt < 0) {
+            dataAt = i + 8; dataLen = size
+          }
+          i += 8 + size + (size & 1)
+        }
+      }
+      if (!fmtSeen || dataAt < 0) None
+      else Some(WavInfo(codec, sampleBits, rate, dataAt, dataLen))
+    }
+  }
+
   def audioStats(media: Dataset[MediaRow]): Dataset[AudioStatsRow] = {
     implicit val enc = Encoders.product[AudioStatsRow]
     media.mapPartitions(_.flatMap { m =>
       val b = m.content
       def le16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-      def le32(i: Int) = le16(i) | (le16(i + 2) << 16)
-      if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
-        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') None
-      else {
-        // locate fmt and data; bounds-checked like MediaHeader's scanner
-        // (corrupt sizes stop the walk, not the task); walk ALL chunks
-        // (fmt and data in either order — MediaHeader's scanner accepts
-        // both layouts, so this one must too). FIRST fmt wins, tracked by
-        // its own latch (ADVICE r6): a malformed multi-fmt container must
-        // read the same fmt here as MediaHeader's first-fmt-returns
-        // scanner, or the two decode surfaces disagree on the codec.
-        var i = 12
-        var fmtSeen = false
-        var codec = 0
-        var sampleBits = 0
-        var dataAt = -1
-        var dataLen = 0
-        while (i + 8 <= b.length) {
-          val size = le32(i + 4)
-          if (size < 0 || size > b.length - i - 8) { i = b.length } // corrupt → stop
-          else {
-            if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ' &&
-              !fmtSeen) {
-              fmtSeen = true
-              if (size >= 16) { codec = le16(i + 8); sampleBits = le16(i + 22) }
-            } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
-              b(i + 3) == 'a' && dataAt < 0) {
-              dataAt = i + 8; dataLen = size
-            }
-            i += 8 + size + (size & 1)
-          }
-        }
-        val pcm16 = fmtSeen && codec == 1 && sampleBits == 16
-        val ulaw8 = fmtSeen && codec == 7 && sampleBits == 8
-        if (dataAt < 0 || (!pcm16 && !ulaw8)) None
+      wavChunks(b).flatMap { w =>
+        val (codec, sampleBits, dataAt, dataLen) = (w.codec, w.bits, w.dataAt, w.dataLen)
+        val pcm16 = codec == 1 && sampleBits == 16
+        val ulaw8 = codec == 7 && sampleBits == 8
+        if (!pcm16 && !ulaw8) None
         else {
           val n = if (pcm16) dataLen / 2 else dataLen
           var k = 0

@@ -157,6 +157,26 @@ object MediaQueries {
       .orderBy($"media_id")
   }
 
+  /** REAL audio resample end to end: plant square-wave PCM WAVs, decimate
+    * by 2 through the codec seam ([[graft.operators.Multimodal
+    * .resampleAudio]]: decode → every-2nd-sample → re-encode at rate/2),
+    * then decode the RESAMPLED payload back with audioStats. The planted
+    * ±A wave alternates at Nyquist, so naive decimation ALIASES it to
+    * pure DC — every kept sample is +A, giving the closed form the
+    * codec-less oracle checks (n' = ⌈L/2⌉, peak = A, Σ|s| = n'·A,
+    * Σs² = n'·A²) and making the textbook reason real resamplers
+    * low-pass first into a hash-graded fact. */
+  private val mmAudioResample: Q = (s, dir) => {
+    import s.implicits._
+    val ids = Tables(s, dir, "documents")
+      .filter($"doc_id" % 3 === 1).select($"doc_id").as[Long]
+    graft.operators.Multimodal.audioStats(
+      graft.operators.Multimodal.resampleAudio(
+        graft.operators.Multimodal.plantedWavs(ids), factor = 2))
+      .toDF()
+      .orderBy($"media_id")
+  }
+
   /** Per-consecutive-frame motion over the planted AVIs — exact integer
     * Σ|Δluma| + changed-pixel counts from [[graft.operators.Multimodal
     * .frameDeltas]]; the closed-form two-tone frames make every delta
@@ -222,6 +242,7 @@ object MediaQueries {
     "mm_ulaw_stats" -> mmUlawStats,
     "mm_video_frames" -> mmVideoFrames,
     "mm_video_motion" -> mmVideoMotion,
+    "mm_audio_resample" -> mmAudioResample,
     "mm_resize_stats" -> mmResizeStats
   )
 
@@ -361,6 +382,18 @@ object MediaQueries {
     // pattern with tones ((id·37+f·11)%256, (id·59+f·13)%256,
     // (id·83+f·17)%256); sampling every 100 ms over nFrames·40 ms picks
     // frame ⌊ms/40⌋; n_bytes replays the 4-byte DIB row stride.
+    // decimation-by-2 of the Nyquist square wave aliases to DC: every
+    // kept sample is +A, so the stats collapse to closed forms
+    "mm_audio_resample" ->
+      """WITH p AS (SELECT doc_id,
+        |  CAST(doc_id * 31 % 2000 + 100 AS BIGINT) a,
+        |  CAST(doc_id % 50 + 10 AS BIGINT) l
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |d AS (SELECT doc_id, a, (l + 1) // 2 AS n FROM p)
+        |SELECT doc_id AS media_id, n AS n_samples, a AS peak_abs,
+        | n * a AS sum_abs, n * a * a AS sum_sq
+        |FROM d ORDER BY media_id""".stripMargin,
+
     // consecutive-frame deltas over the same closed-form two-tone frames:
     // per half, every pixel moves |la(f)-la(f-1)| (resp. lb), so the sums
     // collapse to per-column counts

@@ -207,6 +207,7 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.frameStats(frames).count() <= frames.count())
     Multimodal.frameDeltas(ds).count()
     Multimodal.audioStats(ds).count()
+    Multimodal.audioStats(Multimodal.resampleAudio(ds, 2)).count()
     Multimodal.pixelStats(ds).count()
     Multimodal.resizeImages(ds, 4, 4).count()
     Multimodal.decodeViaPartitions(ds).count()
