@@ -49,7 +49,8 @@ object TrainingQueries {
     "sample_dsir" -> sampleDsir,
     "train_curriculum_order" -> trainCurriculumOrder,
     "qa_drift_psi" -> qaDriftPsi,
-    "text_bpe_apply" -> textBpeApply
+    "text_bpe_apply" -> textBpeApply,
+    "text_ccnet_buckets" -> textCcnetBuckets
   )
 
   // ------------------------------------------------- repetition filtering
@@ -581,6 +582,33 @@ object TrainingQueries {
       .orderBy($"doc_id")
   }
 
+  // --------------------------------------------- CCNet quality buckets
+  /** CCNet-style head/middle/tail partitioning — the step between scoring
+    * and mixing in the CCNet pipeline (Wenzek et al., LREC 2020): rank
+    * every document by its reference-LM fluency WITHIN its source shard
+    * and cut each shard into three equal bands. Composes [[textLmScore]]'s
+    * signals; the rank key is the integer hit rate in ppm
+    * ((n_hit·10^6) div n_pos — no float anywhere), ties broken by doc_id,
+    * so the band assignment is bit-stable in any engine. The only shuffle
+    * beyond the LM scoring is the per-source window — shards rank
+    * independently, no global barrier (same scale shape as
+    * [[trainShardShuffle]]). */
+  private val textCcnetBuckets: Q = (s, dir) => {
+    import s.implicits._
+    val lm = textLmScore(s, dir).select($"doc_id", $"n_pos", $"n_hit")
+    val src = Tables(s, dir, "documents").select($"doc_id", $"source")
+    val scored = lm.join(src, Seq("doc_id"))
+      .withColumn("score_ppm",
+        expr("(n_hit * 1000000) div greatest(n_pos, 1)"))
+    val w = Window.partitionBy($"source").orderBy($"score_ppm".desc, $"doc_id")
+    scored.withColumn("bucket", ntile(3).over(w))
+      .withColumn("band",
+        when($"bucket" === 1, "head")
+          .when($"bucket" === 2, "middle").otherwise("tail"))
+      .select($"doc_id", $"source", $"score_ppm", $"band")
+      .orderBy($"doc_id")
+  }
+
   // --------------------------------------------------- BPE merge apply
   /** Apply the WINNING first-round BPE merge ([[textBpeMerges]]'s rank-1
     * pair) across the vocabulary — the other half of the tokenizer-train
@@ -633,6 +661,23 @@ object TrainingQueries {
   // ---------------------------------------------------------------------
   private val toksSql =
     raw"regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')"
+
+  /** LM-signal CTE chain shared by the text_lm_score oracle and the
+    * CCNet bucketing oracle: held-out bigram LM -> per-doc hit counts. */
+  private lazy val lmSignalCtes: String =
+    s"""toksv AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+       |  FROM toksv),
+       |lm_bi AS (SELECT bg, COUNT(*) AS c12 FROM bg WHERE doc_id % 50 = 0 GROUP BY 1),
+       |lm_uni AS (SELECT w1, COUNT(*) AS c1 FROM
+       |  (SELECT unnest(t) AS w1 FROM toksv WHERE doc_id % 50 = 0) GROUP BY 1),
+       |pos AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg WHERE doc_id % 50 <> 0),
+       |agg AS (SELECT p.doc_id,
+       |  CAST(SUM(CASE WHEN u.c1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_known,
+       |  CAST(SUM(CASE WHEN b.c12 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_hit,
+       |  CAST(SUM(COALESCE(b.c12, 0)) AS BIGINT) AS k_sum_c12
+       | FROM pos p LEFT JOIN lm_bi b USING (bg) LEFT JOIN lm_uni u USING (w1)
+       | GROUP BY 1)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "text_repetition" ->
@@ -797,20 +842,42 @@ object TrainingQueries {
          | term, df, tf_total
          |FROM tf ORDER BY vocab_id""".stripMargin,
 
+
+    // same LM signals, integer ppm rank key, ntile(3) per source
+    "text_ccnet_buckets" ->
+      s"""WITH $lmSignalCtes,
+         |base AS (SELECT d.doc_id,
+         |  GREATEST(CAST(GREATEST(len(d.t) - 1, 0) AS BIGINT), 1) AS n_pos_f,
+         |  COALESCE(k_hit, 0) AS n_hit
+         | FROM toksv d LEFT JOIN agg USING (doc_id) WHERE d.doc_id % 50 <> 0),
+         |sc AS (SELECT b.doc_id, s.source,
+         |  CAST((b.n_hit * 1000000) // b.n_pos_f AS BIGINT) AS score_ppm
+         | FROM base b JOIN documents s USING (doc_id)),
+         |nt AS (SELECT doc_id, source, score_ppm,
+         |  ntile(3) OVER (PARTITION BY source ORDER BY score_ppm DESC, doc_id) AS bucket
+         | FROM sc)
+         |SELECT doc_id, source, score_ppm,
+         | CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS band
+         |FROM nt ORDER BY doc_id""".stripMargin,
+
+    // same LM signals, integer ppm rank key, ntile(3) per source
+    "text_ccnet_buckets" ->
+      s"""WITH $lmSignalCtes,
+         |base AS (SELECT d.doc_id,
+         |  GREATEST(CAST(GREATEST(len(d.t) - 1, 0) AS BIGINT), 1) AS n_pos_f,
+         |  COALESCE(k_hit, 0) AS n_hit
+         | FROM toksv d LEFT JOIN agg USING (doc_id) WHERE d.doc_id % 50 <> 0),
+         |sc AS (SELECT b.doc_id, s.source,
+         |  CAST((b.n_hit * 1000000) // b.n_pos_f AS BIGINT) AS score_ppm
+         | FROM base b JOIN documents s USING (doc_id)),
+         |nt AS (SELECT doc_id, source, score_ppm,
+         |  ntile(3) OVER (PARTITION BY source ORDER BY score_ppm DESC, doc_id) AS bucket
+         | FROM sc)
+         |SELECT doc_id, source, score_ppm,
+         | CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS band
+         |FROM nt ORDER BY doc_id""".stripMargin,
     "text_lm_score" ->
-      s"""WITH toksv AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
-         |  FROM toksv),
-         |lm_bi AS (SELECT bg, COUNT(*) AS c12 FROM bg WHERE doc_id % 50 = 0 GROUP BY 1),
-         |lm_uni AS (SELECT w1, COUNT(*) AS c1 FROM
-         |  (SELECT unnest(t) AS w1 FROM toksv WHERE doc_id % 50 = 0) GROUP BY 1),
-         |pos AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg WHERE doc_id % 50 <> 0),
-         |agg AS (SELECT p.doc_id,
-         |  CAST(SUM(CASE WHEN u.c1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_known,
-         |  CAST(SUM(CASE WHEN b.c12 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_hit,
-         |  CAST(SUM(COALESCE(b.c12, 0)) AS BIGINT) AS k_sum_c12
-         | FROM pos p LEFT JOIN lm_bi b USING (bg) LEFT JOIN lm_uni u USING (w1)
-         | GROUP BY 1)
+      s"""WITH $lmSignalCtes
          |SELECT d.doc_id, CAST(GREATEST(len(d.t) - 1, 0) AS BIGINT) AS n_pos,
          | COALESCE(k_known, 0) AS n_known, COALESCE(k_hit, 0) AS n_hit,
          | COALESCE(k_sum_c12, 0) AS sum_c12,
