@@ -552,18 +552,44 @@ object RelationalQueries {
 
   /** Drain a streaming DataFrame with `Trigger.AvailableNow` into a
     * uniquely-named memory sink and return the sink table. The fresh name
-    * per invocation keeps warm-up passes from stacking append-mode rows. */
+    * per invocation keeps warm-up passes from stacking append-mode rows;
+    * the sink view is dropped immediately (the returned DataFrame's plan
+    * is already resolved to the in-memory relation, so the catalog name is
+    * no longer needed) and the checkpoint dir is deleted on JVM exit — so
+    * repeated warm-up/bench passes don't accumulate cached sink tables or
+    * on-disk checkpoints for the life of the JVM. */
   private def drainToTable(s: SparkSession, df: DataFrame, prefix: String,
       mode: String): DataFrame = {
-    val ckpt = java.nio.file.Files.createTempDirectory(prefix + "_ckpt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory(prefix + "_ckpt")
+    deleteRecursivelyOnExit(ckpt)
     val sink = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
     df.writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckpt.toString)
       .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
       .awaitTermination()
-    s.table(sink)
+    val out = s.table(sink) // ofRows resolves the plan eagerly
+    s.catalog.dropTempView(sink)
+    out
+  }
+
+  /** Register a temp directory for recursive deletion at JVM shutdown
+    * (File.deleteOnExit only handles empty dirs). One hook, shared list. */
+  private val exitDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val exitHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      exitDirs.forEach { root =>
+        try {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        } catch { case _: Exception => () }
+      }))
+  private def deleteRecursivelyOnExit(p: java.nio.file.Path): Unit = {
+    exitHookInstalled
+    exitDirs.add(p)
   }
 
   /** STREAMING parity — the one st_* key that runs the ACTUAL streaming
@@ -658,7 +684,11 @@ object RelationalQueries {
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_events"),
         sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("total_cents"))
-    drainToTable(s, agg, "st_stream_enrich", "complete").orderBy($"c_mktsegment")
+    // explicit null position: Spark default is NULLS FIRST asc, DuckDB's
+    // is NULLS LAST — pin both so an unmatched user at any SF can't flip
+    // the order-sensitive compare
+    drainToTable(s, agg, "st_stream_enrich", "complete")
+      .orderBy($"c_mktsegment".asc_nulls_last)
   }
 
   /** STREAMING stream-stream interval join — [[graft.streaming.Streams
@@ -1037,7 +1067,7 @@ object RelationalQueries {
       """SELECT c.c_mktsegment, COUNT(*) AS n_events,
         | CAST(SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |GROUP BY 1 ORDER BY 1 NULLS LAST""".stripMargin,
 
     // batch replay of the stream-stream interval join: with a complete
     // AvailableNow drain the emitted matches equal the batch join

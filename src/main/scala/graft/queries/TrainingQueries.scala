@@ -860,22 +860,6 @@ object TrainingQueries {
          | CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS band
          |FROM nt ORDER BY doc_id""".stripMargin,
 
-    // same LM signals, integer ppm rank key, ntile(3) per source
-    "text_ccnet_buckets" ->
-      s"""WITH $lmSignalCtes,
-         |base AS (SELECT d.doc_id,
-         |  GREATEST(CAST(GREATEST(len(d.t) - 1, 0) AS BIGINT), 1) AS n_pos_f,
-         |  COALESCE(k_hit, 0) AS n_hit
-         | FROM toksv d LEFT JOIN agg USING (doc_id) WHERE d.doc_id % 50 <> 0),
-         |sc AS (SELECT b.doc_id, s.source,
-         |  CAST((b.n_hit * 1000000) // b.n_pos_f AS BIGINT) AS score_ppm
-         | FROM base b JOIN documents s USING (doc_id)),
-         |nt AS (SELECT doc_id, source, score_ppm,
-         |  ntile(3) OVER (PARTITION BY source ORDER BY score_ppm DESC, doc_id) AS bucket
-         | FROM sc)
-         |SELECT doc_id, source, score_ppm,
-         | CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS band
-         |FROM nt ORDER BY doc_id""".stripMargin,
     "text_lm_score" ->
       s"""WITH $lmSignalCtes
          |SELECT d.doc_id, CAST(GREATEST(len(d.t) - 1, 0) AS BIGINT) AS n_pos,

@@ -62,7 +62,17 @@ object Streams {
           } else {
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
             var closed = List.empty[Session]
+            def emit(s: SessionState): Unit =
+              closed ::= Session(userId, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.end), s.n, s.total)
             var cur = state.getOption
+            // Admitted stragglers more than a gap BEFORE the open session
+            // chain into their own batch-local "early" session: two such
+            // stragglers within gapMs of each other are ONE session in the
+            // oracle's globally-sorted replay, so emitting each as a
+            // singleton would diverge. early.end < cur.start - gap always
+            // holds by construction; a later event can BRIDGE the two.
+            var early: Option[SessionState] = None
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
@@ -70,25 +80,48 @@ object Streams {
                 // admitted straggler earlier than its start, which must
                 // widen the session, not ride a vacuously-true `t - end`
                 case Some(s) if t - s.end <= gapMs && t >= s.start - gapMs =>
-                  cur = Some(SessionState(math.min(s.start, t),
-                    math.max(s.end, t), s.n + 1, s.total + e.value))
+                  early match {
+                    // this event is within a gap of BOTH the early chain
+                    // and the main session: in the sorted replay the three
+                    // are consecutive within-gap links — merge them all
+                    case Some(a) if t - a.end <= gapMs =>
+                      cur = Some(SessionState(a.start, math.max(s.end, t),
+                        s.n + a.n + 1, s.total + a.total + e.value))
+                    case Some(a) =>
+                      emit(a)
+                      cur = Some(SessionState(math.min(s.start, t),
+                        math.max(s.end, t), s.n + 1, s.total + e.value))
+                    case None =>
+                      cur = Some(SessionState(math.min(s.start, t),
+                        math.max(s.end, t), s.n + 1, s.total + e.value))
+                  }
+                  early = None
                 // more than a gap AFTER the session: close it, open next
+                // (the early chain, strictly before it, closes too)
                 case Some(s) if t > s.end =>
-                  closed ::= Session(userId, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.end), s.n, s.total)
+                  early.foreach(emit); early = None
+                  emit(s)
                   cur = Some(SessionState(t, t, 1, e.value))
                 // more than a gap BEFORE the session (cross-batch
-                // straggler): it can never merge with anything later —
-                // in-batch events are sorted ascending and future batches
-                // sit at/after the watermark — so it closes immediately
-                // as its own singleton session
+                // straggler): chain it into the early session so a sibling
+                // straggler within gapMs widens it instead of splitting
                 case Some(_) =>
-                  closed ::= Session(userId, new java.sql.Timestamp(t),
-                    new java.sql.Timestamp(t), 1, e.value)
+                  early match {
+                    case Some(a) if t - a.end <= gapMs =>
+                      early = Some(SessionState(a.start, t, a.n + 1,
+                        a.total + e.value))
+                    case other =>
+                      other.foreach(emit)
+                      early = Some(SessionState(t, t, 1, e.value))
+                  }
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
+            // an early chain still open at batch end can no longer merge:
+            // in-batch events are sorted ascending and future batches sit
+            // at/after the watermark, which is ahead of the chain
+            early.foreach(emit)
             cur.foreach { s =>
               state.update(s)
               // EventTimeTimeout requires a timestamp strictly beyond the
@@ -139,26 +172,49 @@ object Streams {
             // accumulator below is commutative over equal timestamps
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
             var closed = List.empty[SessionC]
+            def emit(s: SessionStateC): Unit =
+              closed ::= SessionC(userId, s.start, s.end, s.n, s.cents)
             var cur = state.getOption
+            // same straggler-chain discipline as [[sessionize]]: before-gap
+            // stragglers accumulate into a batch-local early session that
+            // sibling stragglers widen and a bridging event can merge into
+            // the main session — never emitted as premature singletons
+            var early: Option[SessionStateC] = None
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                // same three-way branch as [[sessionize]]: widen on
-                // within-gap (either side of the span), close-and-open on
-                // after-gap, emit a singleton for an admitted straggler
-                // more than a gap BEFORE the open session
                 case Some(s) if t - s.end <= gapMs && t >= s.start - gapMs =>
-                  cur = Some(SessionStateC(math.min(s.start, t),
-                    math.max(s.end, t), s.n + 1, s.cents + e.cents))
+                  early match {
+                    case Some(a) if t - a.end <= gapMs =>
+                      cur = Some(SessionStateC(a.start, math.max(s.end, t),
+                        s.n + a.n + 1, s.cents + a.cents + e.cents))
+                    case Some(a) =>
+                      emit(a)
+                      cur = Some(SessionStateC(math.min(s.start, t),
+                        math.max(s.end, t), s.n + 1, s.cents + e.cents))
+                    case None =>
+                      cur = Some(SessionStateC(math.min(s.start, t),
+                        math.max(s.end, t), s.n + 1, s.cents + e.cents))
+                  }
+                  early = None
                 case Some(s) if t > s.end =>
-                  closed ::= SessionC(userId, s.start, s.end, s.n, s.cents)
+                  early.foreach(emit); early = None
+                  emit(s)
                   cur = Some(SessionStateC(t, t, 1, e.cents))
                 case Some(_) =>
-                  closed ::= SessionC(userId, t, t, 1, e.cents)
+                  early match {
+                    case Some(a) if t - a.end <= gapMs =>
+                      early = Some(SessionStateC(a.start, t, a.n + 1,
+                        a.cents + e.cents))
+                    case other =>
+                      other.foreach(emit)
+                      early = Some(SessionStateC(t, t, 1, e.cents))
+                  }
                 case None =>
                   cur = Some(SessionStateC(t, t, 1, e.cents))
               }
             }
+            early.foreach(emit)
             cur.foreach { s =>
               state.update(s)
               val floor = state.getCurrentWatermarkMs() + 1

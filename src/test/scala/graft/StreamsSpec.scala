@@ -103,6 +103,48 @@ class StreamsSpec extends SparkSpec {
       s"within-gap straggler must widen the session span: $got")
   }
 
+  test("sessionizeCents sibling stragglers within gap merge into ONE session; " +
+      "a bridging straggler merges the chain into the open session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.EventC
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventC]
+    val q = Streams.sessionizeCents(in.toDS(), gapMs = 30 * 60 * 1000L,
+      latenessMs = 60 * 60 * 1000L).writeStream
+      .format("memory").queryName("sess_siblings")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    // batch 1 opens sessions at 12:00; watermark advances to 11:00
+    in.addData(EventC(ts("2024-01-01 12:00:00"), 7, 100),
+      EventC(ts("2024-01-01 12:00:00"), 9, 900))
+    q.processAllAvailable()
+    // batch 2: u7 gets TWO before-gap stragglers 10 min apart (11:10,
+    // 11:20) — the globally-sorted replay chains them into one 2-event
+    // session, not two singletons. u9 gets a straggler at 11:05 plus a
+    // BRIDGE at 11:33: 11:05→11:33 is within gap and 11:33→12:00 is within
+    // gap, so all three merge with the open session into one 3-event span.
+    in.addData(EventC(ts("2024-01-01 11:10:00"), 7, 1),
+      EventC(ts("2024-01-01 11:20:00"), 7, 2),
+      EventC(ts("2024-01-01 11:05:00"), 9, 3),
+      EventC(ts("2024-01-01 11:33:00"), 9, 4))
+    q.processAllAvailable()
+    // push the watermark far enough to time out the open sessions
+    in.addData(EventC(ts("2024-01-01 18:00:00"), 8, 0))
+    q.processAllAvailable()
+    in.addData(EventC(ts("2024-01-01 19:00:00"), 8, 0))
+    q.processAllAvailable()
+    val got = spark.table("sess_siblings").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    q.stop()
+    def ms(s: String) = ts(s).getTime
+    assert(got.contains((7L, ms("2024-01-01 11:10:00"), ms("2024-01-01 11:20:00"), 2L, 3L)),
+      s"sibling stragglers within gap must chain into one session: $got")
+    assert(got.contains((7L, ms("2024-01-01 12:00:00"), ms("2024-01-01 12:00:00"), 1L, 100L)),
+      s"the open session must stay unmerged from the early chain: $got")
+    assert(got.contains((9L, ms("2024-01-01 11:05:00"), ms("2024-01-01 12:00:00"), 3L, 907L)),
+      s"a bridging straggler must merge the early chain into the open session: $got")
+  }
+
   test("sessionizeCents AvailableNow drain: emission boundary is STRICT " +
       "(timeout == final watermark does not fire)") {
     import spark.implicits._
