@@ -86,14 +86,18 @@ object Components {
     }
 
     // The (possibly expensive) edge plan — LSH bucket joins, cosine
-    // verification — executes exactly ONCE, into the sym spill; every round
-    // reads the flat file. No .distinct(): duplicate edges/ids are absorbed
-    // by the min-aggregate each round, and a distinct would be an extra
-    // shuffle of the biggest intermediate.
-    val sym = spill(
-      edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
-        .union(edges.select(col(dst).cast("long").as("src"), col(src).cast("long").as("dst"))),
-      "sym")
+    // verification — executes exactly ONCE, into the edge spill; the
+    // symmetrized view unions two scans of that flat file. (Unioning the
+    // edge PLAN with its own reversal instead would run the join + verify
+    // work twice — only the exchanges below the join are reuse-eligible —
+    // and would double-fire any observe() metric inside the edge plan.)
+    // No .distinct(): duplicate edges/ids are absorbed by the
+    // min-aggregate each round, and a distinct would be an extra shuffle
+    // of the biggest intermediate.
+    val one = spill(
+      edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst")),
+      "edges")
+    val sym = one.union(one.select(col("dst").as("src"), col("src").as("dst")))
 
     // labels carries (id, component, prev): prev = the component this id had
     // at the START of the round that produced the row. Folding prev into the
@@ -155,7 +159,7 @@ object Components {
     } finally {
       // Success or throw, the intermediate spills never outlive the call:
       // only <scratch>/components (the returned frame's files) remains.
-      drop("sym")
+      drop("edges")
       if (i > 0) drop(s"gen_${i - 1}")
     }
   }

@@ -55,6 +55,35 @@ object SimilarityQueries {
   private val EmbDim = 64
   private val AnnK = 5
   private val LshSeed = 7
+
+  // ---- fused candidate-pair probes (VERDICT r9 → r10 #1) ---------------
+  // The one scale question the decade runs left open: do the banded pair
+  // generators still BOUND work as the corpus grows, or does candidate
+  // volume go super-linear? Answering it must not cost a second pass, so
+  // each pair stage carries an `observe()` metric (the same fused-probe
+  // trick as Components' convergence counter): the candidate count is
+  // collected DURING the stage's first action, zero extra jobs, and the
+  // most recent value is readable per stage name. At 100 TB this is the
+  // ops metric a dedup pipeline alarms on — pairs/doc drifting up means
+  // the banding assumptions (vocabulary growth, value skew) broke.
+  private val pairProbes =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.Observation]
+  private def probePairs(df: DataFrame, name: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    pairProbes.put(name, obs)
+    df.observe(obs, count(lit(1)).as("pairs"))
+  }
+  /** Candidate-pair count captured by `name`'s most recent completed run.
+    * The metric is posted on the listener bus asynchronously after the
+    * action returns, so this waits a few seconds for an in-flight post;
+    * None if the stage never ran (or nothing arrives in time). */
+  private[graft] def observedPairCount(name: String): Option[Long] =
+    pairProbes.get(name).flatMap { o =>
+      try Some(scala.concurrent.Await
+        .result(o.future, scala.concurrent.duration.Duration(5, "s"))
+        .getAs[Long]("pairs"))
+      catch { case _: java.util.concurrent.TimeoutException => None }
+    }
   // Scale-aware hyperplane-LSH width (VERDICT r4 #1): a FIXED bit count
   // makes same-bucket pair generation ~n²/2^bits — invisible at test SFs,
   // quadratic (fatal) at 100×. Instead the bucket count tracks the corpus:
@@ -189,6 +218,61 @@ object SimilarityQueries {
         "graft.maxExactPairsPerDoc to run the exact baseline deliberately.")
   }
 
+  // SimHash saturation fence (VERDICT r9 → r10 #1): the fused pair probes
+  // measured the simhash band join QUADRATIC at the sf1 decade — 97 →
+  // 941 candidate pairs/doc for 10× docs — and the hamming ≤ 3 OUTPUT
+  // itself grew 8×/doc, so no algorithm answers the saturated corpus in
+  // linear time. The cause is corpus saturation, not banding width: the
+  // pigeonhole construction is pinned at 4 bands for radius 3 (more
+  // bands would lose exactness) and 2^15 buckets/band is plenty — it's
+  // the bounded 31-word vocabulary that collapses fingerprint DIVERSITY,
+  // piling documents onto identical band values. Same probe discipline
+  // as [[fenceExactIndex]]: measured candidate density per doc (one
+  // cached aggregation pass — Σ c(c−1)/2 over band buckets, exactly what
+  // the join would emit), trips only on saturation, never on legitimate
+  // growth (a vocabulary-growing corpus keeps band values spread; the
+  // driver sf0.1 measures 97/doc vs the 512 default). Production paths
+  // on a saturated corpus: dedup_minhash_lsh (flat 0.09 pairs/doc at the
+  // same decade) and the banded Jaccard family.
+  private val DefaultMaxSimhashPairsPerDoc = 512L
+  private[graft] def maxSimhashPairsPerDoc(s: SparkSession): Long =
+    envelope(s, "graft.maxSimhashPairsPerDoc", DefaultMaxSimhashPairsPerDoc)
+  private val simhashWorkCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, (Long, Long)]]
+  /** (docs, Σ per-band-bucket candidate pairs) for the simhash band join. */
+  private[graft] def simhashIndexStats(s: SparkSession, dir: String): (Long, Long) = {
+    val perSession = simhashWorkCache.synchronized {
+      var m = simhashWorkCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+        simhashWorkCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, {
+      val banded = simhashBanded(s, dir)
+      val docs = docCount(s, dir)
+      val pairWork = banded
+        .groupBy(col("band_id"), col("band_val")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0)).cast("long"))
+        .head().getLong(0)
+      (docs, pairWork)
+    })
+  }
+  private def fenceSimhash(name: String, s: SparkSession, dir: String): Unit = {
+    val budget = maxSimhashPairsPerDoc(s)
+    val (docs, pairWork) = simhashIndexStats(s, dir)
+    val perDoc = if (docs == 0) 0L else pairWork / docs
+    require(perDoc <= budget,
+      s"$name: simhash band index is saturated — $pairWork candidate pairs " +
+        s"for $docs docs ($perDoc/doc, budget $budget/doc). A bounded " +
+        "vocabulary collapses fingerprint diversity, making the 4-band " +
+        "pigeonhole join (and the true hamming<=3 pair set itself) " +
+        "quadratic; use the minhash-banded scale paths (dedup_minhash_lsh " +
+        "/ dedup_components_lsh), or raise graft.maxSimhashPairsPerDoc " +
+        "to run the exact-radius join deliberately.")
+  }
+
   def queries: Map[String, Q] = Map(
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_keep_best" -> dedupKeepBest,
@@ -309,10 +393,12 @@ object SimilarityQueries {
       .agg(countDistinct($"doc_id").as("df")).filter($"df" <= SubMaxDf)
       .select($"sh")
     val shf = sh.join(keep.hint("shuffle_hash"), "sh")
-    val pairs = shf.as("a").hint("shuffle_hash").join(shf.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    val pairs = probePairs(
+      shf.as("a").hint("shuffle_hash").join(shf.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.pos").as("pa"), col("b.pos").as("pb")),
+      "dedup_substring_runs")
     val wIsl = Window.partitionBy($"da", $"db", $"diag").orderBy($"pa")
     val runs = pairs.withColumn("diag", $"pa" - $"pb")
       .withColumn("island", $"pa" - row_number().over(wIsl))
@@ -378,10 +464,12 @@ object SimilarityQueries {
     // so pair generation must stream: a self-join emits pairs lazily and
     // AQE splits hot buckets. A per-bucket collect_list + combinations
     // array would materialize k²/2 pairs of a k-doc cluster in one task.
-    val cand = bands.as("a").hint("shuffle_hash")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = probePairs(
+      bands.as("a").hint("shuffle_hash")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")),
+      "dedup_minhash_lsh")
       .distinct()
     cand
       .join(shd.select($"doc_id".as("doc_a"), $"sh".as("sha")), Seq("doc_a"))
@@ -527,33 +615,45 @@ object SimilarityQueries {
       .orderBy($"doc_id")
   }
 
-  /** SimHash near-dup pairs within hamming ≤ 3, candidates via 4×15-bit
-    * band join (pigeonhole-complete for that radius). */
-  private val dedupSimhash: Q = (s, dir) => {
+  /** (doc_id, simhash, band_id, band_val) — the 4×15-bit banding shared
+    * by the pair join and the saturation-fence probe. */
+  private def simhashBanded(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bandMask = (1L << SimhashBandBits) - 1
     val sh = spread(Tables(s, dir, "documents"))
       .select($"doc_id", Text.simhash60($"text").as("simhash"))
-    val banded = sh.select($"doc_id", $"simhash",
+    sh.select($"doc_id", $"simhash",
       explode(array((0 until SimhashBands).map { b =>
         struct(lit(b).as("band_id"),
           shiftright($"simhash", SimhashBandBits * b).bitwiseAND(lit(bandMask)).as("band_val"))
       }: _*)).as("band"))
       .select($"doc_id", $"simhash",
         $"band.band_id".as("band_id"), $"band.band_val".as("band_val"))
+  }
+
+  /** SimHash near-dup pairs within hamming ≤ 3, candidates via 4×15-bit
+    * band join (pigeonhole-complete for that radius). Fenced on measured
+    * band-bucket density: a saturated corpus makes both the join AND the
+    * true answer quadratic (see [[fenceSimhash]]). */
+  private val dedupSimhash: Q = (s, dir) => {
+    import s.implicits._
+    fenceSimhash("dedup_simhash", s, dir)
+    val banded = simhashBanded(s, dir)
     // Self-JOIN, not bucketPairs: simhash band values are data-dependent —
     // near-identical docs (this corpus is heavily clustered) share band
     // values, so a hot bucket holds thousands of docs and a per-bucket
     // combinations array would materialize n²/2 structs in ONE task. The
     // join streams its output and the hamming filter + partial distinct
     // run before the shuffle; AQE can additionally split skewed buckets.
-    banded.as("a").hint("shuffle_hash")
-      .join(banded.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+    probePairs(
+      banded.as("a").hint("shuffle_hash")
+        .join(banded.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming")),
+      "dedup_simhash")
       .filter($"hamming" <= HammingT)
       .distinct()
       .orderBy($"doc_a", $"doc_b")
@@ -1203,8 +1303,9 @@ object SimilarityQueries {
     val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"), $"nrm".as("na"),
       explode(array($"bucket" +: (0 until bits).map(flip($"bucket", _)): _*)).as("bucket"))
     val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"), $"bucket", $"nrm".as("nb"))
-    val pairs = a.hint("shuffle_hash").join(b, Seq("bucket"))
-      .filter($"vec_a" < $"vec_b")
+    val pairs = probePairs(
+        a.hint("shuffle_hash").join(b, Seq("bucket")).filter($"vec_a" < $"vec_b"),
+        "dedup_semantic")
       .filter(Vectors.cosinePrenormed(Vectors.fdot($"ea", $"eb"), $"na", $"nb") >= SemanticT)
       .select($"vec_a".as("src"), $"vec_b".as("dst"))
     // semantic graphs can still chain; keep propagation headroom over the

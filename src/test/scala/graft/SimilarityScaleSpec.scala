@@ -92,6 +92,15 @@ class SimilarityScaleSpec extends SparkSpec {
         e.getMessage.contains("dedup_components_lsh"),
         s"unhelpful saturation fence message for $q: $e")
     }
+    // the simhash band join saturates on the same corpus — every doc
+    // lands on one band value per band, candidate density n/2·4 per doc —
+    // and its fence must trip too (VERDICT r10 #1: measured 941/doc at
+    // the sf1 decade vs the 512 budget)
+    val es = intercept[IllegalArgumentException](
+      SimilarityQueries.queries("dedup_simhash")(spark, dir))
+    assert(es.getMessage.contains("saturated") &&
+      es.getMessage.contains("dedup_minhash_lsh"),
+      s"unhelpful simhash saturation fence message: $es")
     // the LSH twins stay open on the same corpus: the fence lives at
     // plan-BUILD time, so a no-throw build proves the minhash family is
     // exempt (executing it here would compute the dense all-duplicate
@@ -308,6 +317,60 @@ class SimilarityScaleSpec extends SparkSpec {
     val pairRatio = pairs2.toDouble / pairs1
     assert(pairRatio <= 2.0 * nRatio,
       s"candidate pairs grew ${pairRatio}x for ${nRatio}x vectors — quadratic blowup")
+  }
+
+  test("decade higher: fused pair probes hold their envelopes sf0.1gen→sf1 " +
+      "(minhash flat, substring bounded, semantic in its log envelope, simhash fenced)") {
+    assume(genDirsPresent, "generated scale dirs absent — run graft.sources.ScaleGen")
+    // VERDICT r10 #1: the decade TIME growth of the three watch keys is
+    // explained by MEASURED candidate volume, captured by the observe()
+    // probes fused into each pair stage (zero extra jobs). Reference
+    // decade measurements (PERF.md r10): pairs/doc sf0.1gen → sf1 =
+    // minhash 0.08→0.09 (flat), substring 1.83→3.85 (df-capped, constant
+    // ceiling), semantic 500→665 (the designed (bits+1)·target/2 log
+    // envelope), simhash 97→941 (quadratic — true output is quadratic
+    // too, so the saturation fence now refuses it).
+    def probed(key: String, dir: String): (Long, Double) = {
+      SimilarityQueries.queries(key)(spark, dir).count()
+      val pairs = SimilarityQueries.observedPairCount(key)
+        .getOrElse(fail(s"$key: fused pair probe never fired at $dir"))
+      val base = if (key.startsWith("dedup_semantic")) "embeddings" else "documents"
+      val n = spark.read.parquet(s"$dir/$base.parquet").count()
+      (n, pairs.toDouble / n)
+    }
+    // minhash banding: pairs/doc FLAT across the decade — band buckets
+    // are corpus-size-free, the reference bounded path
+    val (_, mh1) = probed("dedup_minhash_lsh", Gen01)
+    val (_, mh2) = probed("dedup_minhash_lsh", Gen1)
+    assert(mh2 <= 2.0 * mh1 + 1.0,
+      s"minhash candidate pairs/doc grew $mh1 -> $mh2 — banding broke")
+    // substring runs: the stop-shingle df cap bounds per-doc candidates by
+    // a CONSTANT (SubMaxDf · positions/doc); on the saturated corpus the
+    // density drifts toward that ceiling but must stay far under
+    // quadratic (941/doc is what quadratic looks like at this scale)
+    val (_, ss1) = probed("dedup_substring_runs", Gen01)
+    val (_, ss2) = probed("dedup_substring_runs", Gen1)
+    assert(ss2 <= 64.0 && ss2 <= 4.0 * ss1 + 1.0,
+      s"substring candidate pairs/doc grew $ss1 -> $ss2 — df cap not bounding")
+    // semantic multi-probe: pairs/vec tracks the DESIGNED envelope
+    // (bits+1)·targetBucket/2 — logarithmic in n via the bits ladder,
+    // bucket size pinned at ~targetBucket by lshBitsFor
+    for (dir <- Seq(Gen01, Gen1)) {
+      val (n, sem) = probed("dedup_semantic", dir)
+      val bits = SimilarityQueries.lshBitsFor(n)
+      val env = (bits + 1).toDouble * SimilarityQueries.LshTargetBucket / 2.0
+      assert(sem <= 1.5 * env,
+        s"semantic pairs/vec $sem exceeded the (bits+1)-probe envelope $env at n=$n")
+    }
+    // simhash: candidate density at sf1 (941/doc measured) is the
+    // saturation regime — the fence must refuse and name the scale path
+    val e = intercept[IllegalArgumentException](
+      SimilarityQueries.queries("dedup_simhash")(spark, Gen1))
+    assert(e.getMessage.contains("saturated") &&
+      e.getMessage.contains("dedup_minhash_lsh"))
+    // ...while the healthy-density decade point below it stays open
+    val (_, sh1) = probed("dedup_simhash", Gen01)
+    assert(sh1 > 0, "simhash must still run at sf0.1gen densities")
   }
 
   test("decade higher: multi-probe recall@3 stays bounded at sf1") {
