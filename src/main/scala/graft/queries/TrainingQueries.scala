@@ -50,6 +50,7 @@ object TrainingQueries {
     "train_curriculum_order" -> trainCurriculumOrder,
     "qa_drift_psi" -> qaDriftPsi,
     "text_bpe_apply" -> textBpeApply,
+    "text_bpe_train" -> textBpeTrain,
     "text_ccnet_buckets" -> textCcnetBuckets
   )
 
@@ -456,6 +457,63 @@ object TrainingQueries {
       .orderBy($"rank")
   }
 
+  // --------------------------------------------------- BPE training loop
+  private val BpeTrainRounds = 8
+
+  /** ITERATED BPE training (VERDICT r10 #4) — [[textBpeMerges]]'s one
+    * scoring round run as the real tokenizer-train loop: [[BpeTrainRounds]]
+    * rounds of count-pairs → pick-winner → merge-everywhere, emitting the
+    * merge TABLE (round, winning pair, its weighted count, total units
+    * remaining) a tokenizer ships.
+    *
+    * Representation: each word's unit segmentation is a pipe-delimited
+    * string `|h|e|l|l|o|`; a merge of (l, r) replaces `|l|r|` with `|lr|`
+    * TWICE — string replace is leftmost-non-overlapping in both engines,
+    * and a second pass picks up occurrences whose leading delimiter was
+    * consumed by the previous replacement's trailing one (`abab` merges
+    * both pairs; for odd self-pair runs `aaaaa` the spec is
+    * deterministic-but-not-python-canonical: `aa|a|aa` vs `aa|aa|a` —
+    * same unit count, different placement, identical in both engines).
+    *
+    * Scale shape — the KMeans recipe applied to text: the corpus-sized
+    * work (word-count aggregate) runs ONCE; every round after operates on
+    * the VOCABULARY (token-domain-bounded, not corpus-bounded), with
+    * per-round `localCheckpoint` cutting the geometric lineage the same
+    * way `KMeans.fit` does. Winners stay in-plan as broadcast 1-row
+    * relations — no driver-side loop state beyond the round counter. */
+  private val textBpeTrain: Q = (s, dir) => {
+    import s.implicits._
+    val words = Tables(s, dir, "documents")
+      .select(explode(Text.tokens(Text.normalized($"text"))).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("wc"))
+      .filter(length($"word") >= 2)
+    var seg = words.select($"word", $"wc",
+        concat(lit("|"), regexp_replace($"word", "(.)", "$1|")).as("seg"))
+      .localCheckpoint()
+    val rounds = (0 until BpeTrainRounds).map { r =>
+      val pairs = seg
+        .withColumn("u", filter(split($"seg", "\\|"), x => x =!= ""))
+        .select($"wc", explode(transform(sequence(lit(1), size($"u") - 1),
+          i => concat(element_at($"u", i), lit("|"), element_at($"u", i + 1))))
+          .as("pair"))
+        .groupBy($"pair").agg(sum($"wc").as("pair_count"))
+      val t = pairs.orderBy($"pair_count".desc, $"pair").limit(1)
+        .select($"pair", $"pair_count")
+      val pat = concat(lit("|"), $"pair", lit("|"))
+      val rep = concat(lit("|"), translate($"pair", "|", ""), lit("|"))
+      seg = seg.crossJoin(broadcast(t))
+        .select($"word", $"wc",
+          replace(replace($"seg", pat, rep), pat, rep).as("seg"))
+        .localCheckpoint()
+      seg.agg(sum($"wc" *
+          (length($"seg") - length(replace($"seg", lit("|"), lit(""))) - 1))
+          .cast("long").as("n_units_after"))
+        .crossJoin(broadcast(t))
+        .select(lit(r).as("round"), $"pair", $"pair_count", $"n_units_after")
+    }
+    rounds.reduce(_.unionByName(_)).orderBy($"round")
+  }
+
   // ------------------------------------------------- distribution drift
   private val DriftBins = 16
 
@@ -661,6 +719,35 @@ object TrainingQueries {
   // ---------------------------------------------------------------------
   private val toksSql =
     raw"regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')"
+
+  /** Unrolled [[BpeTrainRounds]]-round BPE oracle: per round, a (pair
+    * counts → winner → merged segmentation → unit total) CTE quadruple
+    * chained off the previous round's segmentation. */
+  private lazy val textBpeTrainSql: String = {
+    val roundCtes = (0 until BpeTrainRounds).map { r =>
+      s"""p$r AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count FROM
+         |  (SELECT wc, unnest([u[i] || '|' || u[i+1] FOR i IN range(1, len(u))]) AS pair
+         |   FROM (SELECT wc, list_filter(string_split(seg, '|'), x -> x <> '') AS u
+         |         FROM seg$r))
+         | GROUP BY 1),
+         |t$r AS (SELECT pair, pair_count FROM p$r ORDER BY pair_count DESC, pair LIMIT 1),
+         |seg${r + 1} AS (SELECT word, wc,
+         |  replace(replace(seg, '|' || t.pair || '|', '|' || replace(t.pair, '|', '') || '|'),
+         |          '|' || t.pair || '|', '|' || replace(t.pair, '|', '') || '|') AS seg
+         | FROM seg$r, t$r t),
+         |n$r AS (SELECT CAST(SUM(wc * (length(seg) - length(replace(seg, '|', '')) - 1)) AS BIGINT)
+         |  AS n_units_after FROM seg${r + 1})""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 until BpeTrainRounds).map { r =>
+      s"SELECT CAST($r AS INT) AS round, t.pair, t.pair_count, n.n_units_after FROM t$r t, n$r n"
+    }.mkString(" UNION ALL ")
+    s"""WITH w AS (SELECT word, COUNT(*) AS wc FROM
+       |  (SELECT unnest($toksSql) AS word FROM documents) GROUP BY 1),
+       |seg0 AS (SELECT word, wc, '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seg
+       | FROM w WHERE length(word) >= 2),
+       |$roundCtes
+       |SELECT round, pair, pair_count, n_units_after FROM ($rows) ORDER BY round""".stripMargin
+  }
 
   /** LM-signal CTE chain shared by the text_lm_score oracle and the
     * CCNet bucketing oracle: held-out bigram LM -> per-doc hit counts. */
@@ -939,6 +1026,12 @@ object TrainingQueries {
          |SELECT bin, n_old, n_new,
          | (abs(n_new * t_old - n_old * t_new) * 50 > t_old * t_new) AS drifted
          |FROM h, t ORDER BY bin""".stripMargin,
+
+    // the full iterated train loop: 8 unrolled rounds of count->win->merge,
+    // each a CTE triplet (pair counts, winner, merged segmentation) — the
+    // same unrolled-chain pattern as the KMeans oracle; the two-pass
+    // replace and the (count DESC, pair) tiebreak replay bit-for-bit
+    "text_bpe_train" -> textBpeTrainSql,
 
     // literal replace has identical leftmost non-overlapping semantics in
     // both engines, so the applied merge replays exactly

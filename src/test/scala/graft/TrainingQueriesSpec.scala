@@ -196,4 +196,35 @@ class TrainingQueriesSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(2) >= r.getLong(3)),
       "weighted pair count cannot be below the distinct-word count")
   }
+
+  test("text_bpe_train: 8 merge rounds, units strictly shrink, merges compose") {
+    val rows = run("text_bpe_train")
+      .select("round", "pair", "pair_count", "n_units_after").collect()
+    assert(rows.length == 8, s"expected 8 merge rounds, got ${rows.length}")
+    assert(rows.map(_.getInt(0)).toSeq === (0 until 8))
+    // every winner was a real pair, and each merge strictly reduces the
+    // corpus unit total (at least one occurrence merges per round)
+    assert(rows.forall(_.getLong(2) > 0), "a round won with zero count")
+    val units = rows.map(_.getLong(3))
+    assert(units.zip(units.tail).forall { case (a, b) => b < a },
+      s"unit totals must strictly decrease across rounds: ${units.toSeq}")
+    // round 0's winner is over raw characters (single-char units); later
+    // winners may compose earlier merges — every unit in a winning pair
+    // must be either a char or the concatenation of a previous winner
+    val r0 = rows.head.getString(1)
+    assert(r0.length == 3 && r0(1) == '|', s"round-0 pair not char|char: $r0")
+    val merged = collection.mutable.Set[String]()
+    rows.foreach { r =>
+      val Array(l, rt) = r.getString(1).split("\\|", 2)
+      for (u <- Seq(l, rt))
+        assert(u.length == 1 || merged.contains(u),
+          s"round ${r.getInt(0)} uses unit '$u' that no earlier merge built")
+      merged += (l + rt)
+    }
+    // first-round winner agrees with the standalone scorer's rank 1
+    val top = run("text_bpe_merges").filter(col("rank") === 1)
+      .head().getString(1)
+    assert(rows.head.getString(1).replace("|", "") == top,
+      "round-0 winner diverged from text_bpe_merges rank 1")
+  }
 }
