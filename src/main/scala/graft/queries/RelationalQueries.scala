@@ -481,7 +481,12 @@ object RelationalQueries {
       .select(split_part($"o_orderpriority", lit("-"), lit(1)).as("prio_code"),
         split_part($"o_orderpriority", lit("-"), lit(2)).as("prio_name"))
       .distinct()
-    ord.join(dim, split_part(ord("o_orderpriority"), lit("-"), lit(1)) === dim("prio_code"), "left")
+    // the dim is DERIVED (distinct over a fact scan), so Catalyst's size
+    // estimate rides the fact table and flips this to sort-merge as the
+    // fact grows (measured: 3.6x decade at sf1) — but distinct priorities
+    // are domain-bounded (5 values), a broadcast dim by construction
+    ord.join(broadcast(dim),
+        split_part(ord("o_orderpriority"), lit("-"), lit(1)) === dim("prio_code"), "left")
       .groupBy($"prio_code", $"prio_name")
       .agg(count(lit(1)).as("n_orders"))
       .orderBy($"prio_code")

@@ -28,6 +28,19 @@ class PlanAssertionsSpec extends SparkSpec {
       s"star join must not shuffle-join or cross-join:\n$plan")
   }
 
+  test("j4_expr_join: the derived priority dim is broadcast, never sort-merged") {
+    // The dim is distinct-over-a-fact-scan, so Catalyst's size estimate
+    // tracks the FACT table and flipped this join to sort-merge once the
+    // fact outgrew the broadcast threshold (measured 3.6x at the sf1
+    // decade, VERDICT r10 #6). The domain is 5 priorities — broadcast by
+    // construction; the hint must hold at every scale.
+    val plan = planOf("j4_expr_join")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"derived dim must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"expression join fell back to sort-merge:\n$plan")
+  }
+
   test("q1_pricing_summary: filter pushed to scan, columns pruned, codegen on") {
     val plan = planOf("q1_pricing_summary")
     assert(plan.contains("LessThanOrEqual(l_shipdate"),
