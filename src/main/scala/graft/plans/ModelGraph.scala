@@ -91,19 +91,15 @@ object ModelGraph {
   /** Watermark-aggregate alias — named so no real model column collides. */
   private val WmAlias = "__graft_wm"
 
-  /** Incremental bootstrap probe. Only genuine absence returns false; a
-    * transient FS/permission error (or an OOM) must NOT be silently read
-    * as "table missing" and trigger a full Overwrite where an append was
-    * intended — anything but AnalysisException/FileNotFoundException
-    * propagates. */
+  /** Incremental bootstrap probe (parquet binding). Only genuine absence
+    * returns false; a transient FS/permission error (or an OOM) must NOT
+    * be silently read as "table missing" and trigger a full Overwrite
+    * where an append was intended — anything but AnalysisException/
+    * FileNotFoundException propagates. */
   private[graft] def tableExists(spark: SparkSession, path: String): Boolean =
-    try { spark.read.parquet(path).limit(1).count() >= 0 }
-    catch {
-      case _: org.apache.spark.sql.AnalysisException |
-           _: java.io.FileNotFoundException => false
-    }
+    graft.sources.ParquetFormat.exists(spark, path)
 
-  /** Materialize the graph under `baseDir` honoring each model's
+  /** Materialize the graph under `base` honoring each model's
     * materialization — the `dbt run` analog.
     *
     * Models execute LEVEL-PARALLEL (like `dbt run --threads`): each
@@ -111,20 +107,31 @@ object ModelGraph {
     * jobs, so the scheduler overlaps their stages across the cluster
     * instead of draining it between sequential small writes. `parallelism`
     * bounds concurrent jobs per level; results are identical to a
-    * sequential run — same-level models share no edges by construction. */
+    * sequential run — same-level models share no edges by construction.
+    *
+    * Storage is pluggable through the [[graft.sources.TableFormat]] seam
+    * (VERDICT r10 #5): the default [[graft.sources.ParquetFormat]] keeps
+    * the historical plain-parquet layout; pass
+    * [[graft.sources.VersionedParquetFormat]] for reader-atomic snapshot
+    * publishes, or `IcebergFormat()` in a deployment that ships
+    * iceberg-spark-runtime. The DAG/watermark/merge logic is identical
+    * across bindings — only `read/append/replace` dispatch differs. */
   def run(spark: SparkSession, models: Seq[Model],
       sources: Map[String, DataFrame], baseDir: String,
-      parallelism: Int = 4): Map[String, DataFrame] = {
+      parallelism: Int = 4,
+      format: graft.sources.TableFormat = graft.sources.ParquetFormat)
+      : Map[String, DataFrame] = {
     val acc = mutable.Map.empty[String, DataFrame] ++ sources
+    val fmt = format
 
     def materialize(m: Model, deps: Map[String, DataFrame]): DataFrame = {
-      val path = s"$baseDir/${m.name}"
+      val path = fmt.ident(baseDir, m.name)
       val built = m.build(deps)
       m.materialization match {
         case View => built
         case Table =>
-          built.write.mode(SaveMode.Overwrite).parquet(path)
-          spark.read.parquet(path)
+          fmt.overwrite(built, path)
+          fmt.read(spark, path)
         case Incremental(wm) =>
           // A NULL watermark is unsupportable under high-watermark APPEND:
           // the row can never be compared against MAX(wm), so it would
@@ -135,37 +142,26 @@ object ModelGraph {
           val guarded = built.filter(assert_true(col(wm).isNotNull,
             lit(s"Incremental($wm): NULL watermark row — high-watermark append " +
               "cannot track it; filter NULLs upstream or use IncrementalMerge")).isNull)
-          if (!tableExists(spark, path)) { // first run bootstraps the full build (SURVEY §7.4 #5)
-            guarded.write.mode(SaveMode.Overwrite).parquet(path)
+          if (!fmt.exists(spark, path)) { // first run bootstraps the full build (SURVEY §7.4 #5)
+            fmt.overwrite(guarded, path)
           } else {
             // reserved alias: a model watermarking on a column literally
             // named like the aggregate alias must not self-collide
-            val watermark = spark.read.parquet(path).agg(max(col(wm)).as(WmAlias))
-            guarded.crossJoin(broadcast(watermark))
-              .filter(col(wm) > col(WmAlias)).drop(WmAlias)
-              .write.mode(SaveMode.Append).parquet(path)
+            val watermark = fmt.read(spark, path).agg(max(col(wm)).as(WmAlias))
+            fmt.append(guarded.crossJoin(broadcast(watermark))
+              .filter(col(wm) > col(WmAlias)).drop(WmAlias), path)
           }
-          spark.read.parquet(path)
+          fmt.read(spark, path)
         case IncrementalMerge(wm) =>
-          val target = new org.apache.hadoop.fs.Path(path)
-          val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val tmp = new org.apache.hadoop.fs.Path(
-            target.getParent, s".${target.getName}.__merge_tmp")
-          val bak = new org.apache.hadoop.fs.Path(
-            target.getParent, s".${target.getName}.__merge_bak")
-          // crash recovery FIRST: a merge that died between the two swap
-          // renames leaves bak without target — restore it rather than
-          // letting the existence probe trigger a fresh full rebuild.
-          if (fs.exists(tmp)) fs.delete(tmp, true)
-          if (fs.exists(bak)) {
-            if (!fs.exists(target))
-              require(fs.rename(bak, target), s"merge swap: failed to restore $bak")
-            else fs.delete(bak, true)
-          }
-          if (!tableExists(spark, path)) {
-            built.write.mode(SaveMode.Overwrite).parquet(path)
+          // crash recovery FIRST: a merge that died mid-replace must be
+          // repaired rather than letting the existence probe trigger a
+          // fresh full rebuild (ParquetFormat restores an orphaned backup;
+          // snapshot formats have nothing to repair).
+          fmt.recover(spark, path)
+          if (!fmt.exists(spark, path)) {
+            fmt.overwrite(built, path)
           } else {
-            val existing = spark.read.parquet(path)
+            val existing = fmt.read(spark, path)
             val watermark = existing.agg(max(col(wm)).as(WmAlias))
             val keep = existing.crossJoin(broadcast(watermark))
               .filter(col(wm) < col(WmAlias)).drop(WmAlias)
@@ -179,18 +175,12 @@ object ModelGraph {
             val fresh = built.crossJoin(broadcast(watermark))
               .filter(col(wm) >= col(WmAlias) || col(WmAlias).isNull ||
                 col(wm).isNull).drop(WmAlias)
-            // keep reads from `path`, so the merge lands in a sibling tmp
-            // dir first and swaps via rename — never overwrite what a plan
-            // still scans. Same hidden-leaf naming discipline as
-            // Layout.compact: partition discovery skips dot-dirs, and a
-            // crashed merge leaves the store either intact or restorable.
-            keep.unionByName(fresh)
-              .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-            require(fs.rename(target, bak), s"merge swap: failed to back up $target")
-            require(fs.rename(tmp, target), s"merge swap: failed to publish $tmp")
-            fs.delete(bak, true)
+            // the merged frame reads from `path`; each format's replace()
+            // handles the self-read safely (ParquetFormat stages to a
+            // hidden sibling + swap, snapshot formats just publish v+1)
+            fmt.replace(keep.unionByName(fresh), path)
           }
-          spark.read.parquet(path)
+          fmt.read(spark, path)
       }
     }
 
