@@ -301,7 +301,8 @@ object SimilarityQueries {
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_incremental" -> dedupSemanticIncremental,
     "dedup_minhash_incremental" -> dedupMinhashIncremental,
-    "dedup_substring_runs" -> dedupSubstringRuns
+    "dedup_substring_runs" -> dedupSubstringRuns,
+    "dedup_semdedup" -> dedupSemdedup
   )
 
   /** documents/embeddings arrive as ONE parquet file at test scale, so a
@@ -1316,6 +1317,54 @@ object SimilarityQueries {
       .orderBy($"vec_id")
   }
 
+  /** SemDeDup — cluster-then-prune semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540, public): k-means clusters the corpus, then any
+    * WITHIN-CLUSTER pair above the cosine threshold drops the member
+    * CLOSER to its centroid — the paper's keep-the-outlier rule, which
+    * preserves cluster diversity where min-id keeps would collapse it.
+    * Deterministic end to end: the integer-exact Lloyd chain
+    * ([[graft.operators.KMeans]]), the fold-order-pinned icos comparisons,
+    * and a (closer-centroid, then lower-id) pairwise drop rule.
+    *
+    * Scale shape: k derives from corpus size (2^[[lshBitsFor]] — the same
+    * ladder that pins LSH bucket sizes), so E[cluster] ≈
+    * [[LshTargetBucket]] and within-cluster pair work is O(n · target),
+    * linear; the fused pair probe measures it like the other banded
+    * generators. The known k-means cost is the n·k·d assignment — at
+    * deployment scale that step becomes sample-trained codebooks +
+    * IVF-probe assignment (exactly the machinery `ann_ivf_trained` /
+    * `ann_ivf_incremental` already prove), leaving this operator's novel
+    * surface — the prune rule — unchanged. */
+  private val dedupSemdedup: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.KMeans
+    val emb = spread(Tables(s, dir, "embeddings"))
+    val n = corpusCount(s, dir)
+    val k = math.min(n, 1L << lshBitsFor(n)).toInt
+    val q = emb.select($"vec_id".as("id"), KMeans.quantize($"embedding").as("qv"))
+    val cents = KMeans.fit(emb, "vec_id", "embedding", k, IvfTrainIters)
+    val withC = KMeans.assign(q, cents)
+      .join(q, Seq("id"))
+      .join(cents, Seq("cent_id"))
+      .select($"id", $"cent_id", $"qv", KMeans.icos($"qv", $"cvec").as("cosc"))
+    val a = withC.select($"cent_id", $"id".as("va"), $"qv".as("qa"), $"cosc".as("ca"))
+    val b = withC.select($"cent_id", $"id".as("vb"), $"qv".as("qb"), $"cosc".as("cb"))
+    val pairs = probePairs(
+      a.hint("shuffle_hash").join(b, Seq("cent_id")).filter($"va" =!= $"vb"),
+      "dedup_semdedup")
+      .filter(KMeans.icos($"qa", $"qb") >= SemanticT)
+    val verdict = pairs.groupBy($"va".as("id"))
+      .agg(count(lit(1)).as("n_similar"),
+        max(when($"cb" < $"ca" || ($"cb" === $"ca" && $"vb" < $"va"), 1)
+          .otherwise(0)).as("drop_flag"))
+    withC.select($"id", $"cent_id")
+      .join(verdict, Seq("id"), "left")
+      .select($"id".as("vec_id"), $"cent_id".as("cluster_id"),
+        coalesce($"n_similar", lit(0L)).as("n_similar"),
+        (coalesce($"drop_flag", lit(0)) === 0).as("is_kept"))
+      .orderBy($"vec_id")
+  }
+
   /** INCREMENTAL semantic dedup — the dedup operation a daily ingest
     * actually runs at 100 TB: match only the APPENDED vectors (the newest
     * quarter by id, same prefix convention as [[annIvfIncremental]])
@@ -1969,6 +2018,39 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+
+    // SemDeDup replay: the same k ladder (2^bits, floored at n), the
+    // unrolled integer Lloyd chain, rank-1 assignment, and the pairwise
+    // closer-centroid drop rule — fold-order-pinned doubles make the
+    // cosc comparisons bit-identical across engines
+    "dedup_semdedup" ->
+      s"""WITH $bitsCte,
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
+         |q AS (SELECT vec_id id,
+         |   [CAST(round(x * ${graft.operators.KMeans.Scale}) AS BIGINT) FOR x IN emb] qv FROM e),
+         |kk AS (SELECT LEAST(1::BIGINT << bits.bits, nb.n) k FROM bits, nb),
+         |c0 AS (SELECT id cent_id, qv cvec FROM q, kk WHERE id < kk.k),
+         |${lloydCte(1, "c0")},
+         |${lloydCte(2, "c1")},
+         |asg AS (SELECT id, cent_id FROM (
+         |  SELECT q.id, c.cent_id,
+         |   ROW_NUMBER() OVER (PARTITION BY q.id
+         |     ORDER BY ${icosSql("q.qv", "c.cvec")} DESC, c.cent_id) r
+         |  FROM q, c2 c) WHERE r = 1),
+         |wc AS (SELECT a.id, a.cent_id, q.qv,
+         |   ${icosSql("q.qv", "c.cvec")} cosc
+         |  FROM asg a JOIN q ON a.id = q.id JOIN c2 c ON a.cent_id = c.cent_id),
+         |prs AS (SELECT a.id va, b.id vb, a.cosc ca, b.cosc cb
+         |  FROM wc a JOIN wc b ON a.cent_id = b.cent_id AND a.id <> b.id
+         |  WHERE ${icosSql("a.qv", "b.qv")} >= $SemanticT),
+         |ver AS (SELECT va id, CAST(COUNT(*) AS BIGINT) n_similar,
+         |   MAX(CASE WHEN cb < ca OR (cb = ca AND vb < va) THEN 1 ELSE 0 END) drop_flag
+         |  FROM prs GROUP BY 1)
+         |SELECT w.id vec_id, w.cent_id cluster_id,
+         | COALESCE(v.n_similar, 0) n_similar,
+         | COALESCE(v.drop_flag, 0) = 0 AS is_kept
+         |FROM wc w LEFT JOIN ver v ON w.id = v.id
+         |ORDER BY vec_id""".stripMargin,
 
     "dedup_semantic" ->
       s"""WITH RECURSIVE $bitsCte,

@@ -51,6 +51,7 @@ object TrainingQueries {
     "qa_drift_psi" -> qaDriftPsi,
     "text_bpe_apply" -> textBpeApply,
     "text_bpe_train" -> textBpeTrain,
+    "text_bpe_segment" -> textBpeSegment,
     "text_ccnet_buckets" -> textCcnetBuckets
   )
 
@@ -481,7 +482,11 @@ object TrainingQueries {
     * per-round `localCheckpoint` cutting the geometric lineage the same
     * way `KMeans.fit` does. Winners stay in-plan as broadcast 1-row
     * relations — no driver-side loop state beyond the round counter. */
-  private val textBpeTrain: Q = (s, dir) => {
+  /** Run the [[BpeTrainRounds]]-round loop once; returns (per-round merge
+    * rows, final checkpointed segmentation) so the trainer and the
+    * segmenter share one definition. */
+  private def bpeTrainLoop(s: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) = {
     import s.implicits._
     val words = Tables(s, dir, "documents")
       .select(explode(Text.tokens(Text.normalized($"text"))).as("word"))
@@ -511,7 +516,28 @@ object TrainingQueries {
         .crossJoin(broadcast(t))
         .select(lit(r).as("round"), $"pair", $"pair_count", $"n_units_after")
     }
+    (rounds, seg)
+  }
+
+  private val textBpeTrain: Q = (s, dir) => {
+    import s.implicits._
+    val (rounds, _) = bpeTrainLoop(s, dir)
     rounds.reduce(_.unionByName(_)).orderBy($"round")
+  }
+
+  /** Apply the FULL trained merge table — the tokenizer's production
+    * read path: every vocabulary word segmented by all [[BpeTrainRounds]]
+    * merges in training order (the loop's final state, one definition
+    * with [[textBpeTrain]]). Output is the unit segmentation string plus
+    * its unit count — what a downstream token-budget or packing operator
+    * consumes. Vocabulary-bounded like the trainer. */
+  private val textBpeSegment: Q = (s, dir) => {
+    import s.implicits._
+    val (_, seg) = bpeTrainLoop(s, dir)
+    seg.select($"word", $"wc", $"seg",
+      (length($"seg") - length(replace($"seg", lit("|"), lit(""))) - 1)
+        .cast("int").as("n_units"))
+      .orderBy($"word")
   }
 
   // ------------------------------------------------- distribution drift
@@ -723,7 +749,7 @@ object TrainingQueries {
   /** Unrolled [[BpeTrainRounds]]-round BPE oracle: per round, a (pair
     * counts → winner → merged segmentation → unit total) CTE quadruple
     * chained off the previous round's segmentation. */
-  private lazy val textBpeTrainSql: String = {
+  private lazy val bpeChainCtes: String = {
     val roundCtes = (0 until BpeTrainRounds).map { r =>
       s"""p$r AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count FROM
          |  (SELECT wc, unnest([u[i] || '|' || u[i+1] FOR i IN range(1, len(u))]) AS pair
@@ -738,16 +764,26 @@ object TrainingQueries {
          |n$r AS (SELECT CAST(SUM(wc * (length(seg) - length(replace(seg, '|', '')) - 1)) AS BIGINT)
          |  AS n_units_after FROM seg${r + 1})""".stripMargin
     }.mkString(",\n")
-    val rows = (0 until BpeTrainRounds).map { r =>
-      s"SELECT CAST($r AS INT) AS round, t.pair, t.pair_count, n.n_units_after FROM t$r t, n$r n"
-    }.mkString(" UNION ALL ")
     s"""WITH w AS (SELECT word, COUNT(*) AS wc FROM
        |  (SELECT unnest($toksSql) AS word FROM documents) GROUP BY 1),
        |seg0 AS (SELECT word, wc, '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seg
        | FROM w WHERE length(word) >= 2),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private lazy val textBpeTrainSql: String = {
+    val rows = (0 until BpeTrainRounds).map { r =>
+      s"SELECT CAST($r AS INT) AS round, t.pair, t.pair_count, n.n_units_after FROM t$r t, n$r n"
+    }.mkString(" UNION ALL ")
+    s"""$bpeChainCtes
        |SELECT round, pair, pair_count, n_units_after FROM ($rows) ORDER BY round""".stripMargin
   }
+
+  private lazy val textBpeSegmentSql: String =
+    s"""$bpeChainCtes
+       |SELECT word, wc, seg,
+       | CAST(length(seg) - length(replace(seg, '|', '')) - 1 AS INT) AS n_units
+       |FROM seg$BpeTrainRounds ORDER BY word""".stripMargin
 
   /** LM-signal CTE chain shared by the text_lm_score oracle and the
     * CCNet bucketing oracle: held-out bigram LM -> per-doc hit counts. */
@@ -1032,6 +1068,11 @@ object TrainingQueries {
     // same unrolled-chain pattern as the KMeans oracle; the two-pass
     // replace and the (count DESC, pair) tiebreak replay bit-for-bit
     "text_bpe_train" -> textBpeTrainSql,
+
+    // the trained table APPLIED: the same unrolled chain, selecting the
+    // final segmentation instead of the merge rows (unused round CTEs
+    // are never evaluated by the optimizer)
+    "text_bpe_segment" -> textBpeSegmentSql,
 
     // literal replace has identical leftmost non-overlapping semantics in
     // both engines, so the applied merge replays exactly

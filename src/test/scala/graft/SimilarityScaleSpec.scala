@@ -424,6 +424,34 @@ class SimilarityScaleSpec extends SparkSpec {
       s"at sf1 the fresh retrain ${hits("fresh")} fell below frozen ${hits("frozen")}")
   }
 
+  test("dedup_semdedup: verdicts cover the corpus, keep-the-outlier holds") {
+    val dir = "/root/testdata/sf0.01"
+    val out = SimilarityQueries.queries("dedup_semdedup")(spark, dir).collect()
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.length == n, "one verdict row per vector")
+    out.foreach { r =>
+      val (sim, kept) = (r.getAs[Long]("n_similar"), r.getAs[Boolean]("is_kept"))
+      // isolation implies keeping; dropping requires a witness partner
+      if (sim == 0) assert(kept, s"isolated vector dropped: $r")
+      if (!kept) assert(sim >= 1, s"dropped without a similar partner: $r")
+    }
+    // the planted ~4% near-dups must actually prune something, and the
+    // prune must not collapse the corpus
+    val dropped = out.count(!_.getAs[Boolean]("is_kept"))
+    assert(dropped > 0, "no vector pruned — clustering or threshold broke")
+    assert(dropped < n / 2, s"over-pruning: $dropped of $n dropped")
+    // the drop relation is grounded: following closer-centroid edges
+    // terminates, so every cluster with similar pairs retains >= 1 KEPT
+    // member among the vectors flagged similar
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (c, rows) =>
+      val similar = rows.filter(_.getAs[Long]("n_similar") > 0)
+      if (similar.nonEmpty)
+        assert(similar.exists(_.getAs[Boolean]("is_kept")),
+          s"cluster $c pruned every member of its similarity set")
+    }
+  }
+
   test("dedup_substring_runs: reported runs are genuine verbatim substrings") {
     val out = SimilarityQueries.queries("dedup_substring_runs")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -227,4 +227,25 @@ class TrainingQueriesSpec extends SparkSpec {
     assert(rows.head.getString(1).replace("|", "") == top,
       "round-0 winner diverged from text_bpe_merges rank 1")
   }
+
+  test("text_bpe_segment: segmentation round-trips and sums to the trainer's total") {
+    val segs = run("text_bpe_segment")
+      .select("word", "wc", "seg", "n_units").collect()
+    assert(segs.nonEmpty)
+    segs.foreach { r =>
+      val (word, seg, n) = (r.getString(0), r.getString(2), r.getInt(3))
+      // removing delimiters recovers the word exactly — merges never
+      // lose or reorder characters
+      assert(seg.replace("|", "") == word, s"seg '$seg' does not spell '$word'")
+      assert(seg.startsWith("|") && seg.endsWith("|"))
+      assert(n == seg.count(_ == '|') - 1 && n >= 1)
+    }
+    // the segmenter IS the trainer's final state: Σ wc·n_units must equal
+    // round 7's n_units_after from text_bpe_train
+    val total = segs.map(r => r.getLong(1) * r.getInt(3)).sum
+    val trained = run("text_bpe_train").orderBy(col("round").desc)
+      .head().getLong(3)
+    assert(total == trained,
+      s"segment total $total != trainer's final n_units_after $trained")
+  }
 }
