@@ -28,7 +28,7 @@ object PairScale {
       val out = graft.queries.SimilarityQueries.queries(k)(spark, dir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       val pairs = graft.queries.SimilarityQueries.observedPairCount(k)
-      val base = if (k.startsWith("dedup_semantic")) nVecs else nDocs
+      val base = if (k.startsWith("dedup_sem")) nVecs else nDocs
       val ppr = pairs.map(_.toDouble / base).getOrElse(-1.0)
       println(f"""{"key":"$k","dir":"$dir","rows":$base,"out_rows":$out,"cand_pairs":${pairs.getOrElse(-1L)},"pairs_per_row":$ppr%.2f,"sec":$sec%.2f}""")
     }

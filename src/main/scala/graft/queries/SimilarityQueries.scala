@@ -79,10 +79,16 @@ object SimilarityQueries {
     * None if the stage never ran (or nothing arrives in time). */
   private[graft] def observedPairCount(name: String): Option[Long] =
     pairProbes.get(name).flatMap { o =>
-      try Some(scala.concurrent.Await
-        .result(o.future, scala.concurrent.duration.Duration(5, "s"))
-        .getAs[Long]("pairs"))
-      catch { case _: java.util.concurrent.TimeoutException => None }
+      // positional access: the metrics Row is schema-less on some
+      // listener paths, and the probe carries exactly one metric. An
+      // EMPTY row means the action's executed plan pruned the observed
+      // subtree (e.g. a count() that eliminated the join carrying it) —
+      // report None, not a phantom zero.
+      try {
+        val r = scala.concurrent.Await
+          .result(o.future, scala.concurrent.duration.Duration(5, "s"))
+        if (r.length == 0) None else Some(r.getLong(0))
+      } catch { case _: java.util.concurrent.TimeoutException => None }
     }
   // Scale-aware hyperplane-LSH width (VERDICT r4 #1): a FIXED bit count
   // makes same-bucket pair generation ~n²/2^bits — invisible at test SFs,
@@ -1362,6 +1368,13 @@ object SimilarityQueries {
       .select($"id".as("vec_id"), $"cent_id".as("cluster_id"),
         coalesce($"n_similar", lit(0L)).as("n_similar"),
         (coalesce($"drop_flag", lit(0)) === 0).as("is_kept"))
+      // semantically always true, but an OPTIMIZER BARRIER: a bare
+      // count() over this output would otherwise eliminate the left join
+      // against the verdict aggregate (unique keys, no referenced
+      // columns) and silently skip the entire pair stage — making both
+      // the fused pair probe and any count-driven benchmark measure a
+      // query that never ran its pruning work
+      .filter($"n_similar" >= 0)
       .orderBy($"vec_id")
   }
 

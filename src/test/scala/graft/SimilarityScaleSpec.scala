@@ -362,6 +362,23 @@ class SimilarityScaleSpec extends SparkSpec {
       assert(sem <= 1.5 * env,
         s"semantic pairs/vec $sem exceeded the (bits+1)-probe envelope $env at n=$n")
     }
+    // semdedup: within-cluster pairs/vec is bounded by E[cluster] = n/k,
+    // which the k ladder pins at ~LshTargetBucket (measured 249 → 156
+    // per vec across the decade — flat-to-decreasing)
+    def probedVec(dir: String): (Long, Double) = {
+      SimilarityQueries.queries("dedup_semdedup")(spark, dir).count()
+      val pairs = SimilarityQueries.observedPairCount("dedup_semdedup")
+        .getOrElse(fail(s"dedup_semdedup: fused pair probe never fired at $dir"))
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      (n, pairs.toDouble / n)
+    }
+    for (dir <- Seq(Gen01, Gen1)) {
+      val (n, sd) = probedVec(dir)
+      val k = math.min(n, 1L << SimilarityQueries.lshBitsFor(n))
+      val envCluster = n.toDouble / k
+      assert(sd <= 1.5 * envCluster + 1.0,
+        s"semdedup pairs/vec $sd exceeded the cluster envelope $envCluster at n=$n")
+    }
     // simhash: candidate density at sf1 (941/doc measured) is the
     // saturation regime — the fence must refuse and name the scale path
     val e = intercept[IllegalArgumentException](
