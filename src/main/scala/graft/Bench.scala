@@ -5,6 +5,18 @@ package graft
   * query initializes the session/codegen so timings reflect execution, not
   * JVM startup. */
 object Bench {
+  /** The timed terminal: a full-plan noop write, NOT count(). A bare
+    * count() lets Catalyst prune everything cardinality-preserving that
+    * the count doesn't need — unique-key left joins, windows, generates,
+    * whole aggregate subtrees (measured by `graft.CountPlan`: 38 of 175
+    * keys lost operators, text_lm_score lost its entire LM join) — so a
+    * count-driven benchmark was timing a DIFFERENT, lighter query. The
+    * noop sink executes the declared plan with every output column
+    * (including the deterministic output sort the oracle gate also pays)
+    * and discards rows at the executors. */
+  def exec(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -21,7 +33,7 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
     // A failing query must be visible as a FAILURE, not recorded as a
@@ -40,7 +52,7 @@ object Bench {
     def timedPass(): Seq[(String, Double, Boolean)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { exec(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }

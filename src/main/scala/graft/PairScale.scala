@@ -25,7 +25,9 @@ object PairScale {
     val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
     keys.foreach { k =>
       val t0 = System.nanoTime()
-      val out = graft.queries.SimilarityQueries.queries(k)(spark, dir).count()
+      val df = graft.queries.SimilarityQueries.queries(k)(spark, dir)
+      graft.Bench.exec(df) // full-plan terminal — count() prunes (see Bench.exec)
+      val out = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
       val pairs = graft.queries.SimilarityQueries.observedPairCount(k)
       val base = if (k.startsWith("dedup_sem")) nVecs else nDocs
