@@ -292,6 +292,7 @@ object SimilarityQueries {
     "ann_cosine_topk" -> annTopK,
     "ann_lsh_bucket" -> annLshBucket,
     "ann_lsh_multiprobe" -> annLshMultiprobe,
+    "ann_filtered" -> annFiltered,
     "ann_ivf" -> annIvf,
     "ann_recall_at_k" -> annRecallAtK,
     "ann_q8_recall" -> annQ8Recall,
@@ -754,6 +755,49 @@ object SimilarityQueries {
       $"bucket", $"nrm".as("nn"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
     broadcast(q).join(n, Seq("bucket"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cos",
+        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** FILTERED vector search — the serving-layer composition a production
+    * vector store ships ("nearest neighbors in the SAME category"): the
+    * multi-probe LSH candidate join with a metadata predicate (label
+    * equality) pushed INTO the join condition, so filtered-out candidates
+    * never reach the cosine verify and top-3 ranks are computed within
+    * the filtered set. The predicate rides the same hash join as the
+    * bucket key — zero extra shuffles vs the unfiltered path; at any
+    * selectivity the work can only SHRINK relative to
+    * [[annLshMultiprobe]]. Post-filtering (rank first, filter after)
+    * would instead silently return < k survivors — the classic filtered-
+    * ANN bug this key's oracle would catch. */
+  private val annFiltered: Q = (s, dir) => {
+    import s.implicits._
+    val bits = lshBits(s, dir)
+    def flip(b: org.apache.spark.sql.Column, i: Int) = concat(
+      substring(b, 1, i),
+      when(substring(b, i + 1, 1) === "0", "1").otherwise("0"),
+      substring(b, i + 2, bits))
+    val emb = spread(Tables(s, dir, "embeddings")).select($"vec_id", $"embedding",
+      $"label",
+      Vectors.hyperplaneBucket($"embedding", EmbDim, bits, LshSeed).as("bucket"),
+      Vectors.fnorm($"embedding").as("nrm"))
+    val q = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"),
+        $"label".as("ql"),
+        explode(array($"bucket" +: (0 until bits).map(flip($"bucket", _)): _*))
+          .as("bucket"))
+    val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"),
+      $"bucket", $"nrm".as("nn"), $"label".as("nl"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    broadcast(q).join(n, Seq("bucket"))
+      // equi-predicate on both sides: Catalyst folds it into the hash
+      // join keys, so label filtering happens AT the join, not after
+      .filter($"ql" === $"nl")
       .filter($"query_id" =!= $"neighbor_id")
       .withColumn("cos",
         Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
@@ -1823,6 +1867,27 @@ object SimilarityQueries {
          |  FROM mp_scored)
          |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+    // the multiprobe candidate join with the label predicate inside the
+    // join — filtered-ANN, ranks computed within the filtered set
+    "ann_filtered" ->
+      s"""WITH $bitsCte,
+         |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) emb,
+         |   ${bucketSql("CAST(embedding AS DOUBLE[])")} bucket FROM embeddings, bits),
+         |p AS (SELECT e.vec_id AS query_id, e.label ql, e.emb AS qe,
+         |   unnest([e.bucket] || [CONCAT(substr(e.bucket, 1, b),
+         |     CASE substr(e.bucket, b + 1, 1) WHEN '0' THEN '1' ELSE '0' END,
+         |     substr(e.bucket, b + 2)) FOR b IN range(0, bits.bits)]) AS bucket
+         | FROM e, bits WHERE e.vec_id < 50),
+         |sc AS (SELECT p.query_id, n.vec_id neighbor_id,
+         |   (SELECT $cosineSql FROM (SELECT p.qe ea, n.emb eb)) cos
+         |  FROM p JOIN e n ON p.bucket = n.bucket AND p.ql = n.label
+         |    AND p.query_id <> n.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) rank
+         |  FROM sc)
+         |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte,
          |cand AS (SELECT x.doc_id doc_a, y.doc_id doc_b FROM shd x JOIN shd y ON x.doc_id < y.doc_id)

@@ -441,6 +441,27 @@ class SimilarityScaleSpec extends SparkSpec {
       s"at sf1 the fresh retrain ${hits("fresh")} fell below frozen ${hits("frozen")}")
   }
 
+  test("ann_filtered: every neighbor shares its query's label, never post-filtered") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = SimilarityQueries.queries("ann_filtered")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (q, _, n) =>
+      assert(labels(q) == labels(n),
+        s"neighbor $n (label ${labels(n)}) returned for query $q (label ${labels(q)})")
+    }
+    // ranks are dense from 1 per query — the filter ran BEFORE ranking
+    // (post-filtering would leave rank gaps and short result lists)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"query $q has non-dense ranks: post-filtered ANN bug")
+    }
+  }
+
   test("dedup_semdedup: verdicts cover the corpus, keep-the-outlier holds") {
     val dir = "/root/testdata/sf0.01"
     val out = SimilarityQueries.queries("dedup_semdedup")(spark, dir).collect()
