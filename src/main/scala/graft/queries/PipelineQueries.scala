@@ -26,6 +26,7 @@ object PipelineQueries {
     "hof_array_pack" -> hofArrayPack,
     "a_regr_fit" -> aRegrFit,
     "a_median" -> aMedian,
+    "a_median_hist" -> aMedianHist,
     "pv_unpivot" -> pvUnpivot,
     "g_date_spine" -> gDateSpine,
     "sample_hash_split" -> sampleHashSplit,
@@ -149,6 +150,40 @@ object PipelineQueries {
         expr("median(l_quantity)").as("med_qty"),
         expr("median(l_extendedprice)").as("med_price"))
       .orderBy($"l_returnflag")
+  }
+
+  /** EXACT median at scale — the histogram path (VERDICT r10 honest-bench
+    * follow-up): [[aMedian]]'s `median()` is a value-buffering aggregate
+    * (per-group value→count maps ride the shuffle and merge on the
+    * reducer — data-proportional state, 9.6× at the honest decade). This
+    * computes the SAME exact medians with bounded state: one hash
+    * aggregate over (group, metric, value) — the histogram, whose size is
+    * bounded by the VALUE DOMAIN (integer cents), not the corpus — then a
+    * cumulative window over that bounded domain and the classic
+    * counting-sort rank pick. The same trick train_curriculum_order uses
+    * for ordering, applied to quantiles. Medians emit as lo+hi (the two
+    * middle values summed, `med_x2`) so every cell is an exact BIGINT —
+    * divide by 2 to read the conventional value. */
+  private val aMedianHist: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem").select($"l_returnflag",
+      $"l_quantity".cast("long").as("q"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"))
+    val longf = li.select($"l_returnflag", explode(array(
+        struct(lit("price_cents").as("metric"), $"pc".as("v")),
+        struct(lit("qty").as("metric"), $"q".as("v")))).as("mv"))
+      .select($"l_returnflag", $"mv.metric".as("metric"), $"mv.v".as("v"))
+    val hist = longf.groupBy($"l_returnflag", $"metric", $"v")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy($"l_returnflag", $"metric").orderBy($"v")
+    val wTot = Window.partitionBy($"l_returnflag", $"metric")
+    hist.withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(wTot))
+      .groupBy($"l_returnflag", $"metric")
+      .agg(max($"n").as("n_items"),
+        (min(when($"cum" >= expr("(n + 1) div 2"), $"v")) +
+          min(when($"cum" >= expr("(n + 2) div 2"), $"v"))).as("med_x2"))
+      .orderBy($"l_returnflag", $"metric")
   }
 
   // --------------------------------------------------------------- unpivot
@@ -381,6 +416,22 @@ object PipelineQueries {
       """SELECT l_returnflag, COUNT(*) AS n_items,
         | median(l_quantity) AS med_qty, median(l_extendedprice) AS med_price
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // the same exact medians via the bounded-domain counting histogram;
+    // integer lo+hi emission keeps every cell BIGINT-exact
+    "a_median_hist" ->
+      """WITH li AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) q,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) pc FROM lineitem),
+        |lf AS (SELECT l_returnflag, 'price_cents' AS metric, pc AS v FROM li
+        |  UNION ALL SELECT l_returnflag, 'qty', q FROM li),
+        |h AS (SELECT l_returnflag, metric, v, COUNT(*) c FROM lf GROUP BY 1, 2, 3),
+        |cw AS (SELECT *,
+        |  SUM(c) OVER (PARTITION BY l_returnflag, metric ORDER BY v) cum,
+        |  SUM(c) OVER (PARTITION BY l_returnflag, metric) n FROM h)
+        |SELECT l_returnflag, metric, CAST(MAX(n) AS BIGINT) n_items,
+        | CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+        |   + MIN(CASE WHEN cum >= (n + 2) // 2 THEN v END) AS BIGINT) med_x2
+        |FROM cw GROUP BY 1, 2 ORDER BY l_returnflag, metric""".stripMargin,
 
     "pv_unpivot" ->
       """WITH base AS (SELECT l_returnflag,

@@ -5,6 +5,20 @@ import org.apache.spark.sql.functions._
 /** Semantic invariants of the round-3 pack — value-level equivalences the
   * rows-only structural gate can't see. */
 class PipelineQueriesSpec extends SparkSpec {
+
+  test("a_median_hist: the histogram path equals the buffering median() exactly") {
+    import graft.queries.PipelineQueries
+    val hist = PipelineQueries.queries("a_median_hist")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    PipelineQueries.queries("a_median")(spark, sfDir).collect().foreach { r =>
+      val flag = r.getString(0)
+      assert(hist((flag, "qty")) / 2.0 == r.getDouble(2),
+        s"qty median diverged for $flag")
+      // med_price is dollars; the histogram carries exact cents
+      assert(hist((flag, "price_cents")) / 2.0 == math.round(r.getDouble(3) * 100 * 2) / 2.0,
+        s"price median diverged for $flag")
+    }
+  }
   import graft.queries.PipelineQueries
 
   test("dedup_bloom_prefilter is EXACT: identical to the plain anti-join") {
