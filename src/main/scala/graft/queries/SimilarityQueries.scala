@@ -1376,40 +1376,45 @@ object SimilarityQueries {
     * ([[graft.operators.KMeans]]), the fold-order-pinned icos comparisons,
     * and a (closer-centroid, then lower-id) pairwise drop rule.
     *
-    * Scale shape: k derives from corpus size (2^[[lshBitsFor]] — the same
-    * ladder that pins LSH bucket sizes), so E[cluster] ≈
-    * [[LshTargetBucket]] and within-cluster pair work is O(n · target),
-    * linear; the fused pair probe measures it like the other banded
-    * generators. The known k-means cost is the n·k·d assignment — at
-    * deployment scale that step becomes sample-trained codebooks +
-    * IVF-probe assignment (exactly the machinery `ann_ivf_trained` /
-    * `ann_ivf_incremental` already prove), leaving this operator's novel
-    * surface — the prune rule — unchanged. */
+    * Scale shape — FIXED-k training + LSH-refined cells. The paper's own
+    * bottleneck is k-means with k growing in n (assignment is n·k·d ⇒
+    * quadratic; an earlier k-ladder draft of this operator measured 23×
+    * for 10× vectors at sf10). Instead the codebook stays at
+    * [[IvfCentroids]] (training/assignment LINEAR in n) and each
+    * semantic cell is REFINED by the first (bits − log2 k) hyperplane-LSH
+    * bits — the same per-bit seeds as the ANN family, so the ladder pins
+    * E[cell] ≈ [[LshTargetBucket]] at any n without the codebook growing.
+    * Pair work stays O(n · target); the prune rule still scores against
+    * the SEMANTIC centroid, so the paper's keep-the-outlier semantics
+    * are untouched — the refinement only bounds candidate generation. */
   private val dedupSemdedup: Q = (s, dir) => {
     import s.implicits._
     import graft.operators.KMeans
     val emb = spread(Tables(s, dir, "embeddings"))
-    val n = corpusCount(s, dir)
-    val k = math.min(n, 1L << lshBitsFor(n)).toInt
-    val q = emb.select($"vec_id".as("id"), KMeans.quantize($"embedding").as("qv"))
-    val cents = KMeans.fit(emb, "vec_id", "embedding", k, IvfTrainIters)
-    val withC = KMeans.assign(q, cents)
+    val bits = lshBits(s, dir)
+    val subBits = math.max(0, bits - 4) // log2(IvfCentroids) = 4
+    val q = emb.select($"vec_id".as("id"), KMeans.quantize($"embedding").as("qv"),
+      substring(Vectors.hyperplaneBucket($"embedding", EmbDim, bits, LshSeed),
+        1, subBits).as("sub"))
+    val cents = KMeans.fit(emb, "vec_id", "embedding", IvfCentroids, IvfTrainIters)
+    val withC = KMeans.assign(q.select($"id", $"qv"), cents)
       .join(q, Seq("id"))
       .join(cents, Seq("cent_id"))
-      .select($"id", $"cent_id", $"qv", KMeans.icos($"qv", $"cvec").as("cosc"))
-    val a = withC.select($"cent_id", $"id".as("va"), $"qv".as("qa"), $"cosc".as("ca"))
-    val b = withC.select($"cent_id", $"id".as("vb"), $"qv".as("qb"), $"cosc".as("cb"))
+      .select($"id", concat($"cent_id", lit("_"), $"sub").as("cell"),
+        $"qv", KMeans.icos($"qv", $"cvec").as("cosc"))
+    val a = withC.select($"cell", $"id".as("va"), $"qv".as("qa"), $"cosc".as("ca"))
+    val b = withC.select($"cell", $"id".as("vb"), $"qv".as("qb"), $"cosc".as("cb"))
     val pairs = probePairs(
-      a.hint("shuffle_hash").join(b, Seq("cent_id")).filter($"va" =!= $"vb"),
+      a.hint("shuffle_hash").join(b, Seq("cell")).filter($"va" =!= $"vb"),
       "dedup_semdedup")
       .filter(KMeans.icos($"qa", $"qb") >= SemanticT)
     val verdict = pairs.groupBy($"va".as("id"))
       .agg(count(lit(1)).as("n_similar"),
         max(when($"cb" < $"ca" || ($"cb" === $"ca" && $"vb" < $"va"), 1)
           .otherwise(0)).as("drop_flag"))
-    withC.select($"id", $"cent_id")
+    withC.select($"id", $"cell")
       .join(verdict, Seq("id"), "left")
-      .select($"id".as("vec_id"), $"cent_id".as("cluster_id"),
+      .select($"id".as("vec_id"), $"cell".as("cluster_id"),
         coalesce($"n_similar", lit(0L)).as("n_similar"),
         (coalesce($"drop_flag", lit(0)) === 0).as("is_kept"))
       // semantically always true, but an OPTIMIZER BARRIER: a bare
@@ -2097,17 +2102,18 @@ object SimilarityQueries {
          |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
 
-    // SemDeDup replay: the same k ladder (2^bits, floored at n), the
-    // unrolled integer Lloyd chain, rank-1 assignment, and the pairwise
-    // closer-centroid drop rule — fold-order-pinned doubles make the
-    // cosc comparisons bit-identical across engines
+    // SemDeDup replay: fixed-k unrolled integer Lloyd chain, rank-1
+    // assignment, LSH-prefix cell refinement (same per-bit seeds as the
+    // ANN bucket oracle), and the pairwise closer-centroid drop rule —
+    // fold-order-pinned doubles make the cosc comparisons bit-identical
     "dedup_semdedup" ->
       s"""WITH $bitsCte,
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings),
-         |q AS (SELECT vec_id id,
-         |   [CAST(round(x * ${graft.operators.KMeans.Scale}) AS BIGINT) FOR x IN emb] qv FROM e),
-         |kk AS (SELECT LEAST(1::BIGINT << bits.bits, nb.n) k FROM bits, nb),
-         |c0 AS (SELECT id cent_id, qv cvec FROM q, kk WHERE id < kk.k),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
+         |   ${bucketSql("CAST(embedding AS DOUBLE[])")} bucket FROM embeddings, bits),
+         |q AS (SELECT vec_id id, substr(bucket, 1, GREATEST(bits.bits - 4, 0)) sub,
+         |   [CAST(round(x * ${graft.operators.KMeans.Scale}) AS BIGINT) FOR x IN emb] qv
+         | FROM e, bits),
+         |c0 AS (SELECT id cent_id, qv cvec FROM q WHERE id < $IvfCentroids),
          |${lloydCte(1, "c0")},
          |${lloydCte(2, "c1")},
          |asg AS (SELECT id, cent_id FROM (
@@ -2115,16 +2121,16 @@ object SimilarityQueries {
          |   ROW_NUMBER() OVER (PARTITION BY q.id
          |     ORDER BY ${icosSql("q.qv", "c.cvec")} DESC, c.cent_id) r
          |  FROM q, c2 c) WHERE r = 1),
-         |wc AS (SELECT a.id, a.cent_id, q.qv,
+         |wc AS (SELECT a.id, CONCAT(a.cent_id, '_', q.sub) cell, q.qv,
          |   ${icosSql("q.qv", "c.cvec")} cosc
          |  FROM asg a JOIN q ON a.id = q.id JOIN c2 c ON a.cent_id = c.cent_id),
          |prs AS (SELECT a.id va, b.id vb, a.cosc ca, b.cosc cb
-         |  FROM wc a JOIN wc b ON a.cent_id = b.cent_id AND a.id <> b.id
+         |  FROM wc a JOIN wc b ON a.cell = b.cell AND a.id <> b.id
          |  WHERE ${icosSql("a.qv", "b.qv")} >= $SemanticT),
          |ver AS (SELECT va id, CAST(COUNT(*) AS BIGINT) n_similar,
          |   MAX(CASE WHEN cb < ca OR (cb = ca AND vb < va) THEN 1 ELSE 0 END) drop_flag
          |  FROM prs GROUP BY 1)
-         |SELECT w.id vec_id, w.cent_id cluster_id,
+         |SELECT w.id vec_id, w.cell cluster_id,
          | COALESCE(v.n_similar, 0) n_similar,
          | COALESCE(v.drop_flag, 0) = 0 AS is_kept
          |FROM wc w LEFT JOIN ver v ON w.id = v.id
