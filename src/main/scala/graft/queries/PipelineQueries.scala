@@ -35,6 +35,8 @@ object PipelineQueries {
     "s_fuzzy_brands" -> sFuzzyBrands,
     "q_topn_group" -> qTopnGroup,
     "inc_agg_merge" -> incAggMerge,
+    "inc_cdc_apply" -> incCdcApply,
+    "layout_range_bounds" -> layoutRangeBounds,
     "rec_cte_chain" -> recCteChain,
     "p_null_safe_eq" -> pNullSafeEq
   )
@@ -331,6 +333,83 @@ object PipelineQueries {
       .orderBy($"o_custkey")
   }
 
+  // ------------------------------------------------------ CDC changelog apply
+  /** CDC apply — the missing piece between [[incAggMerge]] (partial-agg
+    * refresh) and `m_upsert_keyed` (upsert only): apply an
+    * insert/update/DELETE changelog to a standing snapshot, latest
+    * sequence number winning per key. The reference's warehouse sync is
+    * delete+insert (ingest_latest_synthetic_data.py:554-572) — this is the
+    * general MERGE it approximates, including tombstones and
+    * delete-then-reinsert. Plan shape at 100 TB: ONE window over the
+    * changelog (typically ≪ snapshot) collapses it to a latest-op image,
+    * then one key-partitioned full-outer join merges it in — the
+    * merge-on-read compaction a Hudi/Delta table runs, expressed as plain
+    * keyed relational ops. The changelog here is synthesized
+    * deterministically from orders so the oracle can replay every case:
+    * untouched keys ('kept'), updated, inserted (key absent from the
+    * snapshot), deleted (final op D → row absent), and a seq-2 reinsert
+    * overriding a seq-1 delete. Money rides as integer cents. */
+  private val incCdcApply: Q = (s, dir) => {
+    import s.implicits._
+    val orders = Tables(s, dir, "orders")
+      .select($"o_orderkey".as("k"), $"o_orderstatus".as("status"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+    val snapshot = orders.filter($"k" % 4 =!= 0)
+    val base = orders.filter($"k" % 3 === 0)
+    val chg1 = base.select($"k", lit(1L).as("seq"),
+      when($"k" % 5 === 0, "D").otherwise("U").as("op"),
+      lit("chg").as("c_status"), ($"price_cents" + 500L).as("c_price"))
+    val chg2 = base.filter($"k" % 6 === 0).select($"k", lit(2L).as("seq"),
+      lit("U").as("op"), lit("chg2").as("c_status"),
+      ($"price_cents" + 1000L).as("c_price"))
+    val w = Window.partitionBy($"k").orderBy($"seq".desc)
+    val latest = chg1.unionByName(chg2)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"k", $"op", $"c_status", $"c_price")
+    snapshot.join(latest, Seq("k"), "full_outer")
+      .filter($"op".isNull || $"op" === "U")
+      .select($"k",
+        coalesce($"c_status", $"status").as("status"),
+        coalesce($"c_price", $"price_cents").as("price_cents"),
+        when($"op".isNull, "kept")
+          .when($"status".isNotNull, "updated")
+          .otherwise("inserted").as("action"))
+      .orderBy($"k")
+  }
+
+  // ------------------------------------------- exact range-partition bounds
+  /** Exact, deterministic range-partitioner split points — what a global
+    * sort / range-bucketed layout needs at 100 TB. Spark's own
+    * RangePartitioner SAMPLES (nondeterministic bounds, rerun-unstable
+    * layouts); this computes balanced bounds exactly from a DOMAIN-BOUNDED
+    * counting histogram: prices quantized to a fixed grid (cents ÷ 1000 ≈
+    * dollar resolution — ~10⁴ cells regardless of corpus size), one hash
+    * aggregate builds the histogram, a cumulative window over the bounded
+    * grid ranks it, and split j of B is the smallest grid value whose
+    * cumulative count covers j/B of the rows (cross-multiplied —
+    * `8·cum ≥ j·n` — so every comparison stays integer-exact). The same
+    * counting-sort machinery as a_median_hist/train_curriculum_order,
+    * aimed at physical layout: histogram state ∝ value domain, never ∝
+    * data, and the bounds are bit-stable across reruns and engines. */
+  private val layoutRangeBounds: Q = (s, dir) => {
+    import s.implicits._
+    val B = 8
+    val li = Tables(s, dir, "lineitem")
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 1000").as("v"))
+    val hist = li.groupBy($"v").agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy($"v")
+    val total = li.agg(count(lit(1)).as("n"))
+    val spine = s.range(1)
+      .select(explode(expr(s"sequence(1, ${B - 1})")).as("split_idx"))
+    hist.withColumn("cum", sum($"c").over(wCum))
+      .crossJoin(broadcast(total))
+      .join(broadcast(spine), $"cum" * B >= $"split_idx" * $"n")
+      .groupBy($"split_idx")
+      .agg(max($"n").as("n_rows"), min($"v").as("bound_grid"),
+        min($"cum").as("rows_le_bound"))
+      .orderBy($"split_idx")
+  }
+
   // --------------------------------------------------- null-safe equality
   /** `<=>` (IS NOT DISTINCT FROM): NULL-tolerant comparison and its use as
     * a join/group key. A nullable derived key (small parts lose their
@@ -495,6 +574,41 @@ object PipelineQueries {
         |SELECT o_custkey, CAST(SUM(n) AS BIGINT) AS n_orders, CAST(SUM(t) AS DOUBLE) AS total_spent
         |FROM (SELECT * FROM standing UNION ALL SELECT * FROM delta)
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "inc_cdc_apply" ->
+      """WITH o AS (SELECT o_orderkey k, o_orderstatus status,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) price_cents FROM orders),
+        |snapshot AS (SELECT * FROM o WHERE k % 4 <> 0),
+        |chg AS (
+        | SELECT k, 1 AS seq, CASE WHEN k % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+        |  'chg' AS c_status, price_cents + 500 AS c_price FROM o WHERE k % 3 = 0
+        | UNION ALL
+        | SELECT k, 2, 'U', 'chg2', price_cents + 1000 FROM o
+        | WHERE k % 3 = 0 AND k % 6 = 0),
+        |latest AS (SELECT k, op, c_status, c_price FROM (
+        | SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) rn
+        | FROM chg) WHERE rn = 1)
+        |SELECT COALESCE(s.k, l.k) AS k,
+        | COALESCE(l.c_status, s.status) AS status,
+        | CAST(COALESCE(l.c_price, s.price_cents) AS BIGINT) AS price_cents,
+        | CASE WHEN l.op IS NULL THEN 'kept'
+        |      WHEN s.status IS NOT NULL THEN 'updated'
+        |      ELSE 'inserted' END AS action
+        |FROM snapshot s FULL OUTER JOIN latest l ON s.k = l.k
+        |WHERE l.op IS NULL OR l.op = 'U'
+        |ORDER BY k""".stripMargin,
+
+    "layout_range_bounds" ->
+      """WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 1000 AS v
+        |  FROM lineitem),
+        |hist AS (SELECT v, COUNT(*) c FROM li GROUP BY v),
+        |cw AS (SELECT v, c, SUM(c) OVER (ORDER BY v) cum FROM hist),
+        |t AS (SELECT COUNT(*) n FROM li),
+        |spine AS (SELECT unnest(range(1, 8)) AS split_idx)
+        |SELECT split_idx, CAST(MAX(n) AS BIGINT) n_rows,
+        | CAST(MIN(v) AS BIGINT) bound_grid, CAST(MIN(cum) AS BIGINT) rows_le_bound
+        |FROM cw CROSS JOIN t JOIN spine ON cum * 8 >= split_idx * n
+        |GROUP BY split_idx ORDER BY split_idx""".stripMargin,
 
     "rec_cte_chain" ->
       """WITH RECURSIVE chain(s, anc, depth) AS (

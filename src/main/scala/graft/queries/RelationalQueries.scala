@@ -57,6 +57,7 @@ object RelationalQueries {
     "st_stream_session" -> stStreamSession,
     "st_stream_enrich" -> stStreamEnrich,
     "st_stream_join" -> stStreamJoin,
+    "st_stream_left_join" -> stStreamLeftJoin,
     "s9_catalog_counts" -> s9CatalogCounts,
     "qa_unique_violations" -> qaUniqueViolations,
     "runner_daily_sales" -> runnerDailySales,
@@ -713,6 +714,30 @@ object RelationalQueries {
       .select($"user_id", $"purchase_id", $"view_id")
     drainToTable(s, joined, "st_stream_join", "append")
       .orderBy($"user_id", $"purchase_id", $"view_id")
+  }
+
+  /** STREAMING stream-stream LEFT OUTER interval join —
+    * [[graft.streaming.Streams.purchaseAttributionLeft]] through the REAL
+    * engine. Matched purchases emit like the inner join; an UNMATCHED
+    * purchase emits its null-view row only once the watermark proves no
+    * view can ever match it and its buffered state is evicted — so
+    * purchases later than the final watermark stay un-emitted in state at
+    * drain end. The DuckDB replay encodes exactly that contract: the
+    * batch inner join UNION the unmatched purchases with
+    * `p_ts < final watermark` (strictness probed and pinned in
+    * StreamsSpec), where the final watermark is
+    * min(max view ts, max purchase ts) − the 2 h delay, the same
+    * min-across-inputs rule the engine applies. This is the rung that
+    * certifies state EVICTION (not just retention) is correct — the
+    * property that bounds the join's memory at 100 TB. */
+  private val stStreamLeftJoin: Q = (s0, dir) => {
+    val s = streamSession(s0)
+    import s.implicits._
+    val joined = graft.streaming.Streams
+      .purchaseAttributionLeft(eventsStream(s, dir))
+      .select($"user_id", $"purchase_id", $"view_id")
+    drainToTable(s, joined, "st_stream_left_join", "append")
+      .orderBy($"user_id", $"purchase_id", $"view_id".asc_nulls_first)
   }
 
   /** S9: catalog probes — per-table row counts as one result set

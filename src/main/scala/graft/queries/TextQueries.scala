@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.functions.Text
+import graft.functions.{Text, Vectors}
 
 /** Text-analysis pack over the `documents` table — the training-data-pipeline
   * operators (token counting, fingerprinting, exact dedup, language ID,
@@ -25,7 +25,9 @@ object TextQueries {
     "text_df_stats" -> textDfStats,
     "pipeline_doc_filter" -> pipelineDocFilter,
     "text_heavy_hitters" -> textHeavyHitters,
-    "text_langid_trained" -> textLangidTrained
+    "text_langid_trained" -> textLangidTrained,
+    "dedup_paragraph" -> dedupParagraph,
+    "text_cms_freq" -> textCmsFreq
   )
 
   /** Heavy-hitter capacity: emitted tokens have frequency > n/HhK. */
@@ -184,6 +186,85 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Paragraph width for [[dedupParagraph]] (tokens per paragraph). */
+  private val ParaW = 4
+
+  /** PARAGRAPH-level dedup — the CCNet regime: dedup at sub-document
+    * granularity and REASSEMBLE the cleaned documents, so a doc that
+    * shares boilerplate with the corpus loses just those paragraphs, not
+    * its whole body. The synthetic corpus has no newline structure, so the
+    * paragraphizer is positional ([[ParaW]]-token groups — the same
+    * fixed-grid chunker as text_chunk); on real data the split(·) is the
+    * only line that changes. Keeper is the GLOBAL first occurrence by
+    * (doc_id, position) — deterministic under any partitioning, which is
+    * what makes the reassembled text hash-gradable. Plan: one shuffle on
+    * the paragraph md5 (the window), one shuffle back on doc_id for
+    * reassembly — both linear; at 100 TB this is exactly the sharded
+    * paragraph-hash dedup CCNet runs, with the reassembly order pinned by
+    * sorting the collected (pos, text) structs instead of trusting
+    * collect_list's arrival order. */
+  private val dedupParagraph: Q = (s, dir) => {
+    import s.implicits._
+    val toks = Text.tokens(Text.normalized($"text"))
+    val paras = Tables(s, dir, "documents")
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(0), ((size(toks) + ParaW - 1) / ParaW).cast("int") - 1),
+        g => array_join(slice(toks, g * ParaW + 1, lit(ParaW)), " "))))
+      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "part")
+    val w = Window.partitionBy(md5($"part")).orderBy($"doc_id", $"pos")
+    paras.withColumn("rn", row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when($"rn" === 1, struct($"pos", $"part")))),
+          x => x.getField("part")), " ").as("cleaned_text"))
+      .orderBy($"doc_id")
+  }
+
+  /** Count-min-sketch width / depth. Width is deliberately NARROW for the
+    * 31-word synthetic vocabulary so the graded output exercises both
+    * regimes — colliding cells (positive overcount) and clean ones (zero)
+    * — in one run; production sizing is w ≈ e/ε (thousands), same plan. */
+  private val CmsW = 32
+  private val CmsD = 3
+
+  /** COUNT-MIN SKETCH frequency estimation — the fixed-memory complement
+    * to the Misra–Gries pass ([[textHeavyHitters]] answers "which tokens
+    * are frequent"; this answers "how frequent is ANY token" from d·w
+    * counters). The sketch is d=3 rows × w=512 md5-derived buckets built
+    * in ONE hash aggregate whose state is bounded at 1536 cells no matter
+    * the corpus (each token instance increments one bucket per row;
+    * partial aggregation combines map-side). Estimates are
+    * min_i(row_i[bucket_i(tok)]) via d broadcast joins of the tiny sketch
+    * — the 100 TB read path: the sketch ships to every executor, point
+    * queries never shuffle. The output grades the CMS CONTRACT with exact
+    * integers: est ≥ exact always (`overcount` ≥ 0 — collisions only ADD),
+    * which the oracle re-derives by replaying the identical md5 bucketing
+    * in SQL — the sketch is deterministic, so every cell hash-matches. */
+  private val textCmsFreq: Q = (s, dir) => {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select(explode(Text.tokens(Text.normalized($"text"))).as("tok"))
+    def bucket(i: Int, tok: org.apache.spark.sql.Column) =
+      pmod(Vectors.hash60(concat(lit(s"cms${i}_"), tok)), lit(CmsW.toLong))
+    val sketch = toks
+      .select(explode(array((0 until CmsD).map(i =>
+        struct(lit(i).as("r"), bucket(i, $"tok").as("b"))): _*)).as("rb"))
+      .groupBy($"rb.r".as("r"), $"rb.b".as("b"))
+      .agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy($"tok").agg(count(lit(1)).as("exact_cnt"))
+    val est = (0 until CmsD).foldLeft(exact) { (df, i) =>
+      df.join(broadcast(sketch.filter($"r" === i)
+          .select($"b".as(s"b$i"), $"c".as(s"c$i"))),
+        bucket(i, col("tok")) === col(s"b$i"))
+    }
+    est.select($"tok".as("token"), $"exact_cnt",
+        least($"c0", $"c1", $"c2").as("cms_est"),
+        (least($"c0", $"c1", $"c2") - $"exact_cnt").as("overcount"))
+      .orderBy($"token")
+  }
+
   /** Marker-word language ID with fixed tie order; compared to the labeled
     * lang column. */
   private val textLangId: Q = (s, dir) => {
@@ -329,6 +410,44 @@ object TextQueries {
            | d.lang = COALESCE(p.plang, 'unknown') AS correct
            |FROM documents d LEFT JOIN pred p USING (doc_id)
            |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    // the positional paragraphizer, global-first-occurrence keeper, and
+    // ordered reassembly all replay exactly; COALESCE('') matches Spark's
+    // empty array_join for fully-deduplicated docs
+    "dedup_paragraph" ->
+      s"""WITH nd AS (SELECT doc_id, $normTokensSql AS toks FROM documents),
+         |pp AS (SELECT doc_id, CAST(g AS INT) AS pos,
+         |  array_to_string(toks[(g*$ParaW+1):(g*$ParaW+$ParaW)], ' ') AS part
+         | FROM nd, UNNEST(range((len(toks) + $ParaW - 1) // $ParaW)) AS t(g)),
+         |r AS (SELECT doc_id, pos, part,
+         |  ROW_NUMBER() OVER (PARTITION BY md5(part) ORDER BY doc_id, pos) rn
+         | FROM pp)
+         |SELECT doc_id, COUNT(*) AS n_parts,
+         | CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | COALESCE(string_agg(CASE WHEN rn = 1 THEN part END, ' ' ORDER BY pos), '')
+         |   AS cleaned_text
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the d×w sketch and the md5 bucketing replay bit-for-bit, so the
+    // estimates (not just the contract booleans) hash-match
+    "text_cms_freq" ->
+      s"""WITH toks AS (SELECT unnest($normTokensSql) AS tok FROM documents),
+         |sk AS (SELECT i AS r,
+         |  CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms', i, '_', tok)), 1, 15)) AS BIGINT)
+         |    % $CmsW AS b, COUNT(*) AS c
+         | FROM toks CROSS JOIN (SELECT unnest(range($CmsD)) AS i) GROUP BY 1, 2),
+         |ex AS (SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY tok)
+         |SELECT ex.tok AS token, exact_cnt,
+         | LEAST(s0.c, s1.c, s2.c) AS cms_est,
+         | LEAST(s0.c, s1.c, s2.c) - exact_cnt AS overcount
+         |FROM ex
+         |JOIN sk s0 ON s0.r = 0 AND s0.b =
+         | CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms0_', ex.tok)), 1, 15)) AS BIGINT) % $CmsW
+         |JOIN sk s1 ON s1.r = 1 AND s1.b =
+         | CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms1_', ex.tok)), 1, 15)) AS BIGINT) % $CmsW
+         |JOIN sk s2 ON s2.r = 2 AND s2.b =
+         | CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms2_', ex.tok)), 1, 15)) AS BIGINT) % $CmsW
+         |ORDER BY token""".stripMargin,
 
     // exact ground truth: the sketch's two-pass output IS the exact
     // heavy-hitter set, so the oracle needs no sketch — just the HAVING

@@ -268,6 +268,36 @@ object Streams {
         col("p_ts"), col("v_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[purchaseAttribution]] with
+    * the unmatched side kept: a purchase with no qualifying view emits
+    * ONE null-view row, but only after the engine can PROVE no match will
+    * ever arrive — i.e. when the watermark passes the purchase's join
+    * window and its buffered state is evicted. That deferred-null contract
+    * is the semantic difference from a batch left join, and the state
+    * eviction it rides on is the 100 TB story: without it every unmatched
+    * purchase would sit in the buffer forever waiting for a view that
+    * never comes. Purchases still ahead of the final watermark at query
+    * end are NOT emitted as nulls (they remain provisional in the
+    * checkpoint state) — the drain replay encodes that boundary. */
+  def purchaseAttributionLeft(events: DataFrame, interval: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") > col("p_ts") - expr(s"INTERVAL $interval") &&
+          col("v_ts") <= col("p_ts"),
+        "leftOuter")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+        col("p_ts"), col("v_ts"))
+  }
+
   /** Streaming keyed upsert sink — the reference's delete-then-insert
     * warehouse load (SURVEY §2.10) as a continuous query: each micro-batch
     * is deduped to its latest row per key, then merged into the parquet

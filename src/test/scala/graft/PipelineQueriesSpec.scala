@@ -21,6 +21,51 @@ class PipelineQueriesSpec extends SparkSpec {
   }
   import graft.queries.PipelineQueries
 
+  test("inc_cdc_apply: deletes vanish, reinserts survive, actions partition correctly") {
+    val rows = PipelineQueries.queries("inc_cdc_apply")(spark, sfDir).collect()
+    val byKey = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byKey.keySet.size === rows.length, "one row per surviving key")
+    val orderKeys = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    orderKeys.foreach { k =>
+      val inSnap = k % 4 != 0
+      val inChg = k % 3 == 0
+      val finalDelete = inChg && k % 5 == 0 && k % 6 != 0
+      if (finalDelete)
+        assert(!byKey.contains(k), s"key $k had a terminal delete but survived")
+      else if (inChg) {
+        assert(byKey.contains(k), s"key $k upserted but missing")
+        val r = byKey(k)
+        val expStatus = if (k % 6 == 0) "chg2" else "chg"
+        assert(r.getString(1) === expStatus, s"key $k wrong status ${r.getString(1)}")
+        assert(r.getString(3) === (if (inSnap) "updated" else "inserted"))
+      } else if (inSnap) {
+        assert(byKey(k).getString(3) === "kept")
+      } else assert(!byKey.contains(k), s"key $k in neither snapshot nor changelog")
+    }
+  }
+
+  test("layout_range_bounds: bounds are balanced, increasing, and rerun-stable") {
+    val a = PipelineQueries.queries("layout_range_bounds")(spark, sfDir).collect()
+    val b = PipelineQueries.queries("layout_range_bounds")(spark, sfDir).collect()
+    assert(a.sameElements(b), "range bounds changed between runs — not deterministic")
+    assert(a.length === 7)
+    val n = a.head.getLong(1)
+    var prevBound = Long.MinValue
+    a.foreach { r =>
+      val (j, bound, cum) = (r.getInt(0), r.getLong(2), r.getLong(3))
+      assert(bound > prevBound, s"split $j bound $bound not increasing")
+      prevBound = bound
+      assert(cum * 8 >= j * n, s"split $j covers less than $j/8 of rows")
+      // minimality: the previous grid cell must be strictly under target —
+      // cum at the bound minus the bound's own cell count < j*n/8; proxy:
+      // the bound is the SMALLEST v meeting the target, so cum can't
+      // overshoot by more than the largest single cell (~2% of rows here)
+      assert((cum.toDouble / n) - (j / 8.0) < 0.05,
+        s"split $j overshoots target by ${(cum.toDouble / n) - (j / 8.0)}")
+    }
+  }
+
   test("dedup_bloom_prefilter is EXACT: identical to the plain anti-join") {
     val viaBloom = PipelineQueries.queries("dedup_bloom_prefilter")(spark, sfDir)
     val li = Tables(spark, sfDir, "lineitem")

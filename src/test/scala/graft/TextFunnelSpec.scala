@@ -31,4 +31,45 @@ class TextFunnelSpec extends SparkSpec {
     assert(out(3L) === Some("boilerplate"))
     assert(out(4L) === Some("duplicate"), "first-fail: duplicate wins over short")
   }
+
+  test("dedup_paragraph drops shared paragraphs, keeps first occurrence, reassembles in order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_para").toString
+    Seq(
+      (0L, "a b c d e f g h", "en", "src0", 15L),      // 2 paragraphs, both fresh
+      (1L, "a b c d x y z w", "en", "src0", 15L),      // shares para 0 with doc 0
+      (2L, "a b c d e f g h", "en", "src0", 15L),      // exact dup of doc 0
+      (3L, "p q r", "en", "src0", 5L))                 // one partial paragraph
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.queries("dedup_paragraph")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) === ((2L, 2L, "a b c d e f g h")), "first occurrence keeps everything")
+    assert(out(1L) === ((2L, 1L, "x y z w")), "shared paragraph removed, rest reassembled")
+    assert(out(2L) === ((2L, 0L, "")), "full duplicate empties out")
+    assert(out(3L) === ((1L, 1L, "p q r")), "short tail forms its own paragraph")
+    // conservation: globally, kept paragraphs == distinct paragraphs
+    val full = TextQueries.queries("dedup_paragraph")(spark, sfDir).collect()
+    val kept = full.map(_.getLong(2)).sum
+    import org.apache.spark.sql.functions._
+    import graft.functions.Text
+    val toks = Text.tokens(Text.normalized(col("text")))
+    val paras = Tables(spark, sfDir, "documents").select(
+      explode(transform(
+        sequence(lit(0), ((size(toks) + 3) / 4).cast("int") - 1),
+        g => array_join(slice(toks, g * 4 + 1, lit(4)), " "))).as("p"))
+      .select(countDistinct(col("p"))).head.getLong(0)
+    assert(kept === paras, s"kept $kept != distinct paragraphs $paras")
+  }
+
+  test("text_cms_freq: estimates never undercount, and the narrow width does collide") {
+    val rows = TextQueries.queries("text_cms_freq")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L, s"CMS undercounted ${r.getString(0)} — impossible")
+      assert(r.getLong(2) === r.getLong(1) + r.getLong(3))
+    }
+    assert(rows.count(_.getLong(3) > 0L) >= 1,
+      "width 32 over the 31-word vocabulary must produce at least one collision")
+  }
 }
