@@ -1109,6 +1109,30 @@ object RelationalQueries {
         |WHERE p.event_type = 'purchase'
         |ORDER BY 1, 2, 3""".stripMargin,
 
+    // replay of the left-outer drain's full emission contract: matched
+    // rows are the batch interval join; null rows only for unmatched
+    // purchases STRICTLY below the final watermark, which the engine
+    // computes in whole milliseconds (probed + pinned in StreamsSpec)
+    "st_stream_left_join" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts
+        |  FROM events WHERE event_type = 'view'),
+        |wm AS (SELECT ((LEAST(epoch_us((SELECT MAX(ts) FROM v)),
+        |  epoch_us((SELECT MAX(ts) FROM p))) // 1000) - 7200000) * 1000 AS wm_us),
+        |matched AS (
+        | SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+        | FROM p JOIN v ON v.user_id = p.user_id
+        |  AND v.ts > p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts),
+        |unmatched AS (
+        | SELECT p.user_id, p.event_id AS purchase_id, CAST(NULL AS BIGINT) AS view_id
+        | FROM p, wm
+        | WHERE epoch_us(p.ts) < wm_us
+        |  AND NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id
+        |    AND v.ts > p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts))
+        |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+        |ORDER BY user_id, purchase_id, view_id NULLS FIRST""".stripMargin,
+
     // batch replay of the streaming stateful dedup drain
     "st_stream_dedup" ->
       raw"""SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,

@@ -297,6 +297,53 @@ class StreamsSpec extends SparkSpec {
     assert(after2 === Set((1L, 9.0), (2L, 5.0), (3L, 7.0)))
   }
 
+  test("purchaseAttributionLeft: null rows emit only below the final watermark " +
+      "(STRICT, ms-truncated) — matched rows emit regardless") {
+    import spark.implicits._
+    import StreamsSpec.AttrEvent
+    def drain(events: Seq[AttrEvent], tag: String): Set[(Long, Option[Long])] = {
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      events.toDS().coalesce(1).write.parquet(s"$dir/in")
+      val in = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[AttrEvent]].schema)
+        .parquet(s"$dir/in")
+      Streams.purchaseAttributionLeft(in)
+        .select(col("purchase_id"), col("view_id"))
+        .writeStream.format("memory").queryName(tag)
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      spark.table(tag).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    }
+    def uts(s: String, micros: Int): Timestamp = {
+      val t = Timestamp.valueOf(s); t.setNanos(t.getNanos + micros * 1000); t
+    }
+    val a = drain(Seq(
+      AttrEvent(ts("2024-01-01 20:00:00"), 1, "view", 10),
+      AttrEvent(ts("2024-01-01 11:30:00"), 5, "view", 11),
+      AttrEvent(ts("2024-01-01 12:00:00"), 5, "purchase", 50),
+      AttrEvent(ts("2024-01-01 17:59:59"), 2, "purchase", 51),
+      AttrEvent(ts("2024-01-01 18:00:00"), 3, "purchase", 52),
+      AttrEvent(ts("2024-01-01 18:00:01"), 4, "purchase", 53),
+      AttrEvent(ts("2024-01-01 20:00:00"), 9, "purchase", 54)), "leftattr_a")
+    // WM = min(maxV, maxP) − 2 h = 18:00. Matched (50,11) always emits;
+    // 51 (17:59:59 < WM) emits its null row; 52 (== WM) does NOT — the
+    // boundary is STRICT; 53/54 (> WM) stay buffered in state.
+    assert(a === Set((50L, Some(11L)), (51L, None)))
+    // µs probe: maxima at 20:00:00.000900 put an untruncated WM at
+    // 18:00:00.000900 — but the engine computes watermarks in WHOLE
+    // MILLISECONDS (event-time stats floor µs → ms), so WM is
+    // 18:00:00.000 exactly and the 500 µs purchase is NOT strictly below
+    // it. The DuckDB replay must apply the same // 1000 truncation.
+    val b = drain(Seq(
+      AttrEvent(uts("2024-01-01 20:00:00", 900), 1, "view", 10),
+      AttrEvent(uts("2024-01-01 18:00:00", 500), 3, "purchase", 62),
+      AttrEvent(uts("2024-01-01 20:00:00", 900), 9, "purchase", 64)), "leftattr_b")
+    assert(b === Set.empty, "ms-truncated strict boundary must hold back the 500µs purchase")
+  }
+
   test("st_stream_dedup drains to exactly the batch dedup state") {
     import graft.queries.RelationalQueries
     val streamed = RelationalQueries.queries("st_stream_dedup")(spark, sfDir)
