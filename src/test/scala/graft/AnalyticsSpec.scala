@@ -36,6 +36,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(merged.getAs[Long]("reg_sum") === direct.getAs[Long]("reg_sum"))
   }
 
+  test("a_approx_quantile: the GK summary's rank stays within epsilon") {
+    import graft.queries.ExtendedQueries
+    val rows = ExtendedQueries.queries("a_approx_quantile")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("within_eps"),
+      s"approx median for ${r.getString(0)} drifted beyond n/1000 in rank"))
+  }
+
+  test("w5_range_interval equals a per-row recomputation of the 30-day frame") {
+    import graft.queries.ExtendedQueries
+    val got = ExtendedQueries.queries("w5_range_interval")(spark, sfDir).collect()
+    val orders = Tables(spark, sfDir, "orders")
+      .filter(col("o_custkey") % 100 === 7)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("es"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byCust = orders.groupBy(_._1)
+    got.foreach { r =>
+      val (ck, ok) = (r.getLong(0), r.getLong(1))
+      val me = orders.find(o => o._1 == ck && o._2 == ok).get
+      val frame = byCust(ck).filter(o =>
+        o._3 >= me._3 - 30L * 86400 && o._3 <= me._3)
+      assert(r.getLong(3) === frame.map(_._4).sum, s"cents_30d wrong for $ok")
+      assert(r.getLong(4) === frame.length.toLong, s"n_30d wrong for $ok")
+    }
+  }
+
+  test("g_gap_fill: contiguous daily spine, zero-filled, conserves totals") {
+    import graft.queries.ExtendedQueries
+    val rows = ExtendedQueries.queries("g_gap_fill")(spark, sfDir).collect()
+    val days = rows.map(_.getDate(0).toLocalDate)
+    days.sliding(2).foreach { case Array(a, b) =>
+      assert(b === a.plusDays(1), s"spine gap between $a and $b")
+    case _ => }
+    val ev = Tables(spark, sfDir, "events")
+      .agg(count(lit(1)), sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")))
+      .head()
+    assert(rows.map(_.getLong(1)).sum === ev.getLong(0), "event count not conserved")
+    assert(rows.map(_.getLong(2)).sum === ev.getLong(1), "cents not conserved")
+  }
+
   test("a_arg_minmax matches a direct per-group sort") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("c_nationkey"))
