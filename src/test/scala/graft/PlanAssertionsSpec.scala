@@ -197,6 +197,29 @@ class PlanAssertionsSpec extends SparkSpec {
       s"within-score rank must hash-partition by score:\n$plan")
   }
 
+  test("dynamic partition pruning fires on a partitioned fact joined to a filtered dim") {
+    // The 100 TB idiom: facts land partitioned by a low-cardinality key
+    // (here o_orderstatus); a selective dim-side filter must prune fact
+    // PARTITIONS at runtime via DPP — without it, every partition of a
+    // 100 TB table is scanned to serve a one-status query.
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    graft.operators.Layout.writePartitioned(
+      Tables(spark, sfDir, "orders"), s"$dir/orders", Seq("o_orderstatus"))
+    val fact = spark.read.parquet(s"$dir/orders")
+    val dim = Tables(spark, sfDir, "nation")
+      .select(col("n_name"),
+        expr("CASE WHEN n_nationkey % 3 = 0 THEN 'F' WHEN n_nationkey % 3 = 1 THEN 'O' ELSE 'P' END")
+          .as("o_orderstatus"))
+      .filter(col("n_name") === "FRANCE")
+    val q = fact.join(dim, Seq("o_orderstatus"))
+      .groupBy(col("o_orderstatus")).count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"partitioned-fact join must carry a dynamic partition pruning subquery:\n$plan")
+    q.collect() // execute: the pruned plan must also produce correct rows
+  }
+
   test("sketch expressions keep their projection inside whole-stage codegen") {
     // simhash (inline codegen) and minhash band keys (reference-object
     // dispatch) both must NOT break the surrounding codegen stage.
