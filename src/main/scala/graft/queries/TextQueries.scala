@@ -27,7 +27,8 @@ object TextQueries {
     "text_heavy_hitters" -> textHeavyHitters,
     "text_langid_trained" -> textLangidTrained,
     "dedup_paragraph" -> dedupParagraph,
-    "text_cms_freq" -> textCmsFreq
+    "text_cms_freq" -> textCmsFreq,
+    "text_winnowing" -> textWinnowing
   )
 
   /** Heavy-hitter capacity: emitted tokens have frequency > n/HhK. */
@@ -219,6 +220,49 @@ object TextQueries {
         array_join(transform(
           array_sort(collect_list(when($"rn" === 1, struct($"pos", $"part")))),
           x => x.getField("part")), " ").as("cleaned_text"))
+      .orderBy($"doc_id")
+  }
+
+  /** Winnowing k-gram size / window width. */
+  private val WinK = 3
+  private val WinW = 4
+
+  /** WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm): hash every [[WinK]]-token gram, slide a [[WinW]]-gram
+    * window, keep each window's MINIMUM hash, emit the distinct kept set.
+    * The guarantee the rolling-hash/minhash rungs don't give: any shared
+    * token run of ≥ k + w − 1 tokens between two documents shares at least
+    * one SELECTED fingerprint (a window fits inside the run, and equal
+    * windows select equal minima) — local, position-robust overlap
+    * detection with a 2/(w+1) expected selection density instead of
+    * every-gram storage. All per-document array work (gram hashing via the
+    * same md5-derived hash60 the LSH family uses, window minima, distinct)
+    * runs inside ONE codegen'd projection — shuffle-free scan at any
+    * corpus size; the emitted density/xor/min/max digest keeps every cell
+    * an exact BIGINT so the whole selection replays in DuckDB. */
+  private val textWinnowing: Q = (s, dir) => {
+    import s.implicits._
+    val toks = Text.tokens(Text.normalized($"text"))
+    // gram hashes: hash60(tok_i .. tok_{i+k-1}) for i = 1..n-k+1
+    // (sequence(1, hi) DESCENDS when hi < 1, so short docs guard to empty)
+    val grams = when(size(toks) >= WinK, transform(
+      sequence(lit(1), size(toks) - (WinK - 1)),
+      i => Vectors.hash60(concat_ws(" ", slice(toks, i, lit(WinK))))))
+      .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
+    // window minima: min(grams[j..j+w-1]) for j = 1..len-w+1
+    val mins = when(size(col("grams")) >= WinW, transform(
+      sequence(lit(1), size(col("grams")) - (WinW - 1)),
+      j => array_min(slice(col("grams"), j, lit(WinW)))))
+      .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
+    Tables(s, dir, "documents")
+      .withColumn("grams", grams)
+      .withColumn("fps", array_distinct(mins))
+      .select($"doc_id",
+        size($"grams").as("n_grams"),
+        size($"fps").as("n_fingerprints"),
+        array_min($"fps").as("min_fp"),
+        array_max($"fps").as("max_fp"),
+        aggregate($"fps", lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("xor_fp"))
       .orderBy($"doc_id")
   }
 
@@ -427,6 +471,27 @@ object TextQueries {
          | COALESCE(string_agg(CASE WHEN rn = 1 THEN part END, ' ' ORDER BY pos), '')
          |   AS cleaned_text
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // gram hashing, window minima, and the distinct selection all replay;
+    // the digest columns are order-insensitive so list_distinct's internal
+    // order never matters
+    "text_winnowing" ->
+      s"""WITH nd AS (SELECT doc_id, $normTokensSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= $WinK THEN
+         |   [CAST(CONCAT('0x', SUBSTR(md5(array_to_string(toks[i:i+${WinK - 1}], ' ')), 1, 15)) AS BIGINT)
+         |    FOR i IN range(1, len(toks) - ${WinK - 1} + 1)]
+         |  ELSE CAST([] AS BIGINT[]) END AS grams
+         | FROM nd),
+         |m AS (SELECT doc_id, grams,
+         |  CASE WHEN len(grams) >= $WinW THEN
+         |   list_distinct([list_min(grams[j:j+${WinW - 1}]) FOR j IN range(1, len(grams) - ${WinW - 1} + 1)])
+         |  ELSE CAST([] AS BIGINT[]) END AS fps
+         | FROM g)
+         |SELECT doc_id, len(grams) AS n_grams, len(fps) AS n_fingerprints,
+         | list_min(fps) AS min_fp, list_max(fps) AS max_fp,
+         | list_reduce(list_prepend(0::BIGINT, fps), (a, b) -> xor(a, b)) AS xor_fp
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     // the d×w sketch and the md5 bucketing replay bit-for-bit, so the
     // estimates (not just the contract booleans) hash-match
