@@ -62,6 +62,46 @@ class TextFunnelSpec extends SparkSpec {
     assert(kept === paras, s"kept $kept != distinct paragraphs $paras")
   }
 
+  test("text_winnowing: documents sharing a k+w-1 token run share a fingerprint") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow").toString
+    // docs 0 and 1 share a 6-token run (k=3, w=4 → k+w−1=6) embedded in
+    // otherwise-disjoint text; doc 2 is fully disjoint; doc 3 too short
+    val shared = "alpha beta gamma delta epsilon zeta"
+    Seq(
+      (0L, s"one two three $shared four five six", "en", "s", 1L),
+      (1L, s"seven eight $shared nine ten eleven twelve", "en", "s", 1L),
+      (2L, "red orange yellow green blue indigo violet pink", "en", "s", 1L),
+      (3L, "tiny doc", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // recompute the SELECTED fingerprint sets (the query emits digests;
+    // the guarantee needs the sets, so rebuild them with the same exprs)
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Text, Vectors}
+    val toks = Text.tokens(Text.normalized(col("text")))
+    val grams = when(size(toks) >= 3, transform(
+      sequence(lit(1), size(toks) - 2),
+      i => Vectors.hash60(concat_ws(" ", slice(toks, i, lit(3))))))
+      .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
+    val mins = when(size(col("grams")) >= 4, transform(
+      sequence(lit(1), size(col("grams")) - 3),
+      j => array_min(slice(col("grams"), j, lit(4)))))
+      .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
+    val fps = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("grams", grams).withColumn("fps", array_distinct(mins))
+      .select(col("doc_id"), col("fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(0L) & fps(1L)).nonEmpty,
+      "shared 6-token run must select at least one common fingerprint")
+    assert((fps(0L) & fps(2L)).isEmpty, "disjoint docs share nothing")
+    assert(fps(3L).isEmpty, "too-short doc has no window")
+    // and the query's digest row agrees with the recomputed set
+    val out = graft.queries.TextQueries.queries("text_winnowing")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out(0L) === fps(0L).size && out(1L) === fps(1L).size)
+  }
+
   test("text_cms_freq: estimates never undercount, and the narrow width does collide") {
     val rows = TextQueries.queries("text_cms_freq")(spark, sfDir).collect()
     assert(rows.nonEmpty)
