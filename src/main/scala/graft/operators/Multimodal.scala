@@ -627,6 +627,64 @@ object Multimodal {
     })
   }
 
+  final case class PhashRow(media_id: Long, phash_bits: String, n_set: Long)
+
+  /** Average-hash perceptual fingerprint (aHash) — the image near-dup
+    * primitive: decode, floor-sample a grid×grid luma raster (pixel at
+    * (⌊j·w/g⌋, ⌊i·h/g⌋) — the same floor-sampling resampler as
+    * [[resizeImages]]), threshold each cell STRICTLY above the raster
+    * mean (cross-multiplied — `lum·g² > Σlum` — so no division touches
+    * the bits), and emit the g² bits as a bitstring. Near-duplicate
+    * images (re-encodes, minor edits) land within a small hamming
+    * distance; the string form keys a grouping or LSH band join directly,
+    * with none of the signed-overflow traps a 64-bit packed value has in
+    * cross-engine compares. Per-image work is g² samples regardless of
+    * resolution; shuffle-free scan. Undecodable payloads drop, same
+    * contract as [[pixelStats]]. */
+  def averageHash(media: Dataset[MediaRow], grid: Int = 8): Dataset[PhashRow] = {
+    implicit val enc = Encoders.product[PhashRow]
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { m =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val cells = grid * grid
+          val lum = new Array[Long](cells)
+          var total = 0L
+          var i = 0
+          while (i < grid) {
+            val y = i * h / grid
+            var j = 0
+            while (j < grid) {
+              val rgb = img.getRGB(j * w / grid, y)
+              val l = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000L
+              lum(i * grid + j) = l
+              total += l
+              j += 1
+            }
+            i += 1
+          }
+          val sb = new java.lang.StringBuilder(cells)
+          var nSet = 0L
+          var k = 0
+          while (k < cells) {
+            val bit = lum(k) * cells > total
+            sb.append(if (bit) '1' else '0')
+            if (bit) nSet += 1
+            k += 1
+          }
+          Some(PhashRow(m.media_id, sb.toString, nSet))
+        }
+      }
+    }
+  }
+
   /** REAL pixel-level decode — the codec seam FILLED with the JVM's
     * built-in ImageIO (PNG/JPEG/GIF/BMP): per image, integer BT.601 luma
     * (lum = (299r + 587g + 114b) div 1000) summed over all pixels plus a

@@ -114,6 +114,25 @@ object MediaQueries {
     * ⌊w/2⌋ columns at tone (r,g,b), the rest at its complement. A codec
     * bug (wrong channel order, off-by-one split, dropped row) shifts
     * exact integers and fails the hash compare. */
+  /** Perceptual hash over REAL decoded pixels — the image analog of the
+    * text fingerprint family: [[graft.operators.Multimodal.averageHash]]
+    * floor-samples an 8×8 luma raster from each planted PNG and
+    * thresholds against the raster mean. The planted two-tone images make
+    * every bit a closed form in (w, h, r, g, b): sampled columns resolve
+    * to tone A or its complement by ⌊j·w/8⌋ < ⌊w/2⌋, rows are identical,
+    * and the strict cross-multiplied threshold replays in integer SQL —
+    * so the oracle certifies the real decode+resample+threshold chain
+    * bit-for-bit without any codec of its own. */
+  private val mmPhash: Q = (s, dir) => {
+    import s.implicits._
+    val ids = Tables(s, dir, "documents")
+      .filter($"doc_id" % 3 === 0).select($"doc_id").as[Long]
+    graft.operators.Multimodal.averageHash(
+      graft.operators.Multimodal.plantedImages(ids))
+      .toDF()
+      .orderBy($"media_id")
+  }
+
   private val mmPixelStats: Q = (s, dir) => {
     import s.implicits._
     val ids = Tables(s, dir, "documents")
@@ -238,6 +257,7 @@ object MediaQueries {
     "mm_media_features" -> mmMediaFeatures,
     "mm_frame_sample" -> mmFrameSample,
     "mm_pixel_stats" -> mmPixelStats,
+    "mm_phash" -> mmPhash,
     "mm_audio_stats" -> mmAudioStats,
     "mm_ulaw_stats" -> mmUlawStats,
     "mm_video_frames" -> mmVideoFrames,
@@ -296,6 +316,29 @@ object MediaQueries {
     // The oracle has no codec — it derives every statistic from the
     // planted construction: w×h two-tone image, split = w // 2, tones
     // (r,g,b) and complement, integer luma (299r+587g+114b) // 1000.
+    // closed-form aHash replay: sampled columns pick tone A/complement by
+    // floor(j*w/8) < floor(w/2); rows identical; strict cross-multiplied
+    // threshold (l*8 > row sum, since total = 8*rowsum and cells = 64)
+    "mm_phash" ->
+      """WITH base AS (SELECT doc_id,
+        |  CAST(doc_id % 8 + 2 AS BIGINT) w,
+        |  (doc_id * 37) % 256 ra, (doc_id * 59) % 256 ga, (doc_id * 83) % 256 ba
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |t AS (SELECT doc_id, w, w // 2 AS split,
+        |  (299*ra + 587*ga + 114*ba) // 1000 AS la,
+        |  (299*(255-ra) + 587*(255-ga) + 114*(255-ba)) // 1000 AS lb
+        |  FROM base),
+        |rowp AS (SELECT doc_id,
+        |  [CASE WHEN (j*w) // 8 < split THEN la ELSE lb END FOR j IN range(0, 8)] AS ls
+        | FROM t),
+        |bits AS (SELECT doc_id,
+        |  array_to_string([CASE WHEN l * 8 > list_aggregate(ls, 'sum') THEN '1' ELSE '0' END
+        |    FOR l IN ls], '') AS rowstr
+        | FROM rowp)
+        |SELECT doc_id AS media_id, repeat(rowstr, 8) AS phash_bits,
+        | CAST(8 * (length(rowstr) - length(replace(rowstr, '1', ''))) AS BIGINT) AS n_set
+        |FROM bits ORDER BY media_id""".stripMargin,
+
     "mm_pixel_stats" ->
       """WITH base AS (SELECT doc_id,
         |  CAST(doc_id % 8 + 2 AS BIGINT) w, CAST(doc_id % 6 + 2 AS BIGINT) h,

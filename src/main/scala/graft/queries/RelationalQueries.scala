@@ -58,6 +58,7 @@ object RelationalQueries {
     "st_stream_enrich" -> stStreamEnrich,
     "st_stream_join" -> stStreamJoin,
     "st_stream_left_join" -> stStreamLeftJoin,
+    "st_stream_upsert" -> stStreamUpsert,
     "s9_catalog_counts" -> s9CatalogCounts,
     "qa_unique_violations" -> qaUniqueViolations,
     "runner_daily_sales" -> runnerDailySales,
@@ -740,6 +741,35 @@ object RelationalQueries {
       .orderBy($"user_id", $"purchase_id", $"view_id".asc_nulls_first)
   }
 
+  /** STREAMING keyed-upsert SINK drain — [[graft.streaming.Streams
+    * .upsertSink]] graded end to end: the events file-stream feeds a
+    * foreachBatch that dedups each micro-batch to its latest row per
+    * (user_id, event_type) and MERGES it into a parquet target through
+    * the crash-safe atomic swap ([[graft.operators.Upsert]]). What the
+    * oracle certifies is the composed effectively-once contract: after an
+    * AvailableNow drain, the target table equals the global
+    * keep-latest-per-key over all events — regardless of how the source
+    * split into micro-batches, because a keyed merge of latest rows is
+    * idempotent and order-insensitive ACROSS batches when the order
+    * column rides the data (ts, event_id tiebreak), not arrival time.
+    * This is the reference's delete+insert warehouse load run as a
+    * continuous query — the last S7/§2.10 surface that had only a spec,
+    * now hash-graded. */
+  private val stStreamUpsert: Q = (s0, dir) => {
+    val s = streamSession(s0)
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("st_upsert")
+    deleteRecursivelyOnExit(root)
+    val target = s"$root/state"
+    val ev = eventsStream(s, dir).select($"user_id", $"event_type", $"ts",
+      $"event_id", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    graft.streaming.Streams.upsertSink(ev, target, s"$root/ckpt",
+      Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    s.read.parquet(target)
+      .select($"user_id", $"event_type", $"event_id", $"cents")
+      .orderBy($"user_id", $"event_type")
+  }
+
   /** S9: catalog probes — per-table row counts as one result set
     * (ref: sample_ecom_raw_query_duckdb.py:8-43). */
   private val s9CatalogCounts: Q = (s, dir) => {
@@ -1132,6 +1162,17 @@ object RelationalQueries {
         |    AND v.ts > p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts))
         |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
         |ORDER BY user_id, purchase_id, view_id NULLS FIRST""".stripMargin,
+
+    // the drained upsert target must equal the global keep-latest state
+    // (ts at micros like the engine's nanos->micros seam; event_id breaks
+    // equal-timestamp ties)
+    "st_stream_upsert" ->
+      """SELECT user_id, event_type, event_id,
+        | CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) rn FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
 
     // batch replay of the streaming stateful dedup drain
     "st_stream_dedup" ->

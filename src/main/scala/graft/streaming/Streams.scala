@@ -306,11 +306,11 @@ object Streams {
     * because a keyed merge of the same rows is idempotent — together
     * that's effectively-once table state over an at-least-once stream. */
   def upsertSink(updates: DataFrame, target: String, checkpoint: String,
-      keys: Seq[String], orderCol: String): Unit =
+      keys: Seq[String], orderCols: Seq[String]): Unit =
     updates.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val latest = graft.operators.DedupLatest(
-          batch, keys, Seq(col(orderCol)))
+          batch, keys, orderCols.map(col))
         graft.operators.Upsert.intoParquet(target, latest, keys)
       }
       .option("checkpointLocation", checkpoint)

@@ -351,4 +351,24 @@ class MultimodalSpec extends SparkSpec {
     val df = Multimodal.repartitionForMedia(empty, targetBytesPerPartition = 200)
     assert(df.rdd.getNumPartitions == 1 && df.count() == 0)
   }
+
+  test("averageHash: scale-invariant for proportional upscales, corrupt dropped") {
+    import spark.implicits._
+    import Multimodal.MediaRow
+    // a 2x nearest-neighbor-equivalent upscale of a two-tone image samples
+    // the same 8x8 grid -> identical perceptual hash (the property that
+    // makes aHash a NEAR-dup key, not an exact-bytes key)
+    val rows = Seq(
+      MediaRow(1L, "image", Multimodal.syntheticPng(8, 6, 200, 40, 90)),
+      MediaRow(2L, "image", Multimodal.syntheticPng(16, 12, 200, 40, 90)),
+      MediaRow(3L, "image", Multimodal.syntheticPng(9, 5, 10, 250, 30)),
+      MediaRow(4L, "image", Array[Byte](1, 2, 3, 4))) // undecodable
+    val got = Multimodal.averageHash(rows.toDS())
+      .collect().map(r => r.media_id -> ((r.phash_bits, r.n_set))).toMap
+    assert(got(1L) === got(2L), "2x upscale must hash identically")
+    assert(got(1L) !== got(3L), "different tones must differ")
+    assert(!got.contains(4L), "undecodable payload must drop")
+    assert(got(1L)._1.length === 64 && got(1L)._2 ===
+      got(1L)._1.count(_ == '1').toLong)
+  }
 }

@@ -276,7 +276,7 @@ class StreamsSpec extends SparkSpec {
         .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
         .option("pathGlobFilter", "*.parquet").parquet(s"$src/*")
       Streams.upsertSink(stream, target, s"$dir/ckpt",
-        keys = Seq("user_id"), orderCol = "ts")
+        keys = Seq("user_id"), orderCols = Seq("ts"))
     }
 
     wave(Seq(
