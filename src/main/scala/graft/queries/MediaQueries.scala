@@ -133,6 +133,27 @@ object MediaQueries {
       .orderBy($"media_id")
   }
 
+  /** Image near-dup GROUPING by perceptual hash — the dedup step
+    * [[mmPhash]] feeds: one hash shuffle on the 64-bit key clusters every
+    * perceptually-equivalent image (aHash collapses re-encodes, rescales,
+    * and tone-shifted two-tone structures to one key), with the min-id
+    * canonical keeper per group — the exact-fingerprint image dedup a
+    * multimodal corpus runs before training. The planted corpus makes the
+    * groups REAL: phash depends only on the sampled-column split pattern
+    * and which tone is brighter, so the ~500 images at sf0.01 collapse to
+    * a handful of structural groups — closed-form replayable. */
+  private val mmPhashGroups: Q = (s, dir) => {
+    import s.implicits._
+    val ids = Tables(s, dir, "documents")
+      .filter($"doc_id" % 3 === 0).select($"doc_id").as[Long]
+    graft.operators.Multimodal.averageHash(
+      graft.operators.Multimodal.plantedImages(ids))
+      .toDF()
+      .groupBy($"phash_bits")
+      .agg(count(lit(1)).as("n_images"), min($"media_id").as("keeper_id"))
+      .orderBy($"phash_bits")
+  }
+
   private val mmPixelStats: Q = (s, dir) => {
     import s.implicits._
     val ids = Tables(s, dir, "documents")
@@ -258,6 +279,7 @@ object MediaQueries {
     "mm_frame_sample" -> mmFrameSample,
     "mm_pixel_stats" -> mmPixelStats,
     "mm_phash" -> mmPhash,
+    "mm_phash_groups" -> mmPhashGroups,
     "mm_audio_stats" -> mmAudioStats,
     "mm_ulaw_stats" -> mmUlawStats,
     "mm_video_frames" -> mmVideoFrames,
@@ -338,6 +360,24 @@ object MediaQueries {
         |SELECT doc_id AS media_id, repeat(rowstr, 8) AS phash_bits,
         | CAST(8 * (length(rowstr) - length(replace(rowstr, '1', ''))) AS BIGINT) AS n_set
         |FROM bits ORDER BY media_id""".stripMargin,
+
+    "mm_phash_groups" ->
+      """WITH base AS (SELECT doc_id,
+        |  CAST(doc_id % 8 + 2 AS BIGINT) w,
+        |  (doc_id * 37) % 256 ra, (doc_id * 59) % 256 ga, (doc_id * 83) % 256 ba
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |t AS (SELECT doc_id, w, w // 2 AS split,
+        |  (299*ra + 587*ga + 114*ba) // 1000 AS la,
+        |  (299*(255-ra) + 587*(255-ga) + 114*(255-ba)) // 1000 AS lb
+        |  FROM base),
+        |rowp AS (SELECT doc_id,
+        |  [CASE WHEN (j*w) // 8 < split THEN la ELSE lb END FOR j IN range(0, 8)] AS ls
+        | FROM t),
+        |ph AS (SELECT doc_id, repeat(array_to_string(
+        |  [CASE WHEN l * 8 > list_aggregate(ls, 'sum') THEN '1' ELSE '0' END FOR l IN ls],
+        |  ''), 8) AS phash_bits FROM rowp)
+        |SELECT phash_bits, COUNT(*) AS n_images, MIN(doc_id) AS keeper_id
+        |FROM ph GROUP BY phash_bits ORDER BY phash_bits""".stripMargin,
 
     "mm_pixel_stats" ->
       """WITH base AS (SELECT doc_id,
