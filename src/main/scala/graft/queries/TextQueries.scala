@@ -28,7 +28,8 @@ object TextQueries {
     "text_langid_trained" -> textLangidTrained,
     "dedup_paragraph" -> dedupParagraph,
     "text_cms_freq" -> textCmsFreq,
-    "text_winnowing" -> textWinnowing
+    "text_winnowing" -> textWinnowing,
+    "dedup_paragraph_incremental" -> dedupParagraphIncremental
   )
 
   /** Heavy-hitter capacity: emitted tokens have frequency > n/HhK. */
@@ -190,6 +191,15 @@ object TextQueries {
   /** Paragraph width for [[dedupParagraph]] (tokens per paragraph). */
   private val ParaW = 4
 
+  /** The positional paragraphizer as ONE bound expression: the tokenizer
+    * is lambda-bound so it evaluates once per row — inlined into the
+    * per-paragraph lambda it would re-tokenize per paragraph (the same
+    * per-element re-evaluation trap measured at ~50× in text_winnowing). */
+  private def paraArray: org.apache.spark.sql.Column =
+    element_at(transform(array(Text.tokens(Text.normalized(col("text")))), tk =>
+      transform(sequence(lit(0), ((size(tk) + ParaW - 1) / ParaW).cast("int") - 1),
+        g => array_join(slice(tk, g * ParaW + 1, lit(ParaW)), " "))), 1)
+
   /** PARAGRAPH-level dedup — the CCNet regime: dedup at sub-document
     * granularity and REASSEMBLE the cleaned documents, so a doc that
     * shares boilerplate with the corpus loses just those paragraphs, not
@@ -206,12 +216,9 @@ object TextQueries {
     * collect_list's arrival order. */
   private val dedupParagraph: Q = (s, dir) => {
     import s.implicits._
-    val toks = Text.tokens(Text.normalized($"text"))
     val paras = Tables(s, dir, "documents")
-      .select($"doc_id", posexplode(transform(
-        sequence(lit(0), ((size(toks) + ParaW - 1) / ParaW).cast("int") - 1),
-        g => array_join(slice(toks, g * ParaW + 1, lit(ParaW)), " "))))
-      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "part")
+      .select($"doc_id", posexplode(paraArray))
+      .withColumnRenamed("col", "part")
     val w = Window.partitionBy(md5($"part")).orderBy($"doc_id", $"pos")
     paras.withColumn("rn", row_number().over(w))
       .groupBy($"doc_id")
@@ -242,27 +249,78 @@ object TextQueries {
     * an exact BIGINT so the whole selection replays in DuckDB. */
   private val textWinnowing: Q = (s, dir) => {
     import s.implicits._
-    val toks = Text.tokens(Text.normalized($"text"))
+    import org.apache.spark.sql.Column
+    val emptyLongs = expr("CAST(array() AS ARRAY<BIGINT>)")
+    // LAMBDA-BIND each intermediate array exactly once: wrap it in a
+    // 1-element array and compute downstream inside the lambda, where it
+    // is a bound variable. Without this, CollapseProject inlines the
+    // gram-hash expression into EVERY window's slice (lambda bodies defeat
+    // codegen subexpression elimination) — measured ~45× recompute and an
+    // 11 s sf0.1 key; bound, it is one pass (0.6 s).
+    def bound(a: Column)(f: Column => Column): Column =
+      element_at(transform(array(a), f), 1)
+    // the tokenizer MUST be bound before any lambda references it: an
+    // inline expression inside `transform`'s lambda body re-evaluates per
+    // ELEMENT (measured ~50× per row = a 10 s sf0.1 key; bound, 1 s)
+    val digest = bound(Text.tokens(Text.normalized($"text"))) { toks =>
     // gram hashes: hash60(tok_i .. tok_{i+k-1}) for i = 1..n-k+1
     // (sequence(1, hi) DESCENDS when hi < 1, so short docs guard to empty)
     val grams = when(size(toks) >= WinK, transform(
       sequence(lit(1), size(toks) - (WinK - 1)),
       i => Vectors.hash60(concat_ws(" ", slice(toks, i, lit(WinK))))))
-      .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
-    // window minima: min(grams[j..j+w-1]) for j = 1..len-w+1
-    val mins = when(size(col("grams")) >= WinW, transform(
-      sequence(lit(1), size(col("grams")) - (WinW - 1)),
-      j => array_min(slice(col("grams"), j, lit(WinW)))))
-      .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
+      .otherwise(emptyLongs)
+    bound(grams) { g =>
+      // window minima: min(g[j..j+w-1]) for j = 1..len-w+1
+      val mins = when(size(g) >= WinW, transform(
+        sequence(lit(1), size(g) - (WinW - 1)),
+        j => array_min(slice(g, j, lit(WinW)))))
+        .otherwise(emptyLongs)
+      bound(array_distinct(mins)) { fps =>
+        struct(size(g).as("n_grams"),
+          size(fps).as("n_fingerprints"),
+          array_min(fps).as("min_fp"),
+          array_max(fps).as("max_fp"),
+          aggregate(fps, lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("xor_fp"))
+      }
+    }
+    }
     Tables(s, dir, "documents")
-      .withColumn("grams", grams)
-      .withColumn("fps", array_distinct(mins))
-      .select($"doc_id",
-        size($"grams").as("n_grams"),
-        size($"fps").as("n_fingerprints"),
-        array_min($"fps").as("min_fp"),
-        array_max($"fps").as("max_fp"),
-        aggregate($"fps", lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("xor_fp"))
+      .withColumn("d", digest)
+      .select($"doc_id", $"d.n_grams", $"d.n_fingerprints",
+        $"d.min_fp", $"d.max_fp", $"d.xor_fp")
+      .orderBy($"doc_id")
+  }
+
+  /** INCREMENTAL paragraph dedup — the fourth member of the incremental
+    * family (minhash text / semantic / IVF / this): the APPENDED documents
+    * (newest quarter by id, the family's split convention) probe the
+    * EXISTING corpus's paragraph-hash index one-sidedly — never
+    * existing-vs-existing, that work was paid on previous days. Each
+    * newcomer reports how many of its paragraphs are already known
+    * boilerplate and reassembles only its NOVEL content, which is what a
+    * daily ingest actually forwards to training. Cost is O(new paragraphs
+    * · bucket) plus the (in production, persisted) index build; the probe
+    * is a hash-partitioned semi-join, index size enters only through the
+    * bucket constant. Within-batch duplicates are deliberately NOT
+    * collapsed here — that is [[dedupParagraph]]'s batch contract; this
+    * key's contract is newcomer-vs-index, and keeping them separate is
+    * what makes both oracles exact. */
+  private val dedupParagraphIncremental: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val split = 3L * docs.count() / 4L
+    val paras = docs.select($"doc_id", posexplode(paraArray))
+      .withColumnRenamed("col", "part")
+      .withColumn("h", md5($"part"))
+    val index = paras.filter($"doc_id" < split).select($"h").distinct()
+    val incoming = paras.filter($"doc_id" >= split)
+    val flagged = incoming.join(index.withColumn("known", lit(1)), Seq("h"), "left")
+    flagged.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when($"known" === 1, 1L).otherwise(0L)).as("n_known"),
+        array_join(transform(
+          array_sort(collect_list(when($"known".isNull, struct($"pos", $"part")))),
+          x => x.getField("part")), " ").as("novel_text"))
       .orderBy($"doc_id")
   }
 
@@ -471,6 +529,24 @@ object TextQueries {
          | COALESCE(string_agg(CASE WHEN rn = 1 THEN part END, ' ' ORDER BY pos), '')
          |   AS cleaned_text
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the one-sided newcomer-vs-index probe replays exactly: same
+    // paragraphizer, split = 3n/4 integer-divided, known = hash in the
+    // existing quarter's distinct hash set
+    "dedup_paragraph_incremental" ->
+      s"""WITH nd AS (SELECT doc_id, $normTokensSql AS toks FROM documents),
+         |t AS (SELECT (3 * COUNT(*)) // 4 AS split FROM documents),
+         |pp AS (SELECT doc_id, CAST(g AS INT) AS pos,
+         |  array_to_string(toks[(g*$ParaW+1):(g*$ParaW+$ParaW)], ' ') AS part
+         | FROM nd, UNNEST(range((len(toks) + $ParaW - 1) // $ParaW)) AS u(g)),
+         |ph AS (SELECT doc_id, pos, part, md5(part) AS h FROM pp),
+         |idx AS (SELECT DISTINCT h FROM ph, t WHERE doc_id < split),
+         |inc AS (SELECT ph.* FROM ph, t WHERE doc_id >= split)
+         |SELECT doc_id, COUNT(*) AS n_parts,
+         | CAST(SUM(CASE WHEN h IN (SELECT h FROM idx) THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+         | COALESCE(string_agg(CASE WHEN h NOT IN (SELECT h FROM idx) THEN part END,
+         |   ' ' ORDER BY pos), '') AS novel_text
+         |FROM inc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // gram hashing, window minima, and the distinct selection all replay;
     // the digest columns are order-insensitive so list_distinct's internal

@@ -102,6 +102,29 @@ class TextFunnelSpec extends SparkSpec {
     assert(out(0L) === fps(0L).size && out(1L) === fps(1L).size)
   }
 
+  test("dedup_paragraph_incremental: newcomers probe only the existing index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_parainc").toString
+    // 4 docs → split = 3: docs 0-2 are the index, doc 3 is the newcomer.
+    // Doc 3 repeats doc 0's first paragraph (known), repeats its OWN
+    // second paragraph later (within-batch dup — must NOT count as known),
+    // and has one novel paragraph.
+    Seq(
+      (0L, "a b c d e f g h", "en", "s", 1L),
+      (1L, "i j k l", "en", "s", 1L),
+      (2L, "m n o p", "en", "s", 1L),
+      (3L, "a b c d w x y z w x y z q r s", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.queries("dedup_paragraph_incremental")(spark, dir).collect()
+    assert(out.length === 1 && out.head.getLong(0) === 3L, "only the newcomer reports")
+    val r = out.head
+    assert(r.getLong(1) === 4L, "4 paragraphs")
+    assert(r.getLong(2) === 1L, "only the index hit counts as known — not the self-dup")
+    assert(r.getString(3) === "w x y z w x y z q r s",
+      "novel text keeps within-batch repeats (the batch key's job, not this one's)")
+  }
+
   test("text_cms_freq: estimates never undercount, and the narrow width does collide") {
     val rows = TextQueries.queries("text_cms_freq")(spark, sfDir).collect()
     assert(rows.nonEmpty)
