@@ -177,10 +177,27 @@ object PipelineQueries {
       .select($"l_returnflag", $"mv.metric".as("metric"), $"mv.v".as("v"))
     val hist = longf.groupBy($"l_returnflag", $"metric", $"v")
       .agg(count(lit(1)).as("c"))
-    val wCum = Window.partitionBy($"l_returnflag", $"metric").orderBy($"v")
-    val wTot = Window.partitionBy($"l_returnflag", $"metric")
-    hist.withColumn("cum", sum($"c").over(wCum))
-      .withColumn("n", sum($"c").over(wTot))
+    // TWO-LEVEL distributed prefix sum over the histogram — a cumulative
+    // window partitioned only by (flag, metric) serializes each group's
+    // whole value domain through one task (the r10 decade's 6× growth was
+    // exactly that stall). Level 1: per-BLOCK subtotals (domain div 2^20)
+    // cumulated in a tiny window — block count is domain/2^20, driver-size
+    // regardless of corpus. Level 2: the within-block cumulative window is
+    // partitioned by (flag, metric, block) — parallel across blocks, each
+    // task scans one block's cells. cum = block offset + within-block run.
+    val hb = hist.withColumn("blk", expr(s"v div ${1L << 20}"))
+    val wBlk = Window.partitionBy($"l_returnflag", $"metric").orderBy($"blk")
+    val offsets = hb.groupBy($"l_returnflag", $"metric", $"blk")
+      .agg(sum($"c").as("bc"))
+      .withColumn("off", sum($"bc").over(wBlk) - $"bc")
+      .select($"l_returnflag", $"metric", $"blk", $"off")
+    val wIn = Window.partitionBy($"l_returnflag", $"metric", $"blk").orderBy($"v")
+    val totals = longf.groupBy($"l_returnflag", $"metric")
+      .agg(count(lit(1)).as("n"))
+    hb.withColumn("incum", sum($"c").over(wIn))
+      .join(broadcast(offsets), Seq("l_returnflag", "metric", "blk"))
+      .withColumn("cum", $"incum" + $"off")
+      .join(broadcast(totals), Seq("l_returnflag", "metric"))
       .groupBy($"l_returnflag", $"metric")
       .agg(max($"n").as("n_items"),
         (min(when($"cum" >= expr("(n + 1) div 2"), $"v")) +
