@@ -61,6 +61,7 @@ object RelationalQueries {
     "st_stream_upsert" -> stStreamUpsert,
     "s9_catalog_counts" -> s9CatalogCounts,
     "qa_unique_violations" -> qaUniqueViolations,
+    "qa_freshness" -> qaFreshness,
     "runner_daily_sales" -> runnerDailySales,
     "t_typed_dataset" -> tTypedDataset,
     "a_approx_distinct" -> aApproxDistinct
@@ -791,6 +792,33 @@ object RelationalQueries {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** §5 freshness gate — the `dbt source freshness` analog: per source
+    * partition (event_type), the lag between its newest row and the
+    * corpus watermark, classified against warn/error thresholds. The
+    * reference's loader stamps LOADED_AT and relies on "latest batch
+    * wins" (ingest_latest_synthetic_data.py:163-194); this is the
+    * monitoring query that tells you a source STOPPED arriving. One
+    * aggregate per source + one broadcast scalar — O(sources) output at
+    * any corpus size; lag rides as epoch-ms integers so the compare is
+    * exact. */
+  private val qaFreshness: Q = (s, dir) => {
+    import s.implicits._
+    // NTZ → instant under the UTC session, so unix_millis is defined
+    val ev = Tables(s, dir, "events")
+      .select($"event_type", $"ts".cast("timestamp").as("ts"))
+    val watermark = ev.agg(max($"ts").as("now_ts"))
+    ev.groupBy($"event_type")
+      .agg(max($"ts").as("last_ts"), count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(watermark))
+      .withColumn("lag_ms", unix_millis($"now_ts") - unix_millis($"last_ts"))
+      .withColumn("status",
+        when($"lag_ms" <= 2L * 3600 * 1000, "fresh")
+          .when($"lag_ms" <= 12L * 3600 * 1000, "warn")
+          .otherwise("stale"))
+      .select($"event_type", $"n_events", $"lag_ms", $"status")
+      .orderBy($"event_type")
+  }
+
   /** S10/§3: the layered dbt-run analog — a staging→intermediate→mart DAG
     * composed through [[graft.plans.ModelGraph]]; views inline into ONE
     * Catalyst plan, so filters/pruning cross model boundaries. */
@@ -1202,6 +1230,18 @@ object RelationalQueries {
       """SELECT user_id, event_type, COUNT(*) AS n_rows
         |FROM events GROUP BY 1, 2 HAVING COUNT(*) > 1
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "qa_freshness" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) ts FROM events),
+        |m AS (SELECT MAX(ts) AS now_ts FROM e),
+        |g AS (SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n_events
+        |      FROM e GROUP BY 1)
+        |SELECT event_type, n_events,
+        | epoch_ms(now_ts) - epoch_ms(last_ts) AS lag_ms,
+        | CASE WHEN epoch_ms(now_ts) - epoch_ms(last_ts) <= 7200000 THEN 'fresh'
+        |      WHEN epoch_ms(now_ts) - epoch_ms(last_ts) <= 43200000 THEN 'warn'
+        |      ELSE 'stale' END AS status
+        |FROM g, m ORDER BY event_type""".stripMargin,
 
     "runner_daily_sales" ->
       """WITH stg_orders AS (
