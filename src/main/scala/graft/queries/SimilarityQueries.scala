@@ -306,6 +306,7 @@ object SimilarityQueries {
     "ann_ivf_drift" -> annIvfDrift,
     "emb_random_projection" -> embRandomProjection,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_threshold_sweep" -> dedupThresholdSweep,
     "dedup_semantic_incremental" -> dedupSemanticIncremental,
     "dedup_minhash_incremental" -> dedupMinhashIncremental,
     "dedup_substring_runs" -> dedupSubstringRuns,
@@ -1341,7 +1342,14 @@ object SimilarityQueries {
     * (bits+1)·bucket per row — still linear in corpus size.
     * Every stage is the already-proven scale path; this key proves they
     * COMPOSE, oracle-replayed including the recursive-CTE components. */
-  private val dedupSemantic: Q = (s, dir) => {
+  /** Multi-probe LSH candidate pairs with their cosine score — the pair
+    * generator [[dedupSemantic]] and [[dedupThresholdSweep]] share: each
+    * unordered pair is found EXACTLY once (x's probe ring contains y's
+    * home bucket iff the buckets are equal or 1 bit apart, and
+    * `vec_a < vec_b` fixes the orientation), so downstream counts need no
+    * dedup. */
+  private def semanticScoredPairs(s: SparkSession, dir: String,
+      probeKey: String): DataFrame = {
     import s.implicits._
     val bits = lshBits(s, dir)
     def flip(b: org.apache.spark.sql.Column, i: Int) = concat(
@@ -1354,10 +1362,17 @@ object SimilarityQueries {
     val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"), $"nrm".as("na"),
       explode(array($"bucket" +: (0 until bits).map(flip($"bucket", _)): _*)).as("bucket"))
     val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"), $"bucket", $"nrm".as("nb"))
-    val pairs = probePairs(
+    probePairs(
         a.hint("shuffle_hash").join(b, Seq("bucket")).filter($"vec_a" < $"vec_b"),
-        "dedup_semantic")
-      .filter(Vectors.cosinePrenormed(Vectors.fdot($"ea", $"eb"), $"na", $"nb") >= SemanticT)
+        probeKey)
+      .withColumn("cos", Vectors.cosinePrenormed(Vectors.fdot($"ea", $"eb"), $"na", $"nb"))
+      .select($"vec_a", $"vec_b", $"cos")
+  }
+
+  private val dedupSemantic: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = semanticScoredPairs(s, dir, "dedup_semantic")
+      .filter($"cos" >= SemanticT)
       .select($"vec_a".as("src"), $"vec_b".as("dst"))
     // semantic graphs can still chain; keep propagation headroom over the
     // default cap (pointer jumping needs O(log diameter) rounds)
@@ -1365,6 +1380,35 @@ object SimilarityQueries {
       .select($"id".as("vec_id"), $"component".as("group_id"))
       .withColumn("is_canonical", $"vec_id" === $"group_id")
       .orderBy($"vec_id")
+  }
+
+  /** Threshold values for [[dedupThresholdSweep]] (cosine × 100) —
+    * bracketing the corpus's near-dup operating point ([[SemanticT]] =
+    * 0.45; the synthetic embeddings' similarity tops out ~0.51, so a
+    * real-embedding 0.9-ish band would sweep nothing here). */
+  private val SweepTs = Seq(30, 35, 40, 45, 48, 50)
+
+  /** Threshold SWEEP — the tuning rung the semantic-dedup family needs
+    * before anyone picks [[SemanticT]]: for each candidate threshold, how
+    * many pairs would qualify and how many vectors would be touched. One
+    * pass over the SAME multi-probe candidate set the production key
+    * scores (pairs generated once, thresholds exploded over them — cost
+    * is candidates × |thresholds| comparisons, not |thresholds| re-runs
+    * of the pair join), aggregated to one integer row per threshold.
+    * This is how the dedup aggressiveness/recall knob actually gets set
+    * on a new corpus: run the sweep at a sampled scale, read the curve,
+    * pin the threshold. */
+  private val dedupThresholdSweep: Q = (s, dir) => {
+    import s.implicits._
+    val scored = semanticScoredPairs(s, dir, "dedup_threshold_sweep")
+    scored.select($"vec_a", $"vec_b", $"cos",
+        explode(lit(SweepTs.toArray)).as("threshold_pct"))
+      .filter($"cos" * 100 >= $"threshold_pct")
+      .select($"threshold_pct", explode(array($"vec_a", $"vec_b")).as("id"))
+      .groupBy($"threshold_pct")
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct($"id").as("n_docs_affected"))
+      .orderBy($"threshold_pct")
   }
 
   /** SemDeDup — cluster-then-prune semantic dedup (Abbas et al. 2023,
@@ -2156,6 +2200,30 @@ object SimilarityQueries {
          |          UNION SELECT r.id, e2.d FROM reach r JOIN edges e2 ON r.o = e2.s)
          |SELECT id AS vec_id, MIN(o) AS group_id, id = MIN(o) AS is_canonical
          |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    // the sweep replays the same probe-ring pair set; thresholds unnest
+    // over it and both counts stay exact integers
+    "dedup_threshold_sweep" ->
+      s"""WITH RECURSIVE $bitsCte,
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
+         |   ${bucketSql("CAST(embedding AS DOUBLE[])")} bucket FROM embeddings, bits),
+         |ap AS (SELECT e.vec_id, e.emb,
+         |   unnest([e.bucket] || [CONCAT(substr(e.bucket, 1, b),
+         |     CASE substr(e.bucket, b + 1, 1) WHEN '0' THEN '1' ELSE '0' END,
+         |     substr(e.bucket, b + 2)) FOR b IN range(0, bits.bits)]) AS bucket
+         | FROM e, bits),
+         |pairs AS (SELECT a.vec_id vec_a, b.vec_id vec_b, $cosineSql AS cos
+         |  FROM (SELECT vec_id, emb ea, bucket FROM ap) a
+         |  JOIN (SELECT vec_id, emb eb, bucket FROM e) b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sw AS (SELECT vec_a, vec_b, cos,
+         |   unnest([${SweepTs.mkString(", ")}]) AS threshold_pct FROM pairs),
+         |m AS (SELECT threshold_pct, unnest([vec_a, vec_b]) AS id
+         |  FROM sw WHERE cos * 100 >= threshold_pct)
+         |SELECT CAST(threshold_pct AS INT) AS threshold_pct,
+         | CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+         | CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs_affected
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_semantic_incremental" ->
       s"""WITH $bitsCte,
