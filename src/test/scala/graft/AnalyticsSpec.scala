@@ -79,6 +79,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum === ev.getLong(1), "cents not conserved")
   }
 
+  test("qa_freshness: lag is watermark-relative, statuses cover the thresholds") {
+    import graft.queries.RelationalQueries
+    val rows = RelationalQueries.queries("qa_freshness")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).min === 0L,
+      "the freshest source defines the watermark, so its lag must be exactly 0")
+    rows.foreach { r =>
+      val (lag, status) = (r.getLong(2), r.getString(3))
+      val expect = if (lag <= 2L * 3600 * 1000) "fresh"
+        else if (lag <= 12L * 3600 * 1000) "warn" else "stale"
+      assert(status === expect, s"${r.getString(0)}: lag $lag classified $status")
+    }
+  }
+
   test("a_arg_minmax matches a direct per-group sort") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("c_nationkey"))

@@ -39,6 +39,22 @@ class SimilarityScaleSpec extends SparkSpec {
     (n, bits, pairSum)
   }
 
+  test("threshold sweep is monotone: tighter thresholds qualify fewer pairs") {
+    val rows = SimilarityQueries.queries("dedup_threshold_sweep")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "the sweep must bracket the corpus operating point")
+    rows.sliding(2).foreach {
+      case Array((tA, pA, dA), (tB, pB, dB)) =>
+        assert(tA < tB && pB <= pA && dB <= dA,
+          s"sweep not monotone: t=$tA ($pA pairs, $dA docs) -> t=$tB ($pB, $dB)")
+      case _ =>
+    }
+    rows.foreach { case (t, p, d) =>
+      assert(d <= 2 * p && (p == 0 || d >= 2),
+        s"t=$t: $d affected docs inconsistent with $p pairs")
+    }
+  }
+
   test("multi-probe LSH recall@3 dominates single-bucket recall") {
     val hits = SimilarityQueries.queries("ann_recall_at_k")(spark, sfDir)
       .groupBy("method").agg(avg("hits_at_3").as("r"))
