@@ -292,6 +292,7 @@ object SimilarityQueries {
     "ann_cosine_topk" -> annTopK,
     "ann_lsh_bucket" -> annLshBucket,
     "ann_lsh_multiprobe" -> annLshMultiprobe,
+    "ann_mips_recall" -> annMipsRecall,
     "ann_filtered" -> annFiltered,
     "ann_ivf" -> annIvf,
     "ann_recall_at_k" -> annRecallAtK,
@@ -763,6 +764,52 @@ object SimilarityQueries {
       .filter($"rank" <= 3)
       .select($"query_id", $"rank", $"neighbor_id")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** MIPS recall rung — retrieval by raw INNER PRODUCT (what a retrieval
+    * stack maximizes when embeddings are unnormalized: dot = cosine ×
+    * norm, so high-norm documents should outrank same-direction low-norm
+    * ones). Candidates come from the same direction-bucketed multi-probe
+    * LSH as [[annLshMultiprobe]] but are RANKED by dot; the exact truth
+    * side is the full-scan dot top-3 (fenced — it is the O(n·q) baseline).
+    * The emitted hits@3 therefore MEASURES the bias of direction-only
+    * bucketing under MIPS: a high-norm neighbor in a different direction
+    * bucket is exactly what this rung catches missing (the production fix
+    * is the augmented-vector reduction — append sqrt(M²−‖x‖²) and MIPS
+    * becomes cosine — which rides this same machinery with dim+1). */
+  private val annMipsRecall: Q = (s, dir) => {
+    import s.implicits._
+    fenceBruteForce("ann_mips_recall", s, dir) // truth side full-scans per query
+    val bits = lshBits(s, dir)
+    def flip(b: org.apache.spark.sql.Column, i: Int) = concat(
+      substring(b, 1, i),
+      when(substring(b, i + 1, 1) === "0", "1").otherwise("0"),
+      substring(b, i + 2, bits))
+    val emb = spread(Tables(s, dir, "embeddings")).select($"vec_id", $"embedding",
+      Vectors.hyperplaneBucket($"embedding", EmbDim, bits, LshSeed).as("bucket"))
+    val q0 = emb.filter($"vec_id" < 50)
+    val q = q0.select($"vec_id".as("query_id"), $"embedding".as("qe"),
+      explode(array($"bucket" +: (0 until bits).map(flip($"bucket", _)): _*))
+        .as("bucket"))
+    val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"bucket")
+    val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id")
+    val approx = broadcast(q).join(n, Seq("bucket"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("dot", Vectors.fdot($"qe", $"ne"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id")
+    val wT = Window.partitionBy($"query_id").orderBy($"tdot".desc, $"neighbor_id")
+    val truth = broadcast(q0.select($"vec_id".as("query_id"), $"embedding".as("qe")))
+      .join(emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne")),
+        $"query_id" =!= $"neighbor_id")
+      .withColumn("tdot", Vectors.fdot($"qe", $"ne"))
+      .withColumn("rank", row_number().over(wT)).filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id")
+    truth.join(approx.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(sum(coalesce($"hit", lit(0))).as("hits_at_3"))
+      .orderBy($"query_id")
   }
 
   /** FILTERED vector search — the serving-layer composition a production
@@ -1616,6 +1663,11 @@ object SimilarityQueries {
 
   private def bucketSql(vec: String): String = bucketSqlAt(vec, LshSeed * 1000)
 
+  /** Raw inner product — the MIPS score; same sequential fold order as
+    * [[graft.functions.Vectors.fdot]], so doubles match exactly. */
+  private val dotSql =
+    s"list_sum([ea[i + 1] * eb[i + 1] FOR i IN range(0, $EmbDim)])"
+
   private val cosineSql =
     s"""list_sum([ea[i + 1] * eb[i + 1] FOR i IN range(0, $EmbDim)])
        | / (sqrt(list_sum([ea[i + 1] * ea[i + 1] FOR i IN range(0, $EmbDim)]))
@@ -1916,6 +1968,36 @@ object SimilarityQueries {
          |  FROM mp_scored)
          |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+
+    // direction-bucketed candidates ranked by raw DOT, graded against the
+    // exact full-scan dot top-3 — the MIPS bias measurement
+    "ann_mips_recall" ->
+      s"""WITH $bitsCte,
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
+         |   ${bucketSql("CAST(embedding AS DOUBLE[])")} bucket FROM embeddings, bits),
+         |mips_probes AS (SELECT e.vec_id AS query_id, e.emb AS qe,
+         |   unnest([e.bucket] || [${flipSql("e.bucket", "b")}
+         |     FOR b IN range(0, bits.bits)]) AS bucket
+         | FROM e, bits WHERE e.vec_id < 50),
+         |mips_cand AS (SELECT p.query_id, n.vec_id neighbor_id,
+         |   (SELECT $dotSql FROM (SELECT p.qe ea, n.emb eb)) dot
+         |  FROM mips_probes p JOIN e n ON p.bucket = n.bucket AND p.query_id <> n.vec_id),
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) rank
+         |  FROM mips_cand) WHERE rank <= 3),
+         |t_scored AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
+         |   (SELECT $dotSql FROM (SELECT q.emb ea, n.emb eb)) dot
+         |  FROM e q JOIN e n ON q.vec_id < 50 AND q.vec_id <> n.vec_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) rank
+         |  FROM t_scored) WHERE rank <= 3)
+         |SELECT t.query_id,
+         | CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_3
+         |FROM truth t LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the multiprobe candidate join with the label predicate inside the
     // join — filtered-ANN, ranks computed within the filtered set
     "ann_filtered" ->
