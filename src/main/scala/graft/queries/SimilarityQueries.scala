@@ -293,6 +293,7 @@ object SimilarityQueries {
     "ann_lsh_bucket" -> annLshBucket,
     "ann_lsh_multiprobe" -> annLshMultiprobe,
     "ann_mips_recall" -> annMipsRecall,
+    "ann_mips_aug_recall" -> annMipsAugRecall,
     "ann_filtered" -> annFiltered,
     "ann_ivf" -> annIvf,
     "ann_recall_at_k" -> annRecallAtK,
@@ -766,17 +767,27 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Deterministic UNNORMALIZED twin of the embedding corpus: the stored
+    * vectors are unit-norm (MIPS would degenerate to cosine), so both
+    * MIPS rungs scale each vector by 1 + vec_id mod 7 — an id-derived
+    * integer factor both engines replay exactly. Norms then span 1–7 and
+    * inner-product ranking genuinely disagrees with cosine ranking. */
+  private def scaledEmb(c: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(c.cast("array<double>"), e => e * (lit(1) + pmod(id, lit(7))))
+
   /** MIPS recall rung — retrieval by raw INNER PRODUCT (what a retrieval
     * stack maximizes when embeddings are unnormalized: dot = cosine ×
     * norm, so high-norm documents should outrank same-direction low-norm
-    * ones). Candidates come from the same direction-bucketed multi-probe
-    * LSH as [[annLshMultiprobe]] but are RANKED by dot; the exact truth
-    * side is the full-scan dot top-3 (fenced — it is the O(n·q) baseline).
-    * The emitted hits@3 therefore MEASURES the bias of direction-only
-    * bucketing under MIPS: a high-norm neighbor in a different direction
-    * bucket is exactly what this rung catches missing (the production fix
-    * is the augmented-vector reduction — append sqrt(M²−‖x‖²) and MIPS
-    * becomes cosine — which rides this same machinery with dim+1). */
+    * ones). Candidates come from DIRECTION-bucketed multi-probe LSH
+    * (buckets from the raw unit vectors — scaling never moves a
+    * direction bucket) but are RANKED by the scaled dot; the exact truth
+    * side is the full-scan scaled-dot top-3 (fenced — the O(n·q)
+    * baseline). The emitted hits@3 therefore MEASURES the bias of
+    * direction-only bucketing under MIPS: the high-norm neighbor a query
+    * needs sits in a DIFFERENT direction bucket and goes missing.
+    * [[annMipsAugRecall]] is the paired fix; the two keys share the
+    * truth, so their delta is the reduction's measured value. */
   private val annMipsRecall: Q = (s, dir) => {
     import s.implicits._
     fenceBruteForce("ann_mips_recall", s, dir) // truth side full-scans per query
@@ -785,24 +796,93 @@ object SimilarityQueries {
       substring(b, 1, i),
       when(substring(b, i + 1, 1) === "0", "1").otherwise("0"),
       substring(b, i + 2, bits))
-    val emb = spread(Tables(s, dir, "embeddings")).select($"vec_id", $"embedding",
+    val emb = spread(Tables(s, dir, "embeddings")).select($"vec_id",
+      scaledEmb($"embedding", $"vec_id").as("sv"),
       Vectors.hyperplaneBucket($"embedding", EmbDim, bits, LshSeed).as("bucket"))
     val q0 = emb.filter($"vec_id" < 50)
-    val q = q0.select($"vec_id".as("query_id"), $"embedding".as("qe"),
+    val q = q0.select($"vec_id".as("query_id"), $"sv".as("qe"),
       explode(array($"bucket" +: (0 until bits).map(flip($"bucket", _)): _*))
         .as("bucket"))
-    val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"bucket")
+    val n = emb.select($"vec_id".as("neighbor_id"), $"sv".as("ne"), $"bucket")
     val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id")
     val approx = broadcast(q).join(n, Seq("bucket"))
       .filter($"query_id" =!= $"neighbor_id")
-      .withColumn("dot", Vectors.fdot($"qe", $"ne"))
+      .withColumn("dot", Vectors.dot($"qe", $"ne"))
       .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
       .select($"query_id", $"neighbor_id")
     val wT = Window.partitionBy($"query_id").orderBy($"tdot".desc, $"neighbor_id")
-    val truth = broadcast(q0.select($"vec_id".as("query_id"), $"embedding".as("qe")))
-      .join(emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne")),
+    val truth = broadcast(q0.select($"vec_id".as("query_id"), $"sv".as("qe")))
+      .join(emb.select($"vec_id".as("neighbor_id"), $"sv".as("ne")),
         $"query_id" =!= $"neighbor_id")
-      .withColumn("tdot", Vectors.fdot($"qe", $"ne"))
+      .withColumn("tdot", Vectors.dot($"qe", $"ne"))
+      .withColumn("rank", row_number().over(wT)).filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id")
+    truth.join(approx.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(sum(coalesce($"hit", lit(0))).as("hits_at_3"))
+      .orderBy($"query_id")
+  }
+
+  /** The MIPS FIX — the asymmetric augmented-vector reduction (Shrivastava
+    * & Li / Neyshabur & Srebro, public): append sqrt(M² − ‖x‖²) to every
+    * corpus vector (M = the corpus max norm) and 0 to every query, and
+    * maximum inner product becomes cosine on the augmented space — every
+    * augmented corpus vector has norm exactly M, so direction IS the dot
+    * ranking. Buckets are hyperplane-LSH over the (dim+1) augmented
+    * vectors with the same seed family and bit ladder; candidates then
+    * rank by the raw dot like [[annMipsRecall]], against the SAME exact
+    * truth — so the two keys' hits@3 are directly comparable and their
+    * delta is the measured value of the reduction. M² rides as one
+    * broadcast scalar (exact double max — order-free).
+    *
+    * Measured finding (sf0.1, norms 1–7, equal probe budget): the
+    * reduction makes the RANKING exact under cosine machinery but does
+    * NOT lift bucket recall by itself (1.88 vs 1.86 hits@3) — low-norm
+    * corpus vectors collapse toward the augmentation axis, so their
+    * buckets lose direction selectivity exactly as the MIPS-LSH papers
+    * warn; the production lever for recall is probe count/tables (the
+    * ann_mp2/ann_mt rungs), with the augmentation supplying the correct
+    * geometry to probe IN. A rung that measures where a knob does NOT
+    * help is as load-bearing as one that shows it does. */
+  private val annMipsAugRecall: Q = (s, dir) => {
+    import s.implicits._
+    fenceBruteForce("ann_mips_aug_recall", s, dir) // truth side full-scans per query
+    val bits = lshBits(s, dir)
+    def flip(b: org.apache.spark.sql.Column, i: Int) = concat(
+      substring(b, 1, i),
+      when(substring(b, i + 1, 1) === "0", "1").otherwise("0"),
+      substring(b, i + 2, bits))
+    val withSelf = spread(Tables(s, dir, "embeddings"))
+      .select($"vec_id", scaledEmb($"embedding", $"vec_id").as("sv"))
+      .withColumn("selfdot", Vectors.dot($"sv", $"sv"))
+    val base = withSelf
+      .crossJoin(broadcast(withSelf.agg(max($"selfdot").as("m2"))))
+    def bucketOf(aug: org.apache.spark.sql.Column) = concat_ws("",
+      (0 until bits).map(b =>
+        (Vectors.dot(aug, lit(graft.functions.HashSketch
+          .plane(EmbDim + 1, LshSeed * 1000 + b))) >= 0).cast("int")): _*)
+    val nAug = concat($"sv", array(sqrt($"m2" - $"selfdot")))
+    val qAug = concat($"sv", array(lit(0.0)))
+    val n = base.select($"vec_id".as("neighbor_id"), $"sv".as("ne"),
+      bucketOf(nAug).as("bucket"))
+    val q = base.filter($"vec_id" < 50)
+      .withColumn("qb", bucketOf(qAug))
+      .select($"vec_id".as("query_id"), $"sv".as("qe"),
+        explode(array($"qb" +: (0 until bits).map(flip($"qb", _)): _*)).as("bucket"))
+    val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id")
+    val approx = broadcast(q).join(n, Seq("bucket"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("dot", Vectors.dot($"qe", $"ne"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"query_id", $"neighbor_id")
+    val emb = base.select($"vec_id", $"sv")
+    val wT = Window.partitionBy($"query_id").orderBy($"tdot".desc, $"neighbor_id")
+    val truth = broadcast(emb.filter($"vec_id" < 50)
+        .select($"vec_id".as("query_id"), $"sv".as("qe")))
+      .join(emb.select($"vec_id".as("neighbor_id"), $"sv".as("ne")),
+        $"query_id" =!= $"neighbor_id")
+      .withColumn("tdot", Vectors.dot($"qe", $"ne"))
       .withColumn("rank", row_number().over(wT)).filter($"rank" <= 3)
       .select($"query_id", $"neighbor_id")
     truth.join(approx.withColumn("hit", lit(1)),
@@ -1642,8 +1722,8 @@ object SimilarityQueries {
     s"((${hash60Sql(s"CONCAT($seed, '_', $i)")} % 2000001) / 1000000.0 - 1.0)"
 
   /** Sequential-fold dot product of a double[] with the seed-derived plane. */
-  private def planeDotSql(vec: String, seed: String): String =
-    s"list_sum([$vec[i + 1] * ${planeSql(seed, "i")} FOR i IN range(0, $EmbDim)])"
+  private def planeDotSql(vec: String, seed: String, dim: Int = EmbDim): String =
+    s"list_sum([$vec[i + 1] * ${planeSql(seed, "i")} FOR i IN range(0, $dim)])"
 
   /** CTEs deriving the scale-aware bit count — same integer MIN-over-range
     * ladder as [[lshBitsFor]]. Prepend to any oracle using [[bucketSql]];
@@ -1969,12 +2049,56 @@ object SimilarityQueries {
          |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
 
+    // the augmented-space replay: selfdots, the corpus max, the dim+1
+    // plane dots, asymmetric buckets, probe ring, and the same exact truth
+    "ann_mips_aug_recall" ->
+      s"""WITH $bitsCte,
+         |ar AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) raw FROM embeddings),
+         |a0 AS (SELECT vec_id, [x * (1 + vec_id % 7) FOR x IN raw] emb FROM ar),
+         |a1 AS (SELECT vec_id, emb,
+         |   list_sum([emb[i + 1] * emb[i + 1] FOR i IN range(0, $EmbDim)]) selfdot
+         | FROM a0),
+         |am AS (SELECT MAX(selfdot) m2 FROM a1),
+         |a2 AS (SELECT a1.vec_id, a1.emb,
+         |   a1.emb || [sqrt(am.m2 - a1.selfdot)] AS naug,
+         |   a1.emb || [0.0] AS qaug
+         | FROM a1, am),
+         |a3 AS (SELECT vec_id, emb,
+         |   array_to_string([CASE WHEN ${planeDotSql("naug", s"${LshSeed * 1000} + b", EmbDim + 1)} >= 0
+         |     THEN '1' ELSE '0' END FOR b IN range(0, bits.bits)], '') nbucket,
+         |   array_to_string([CASE WHEN ${planeDotSql("qaug", s"${LshSeed * 1000} + b", EmbDim + 1)} >= 0
+         |     THEN '1' ELSE '0' END FOR b IN range(0, bits.bits)], '') qbucket
+         | FROM a2, bits),
+         |aprobes AS (SELECT vec_id AS query_id, emb AS qe,
+         |   unnest([qbucket] || [${flipSql("qbucket", "b")} FOR b IN range(0, bits.bits)]) AS bucket
+         | FROM a3, bits WHERE vec_id < 50),
+         |acand AS (SELECT p.query_id, n.vec_id neighbor_id,
+         |   (SELECT $dotSql FROM (SELECT p.qe ea, n.emb eb)) dot
+         |  FROM aprobes p JOIN a3 n ON p.bucket = n.nbucket AND p.query_id <> n.vec_id),
+         |aapprox AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) rank
+         |  FROM acand) WHERE rank <= 3),
+         |at_scored AS (SELECT q.vec_id query_id, n.vec_id neighbor_id,
+         |   (SELECT $dotSql FROM (SELECT q.emb ea, n.emb eb)) dot
+         |  FROM a0 q JOIN a0 n ON q.vec_id < 50 AND q.vec_id <> n.vec_id),
+         |atruth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) rank
+         |  FROM at_scored) WHERE rank <= 3)
+         |SELECT t.query_id,
+         | CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_3
+         |FROM atruth t LEFT JOIN aapprox a
+         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // direction-bucketed candidates ranked by raw DOT, graded against the
     // exact full-scan dot top-3 — the MIPS bias measurement
     "ann_mips_recall" ->
       s"""WITH $bitsCte,
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb,
-         |   ${bucketSql("CAST(embedding AS DOUBLE[])")} bucket FROM embeddings, bits),
+         |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) raw FROM embeddings),
+         |e AS (SELECT vec_id, [x * (1 + vec_id % 7) FOR x IN raw] emb,
+         |   ${bucketSql("raw")} bucket FROM e0, bits),
          |mips_probes AS (SELECT e.vec_id AS query_id, e.emb AS qe,
          |   unnest([e.bucket] || [${flipSql("e.bucket", "b")}
          |     FOR b IN range(0, bits.bits)]) AS bucket
