@@ -26,8 +26,39 @@ object AnalyticsQueries {
     "a_arg_minmax" -> aArgMinmax,
     "a_hll_exact" -> aHllExact,
     "a_hll_merge" -> aHllMerge,
-    "a_bit_aggs" -> aBitAggs
+    "a_bit_aggs" -> aBitAggs,
+    "qa_volume_anomaly" -> qaVolumeAnomaly
   )
+
+  /** Volume-anomaly monitor — the row-count gate next to qa_drift_psi
+    * (distribution) and qa_freshness (recency): each day's event count
+    * against its TRAILING-7-day baseline, flagged when it exceeds 3× the
+    * trailing mean or falls below ⅓ of it. Every comparison is
+    * CROSS-MULTIPLIED (n7·cnt vs 3·sum7) so no division ever touches the
+    * verdict — exact integers end to end, same discipline as the PSI
+    * monitor. One day-grain aggregate + one 7-row window per source
+    * stream; at 100 TB the windowed state is 7 counters per partition key,
+    * nothing more. The first days with no full baseline report 'warmup'
+    * rather than a fabricated verdict. */
+  private val qaVolumeAnomaly: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(s, dir, "events")
+      .groupBy($"ts".cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy($"day").rowsBetween(-7, -1)
+    daily
+      .withColumn("sum7", sum($"n_events").over(w))
+      .withColumn("n7", count($"n_events").over(w))
+      .withColumn("flag",
+        when($"n7" < 7, "warmup")
+          .when($"n7" * $"n_events" > $"sum7" * 3, "spike")
+          .when($"n7" * $"n_events" * 3 < $"sum7", "drop")
+          .otherwise("ok"))
+      .select($"day", $"n_events",
+        coalesce($"sum7", lit(0L)).as("sum7"), $"n7", $"flag")
+      .orderBy($"day")
+  }
 
   /** Bitwise aggregates (bit_or/bit_and/bit_xor) — commutative and
     * associative, so partial/final merge order can't change the result;
@@ -241,6 +272,20 @@ object AnalyticsQueries {
   private val Pow250: Double = 1125899906842624.0 // 2^50
 
   def oracle: Map[String, String] = Map(
+    "qa_volume_anomaly" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day, n_events,
+        |  COALESCE(SUM(n_events) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS sum7,
+        |  COUNT(n_events) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n7
+        | FROM daily)
+        |SELECT day, n_events, CAST(sum7 AS BIGINT) AS sum7, CAST(n7 AS BIGINT) AS n7,
+        | CASE WHEN n7 < 7 THEN 'warmup'
+        |      WHEN n7 * n_events > sum7 * 3 THEN 'spike'
+        |      WHEN n7 * n_events * 3 < sum7 THEN 'drop'
+        |      ELSE 'ok' END AS flag
+        |FROM w ORDER BY day""".stripMargin,
+
     "a_bit_aggs" ->
       """SELECT o_orderstatus, bit_or(o_custkey) AS b_or,
         | bit_and(o_custkey) AS b_and, bit_xor(o_custkey) AS b_xor,
