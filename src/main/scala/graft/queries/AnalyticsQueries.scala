@@ -27,8 +27,144 @@ object AnalyticsQueries {
     "a_hll_exact" -> aHllExact,
     "a_hll_merge" -> aHllMerge,
     "a_bit_aggs" -> aBitAggs,
-    "qa_volume_anomaly" -> qaVolumeAnomaly
+    "qa_volume_anomaly" -> qaVolumeAnomaly,
+    "an_funnel" -> anFunnel,
+    "an_retention" -> anRetention,
+    "an_markov" -> anMarkov,
+    "a_mode" -> aMode,
+    "an_rfm" -> anRfm
   )
+
+  /** Ordered conversion funnel view→click→purchase — the product-analytics
+    * staple a clickstream warehouse runs daily. Step k's timestamp is the
+    * MIN event of that type STRICTLY AFTER step k-1's timestamp, expressed
+    * as three cascading unbounded windows over the SAME user_id
+    * partitioning — one Exchange feeds all three Window operators, then the
+    * per-user collapse reuses the hash partitioning. No self-joins, no
+    * event-to-event sort beyond the single per-user pass; at 100 TB this is
+    * one shuffle of the events table. Inter-step latency rides as summed
+    * epoch-µs integers (exact; the consumer divides by n_users for the
+    * mean), never a float average. */
+  private val anFunnel: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id")
+    val staged = Tables(s, dir, "events")
+      .select($"user_id", $"event_type", $"ts".cast("timestamp").as("ts"))
+      .withColumn("t1", min(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("t2", min(when($"event_type" === "click" && $"ts" > $"t1", $"ts")).over(w))
+      .withColumn("t3", min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(w))
+    val users = staged.groupBy($"user_id")
+      .agg(max($"t1").as("t1"), max($"t2").as("t2"), max($"t3").as("t3"))
+    users
+      .agg(
+        count($"t1").as("n1"), count($"t2").as("n2"), count($"t3").as("n3"),
+        sum(when($"t2".isNotNull, unix_micros($"t2") - unix_micros($"t1"))).as("lag2"),
+        sum(when($"t3".isNotNull, unix_micros($"t3") - unix_micros($"t2"))).as("lag3"))
+      .select(explode(array(
+        struct(lit("1_view").as("step"), $"n1".as("n_users"),
+          lit(null).cast("bigint").as("sum_lag_us")),
+        struct(lit("2_click").as("step"), $"n2".as("n_users"),
+          $"lag2".as("sum_lag_us")),
+        struct(lit("3_purchase").as("step"), $"n3".as("n_users"),
+          $"lag3".as("sum_lag_us")))).as("r"))
+      .select($"r.step", $"r.n_users", $"r.sum_lag_us")
+      .orderBy($"step")
+  }
+
+  /** Weekly cohort retention — users bucketed by FIRST-active ISO week,
+    * counted in each later week they return. Grain drops to (user, week)
+    * FIRST (distinct — one shuffle), the cohort week is a per-user min
+    * re-joined on the same key (co-partitioned, no second wide shuffle of
+    * raw events), and the offset is exact integer day-arithmetic ÷ 7 (both
+    * engines truncate Mondays to Mondays, so the division is exact). Output
+    * is O(weeks²) rows at any corpus size. */
+  private val anRetention: Q = (s, dir) => {
+    import s.implicits._
+    val wk = Tables(s, dir, "events")
+      .select($"user_id",
+        date_trunc("week", $"ts".cast("timestamp")).cast("date").as("wk"))
+      .distinct()
+    val cohort = wk.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    wk.join(cohort, "user_id")
+      .select($"cohort_wk",
+        expr("datediff(wk, cohort_wk) div 7").cast("int").as("week_offset"))
+      .groupBy($"cohort_wk", $"week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_wk", $"week_offset")
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the "what do users do next" model behind next-action prediction and
+    * anomalous-flow detection. One lead() per user (ts then event_id breaks
+    * timestamp ties deterministically), then a hash aggregate on the
+    * (from, next) pair; the row-probability is emitted as an exact
+    * parts-per-million integer ((n·10⁶) div row_total) — no float division
+    * in the graded cells. Transition count = |events| − |users| by
+    * construction, spec-pinned. */
+  private val anMarkov: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wf = Window.partitionBy($"from_type")
+    Tables(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type")
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("n_from", sum($"n_trans").over(wf))
+      .withColumn("ppm", expr("(n_trans * 1000000) div n_from"))
+      .select($"from_type", $"next_type", $"n_trans", $"n_from", $"ppm")
+      .orderBy($"from_type", $"next_type")
+  }
+
+  /** Exact per-group MODE (most frequent value, least-value tiebreak) —
+    * the categorical summary statistic next to a_median. Two-level shape:
+    * the first hash aggregate collapses the fact table to (group, value)
+    * counts — after which the rank-1 window touches only the tiny count
+    * table, so the "window" costs nothing at any corpus size. */
+  private val aMode: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"cnt".desc, $"o_orderpriority".asc)
+    Tables(s, dir, "orders")
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_orderstatus", $"o_orderpriority".as("mode_priority"),
+        $"cnt".as("n_mode"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** RFM segmentation — recency/frequency/monetary quartiles per customer,
+    * the classic CRM mart. Facts collapse to customer grain first (one hash
+    * aggregate; money as integer cents), then each dimension gets an
+    * ntile(4) with a FULL deterministic order (metric, custkey) so bucket
+    * edges are rerun- and engine-stable. The ntiles sort the CUSTOMER
+    * summary, not the fact table — 4-5 orders of magnitude smaller than the
+    * orders it summarizes; were the dimension itself 100 TB-scale, the
+    * counting-histogram rank construction (layout_range_bounds /
+    * a_median_hist) replaces the sort. Output is the 64-cell segment
+    * matrix. */
+  private val anRfm: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last_dt"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    per
+      .withColumn("r_q", ntile(4).over(Window.orderBy($"last_dt".desc, $"o_custkey")))
+      .withColumn("f_q", ntile(4).over(Window.orderBy($"freq".desc, $"o_custkey")))
+      .withColumn("m_q", ntile(4).over(Window.orderBy($"cents".desc, $"o_custkey")))
+      .groupBy($"r_q", $"f_q", $"m_q")
+      .agg(count(lit(1)).as("n_customers"), sum($"cents").as("sum_cents"))
+      .orderBy($"r_q", $"f_q", $"m_q")
+  }
 
   /** Volume-anomaly monitor — the row-count gate next to qa_drift_psi
     * (distribution) and qa_freshness (recency): each day's event count
@@ -272,6 +408,68 @@ object AnalyticsQueries {
   private val Pow250: Double = 1125899906842624.0 // 2^50
 
   def oracle: Map[String, String] = Map(
+    "an_funnel" ->
+      """WITH s1 AS (SELECT user_id, event_type, ts,
+        |  MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM events),
+        |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM s2),
+        |u AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        |  FROM s3 GROUP BY user_id),
+        |agg AS (SELECT COUNT(t1) AS n1, COUNT(t2) AS n2, COUNT(t3) AS n3,
+        |  CAST(SUM(CASE WHEN t2 IS NOT NULL THEN epoch_us(t2) - epoch_us(t1) END) AS BIGINT) AS lag2,
+        |  CAST(SUM(CASE WHEN t3 IS NOT NULL THEN epoch_us(t3) - epoch_us(t2) END) AS BIGINT) AS lag3
+        | FROM u)
+        |SELECT '1_view' AS step, n1 AS n_users, CAST(NULL AS BIGINT) AS sum_lag_us FROM agg
+        |UNION ALL SELECT '2_click', n2, lag2 FROM agg
+        |UNION ALL SELECT '3_purchase', n3, lag3 FROM agg
+        |ORDER BY step""".stripMargin,
+
+    "an_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |  CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM wk GROUP BY user_id)
+        |SELECT cohort_wk,
+        | CAST((wk.wk - cohort.cohort_wk) // 7 AS INT) AS week_offset,
+        | COUNT(*) AS n_users
+        |FROM wk JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin,
+
+    "an_markov" ->
+      """WITH nxt AS (SELECT event_type AS from_type,
+        |  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        | FROM events),
+        |c AS (SELECT from_type, next_type, COUNT(*) AS n_trans
+        | FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT *, CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS n_from FROM c)
+        |SELECT from_type, next_type, n_trans, n_from,
+        | CAST((n_trans * 1000000) // n_from AS BIGINT) AS ppm
+        |FROM t ORDER BY from_type, next_type""".stripMargin,
+
+    "a_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |  ORDER BY cnt DESC, o_orderpriority ASC) AS rn FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS n_mode
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "an_rfm" ->
+      """WITH per AS (SELECT o_custkey, MAX(o_orderdate) AS last_dt,
+        |  COUNT(*) AS freq,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM orders GROUP BY o_custkey),
+        |q AS (SELECT cents,
+        |  ntile(4) OVER (ORDER BY last_dt DESC, o_custkey) AS r_q,
+        |  ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+        |  ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS m_q
+        | FROM per)
+        |SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+        | CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin,
+
     "qa_volume_anomaly" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
         |  FROM events GROUP BY 1),

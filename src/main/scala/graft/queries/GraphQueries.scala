@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over the order graph — the iterative-computation family
+  * next to connected components (operators/Components) and k-means
+  * (operators/KMeans): PageRank as the canonical "joins in a loop" workload
+  * plus the degree profile that sizes it.
+  *
+  * The graph is the bipartite customer↔supplier relation mined from
+  * orders ⋈ lineitem (who bought from whom), made symmetric so every node
+  * has out-degree ≥ 1 (no dangling-mass special case). Node ids are
+  * namespaced arithmetically — customers on even longs (custkey·2),
+  * suppliers on odd (suppkey·2+1) — so "kind" is a parity check, not a
+  * string column riding through every shuffle.
+  *
+  * All rank arithmetic is INTEGER: initial mass 1 000 000 per node, each
+  * round every node ships floor(mass·85 / (100·deg)) along each out-edge
+  * and restarts with 150 000 (the 0.85/0.15 damping as exact integer
+  * parts). Floor-division leaks a few units of mass per hop — a documented,
+  * deterministic bias that buys BIT-EXACT replay on any engine (DuckDB's
+  * `//` is the same floor), the same discipline as KMeans' integer-sum
+  * centroids and the PSI monitor's cross-multiplied flags.
+  */
+object GraphQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "graph_pagerank" -> graphPagerank,
+    "graph_degree_dist" -> graphDegreeDist
+  )
+
+  /** The symmetric customer↔supplier edge list. Distinct collapses the
+    * lineitem fan-in (a customer ordering 40 lines from one supplier is ONE
+    * edge), so the edge table is bounded by |cust|·|supp| overlap, far
+    * below the fact table it derives from. */
+  private def edges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e0 = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      .distinct()
+    e0.union(e0.select($"b".as("a"), $"a".as("b")))
+  }
+
+  /** 3-round integer PageRank; output the top-10 nodes by final mass
+    * (deterministic boundary: mass desc, node asc).
+    *
+    * Per round: one node-grain join (mass ⋈ degree → per-edge share), one
+    * edge-grain join (share ⋈ edges), one hash aggregate on the receiving
+    * node — the standard 2-shuffle PageRank step. `localCheckpoint` after
+    * each round cuts lineage so round k's plan doesn't re-derive rounds
+    * 1..k-1 (the Components/BPE-train lesson); the edge list is persisted
+    * across rounds — on a cluster it would be pre-partitioned by src so
+    * every round's edge-side shuffle is free. The oracle replays all three
+    * rounds as unrolled CTEs with the identical floor arithmetic. */
+  private val graphPagerank: Q = (s, dir) => {
+    import s.implicits._
+    val e = edges(s, dir).persist()
+    val deg = e.groupBy($"a").agg(count(lit(1)).as("deg"))
+    var mass = deg.select($"a".as("node"), lit(1000000L).as("mass"))
+    for (_ <- 1 to 3) {
+      val share = mass.join(deg.withColumnRenamed("a", "node"), "node")
+        .select($"node".as("a"), expr("(mass * 85) div (100 * deg)").as("c"))
+      mass = e.join(share, "a")
+        .groupBy($"b".as("node"))
+        .agg((lit(150000L) + sum($"c")).as("mass"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    mass
+      .select(when($"node" % 2 === 0, "cust").otherwise("supp").as("kind"),
+        $"node", $"mass")
+      .orderBy($"mass".desc, $"node")
+      .limit(10)
+  }
+
+  /** Degree histogram of the same graph, split by node kind — the profile
+    * that tells you whether a rank/propagation loop needs skew handling
+    * (a power-law tail here means salting the hot suppliers). Two hash
+    * aggregates; output is O(distinct degrees). */
+  private val graphDegreeDist: Q = (s, dir) => {
+    import s.implicits._
+    edges(s, dir)
+      .groupBy($"a").agg(count(lit(1)).as("deg"))
+      .select(when($"a" % 2 === 0, "cust").otherwise("supp").as("kind"), $"deg")
+      .groupBy($"kind", $"deg")
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"kind", $"deg")
+  }
+
+  private val EdgeCte: String =
+    """e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH $EdgeCte,
+         |d AS (SELECT a, COUNT(*) AS deg FROM e GROUP BY a),
+         |m0 AS (SELECT a AS node, CAST(1000000 AS BIGINT) AS mass FROM d),
+         |m1 AS (SELECT e.b AS node,
+         |   CAST(150000 + SUM((m0.mass * 85) // (100 * d.deg)) AS BIGINT) AS mass
+         |  FROM e JOIN m0 ON e.a = m0.node JOIN d ON e.a = d.a GROUP BY e.b),
+         |m2 AS (SELECT e.b AS node,
+         |   CAST(150000 + SUM((m1.mass * 85) // (100 * d.deg)) AS BIGINT) AS mass
+         |  FROM e JOIN m1 ON e.a = m1.node JOIN d ON e.a = d.a GROUP BY e.b),
+         |m3 AS (SELECT e.b AS node,
+         |   CAST(150000 + SUM((m2.mass * 85) // (100 * d.deg)) AS BIGINT) AS mass
+         |  FROM e JOIN m2 ON e.a = m2.node JOIN d ON e.a = d.a GROUP BY e.b)
+         |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+         | node, mass
+         |FROM m3 ORDER BY mass DESC, node LIMIT 10""".stripMargin,
+
+    "graph_degree_dist" ->
+      s"""WITH $EdgeCte,
+         |d AS (SELECT a, COUNT(*) AS deg FROM e GROUP BY a)
+         |SELECT CASE WHEN a % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+         | deg, COUNT(*) AS n_nodes
+         |FROM d GROUP BY 1, 2 ORDER BY kind, deg""".stripMargin
+  )
+}

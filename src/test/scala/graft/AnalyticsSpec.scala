@@ -36,6 +36,94 @@ class AnalyticsSpec extends SparkSpec {
     assert(merged.getAs[Long]("reg_sum") === direct.getAs[Long]("reg_sum"))
   }
 
+  test("an_funnel steps are monotone and latency sums are sane") {
+    val rows = AnalyticsQueries.queries("an_funnel")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("step") ->
+        (r.getAs[Long]("n_users"), Option(r.getAs[java.lang.Long]("sum_lag_us")))).toMap
+    val (n1, n2, n3) =
+      (rows("1_view")._1, rows("2_click")._1, rows("3_purchase")._1)
+    assert(n1 >= n2 && n2 >= n3, s"funnel widened: $n1 -> $n2 -> $n3")
+    val nUsers = Tables(spark, sfDir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(n1 <= nUsers)
+    // every converted user's step-lag is strictly positive (ts > prev step)
+    assert(rows("1_view")._2.isEmpty, "step 1 has no predecessor lag")
+    Seq("2_click", "3_purchase").foreach { s =>
+      val (n, lag) = rows(s)
+      if (n > 0) assert(lag.exists(_.longValue >= n),
+        s"$s lag sum ${lag} below 1us per converted user")
+    }
+  }
+
+  test("an_retention: offset 0 covers every user exactly once") {
+    val rows = AnalyticsQueries.queries("an_retention")(spark, sfDir).collect()
+    val nUsers = Tables(spark, sfDir, "events")
+      .select(col("user_id")).distinct().count()
+    val atZero = rows.filter(_.getAs[Int]("week_offset") == 0)
+      .map(_.getAs[Long]("n_users")).sum
+    assert(atZero == nUsers,
+      s"offset-0 cohort total $atZero != distinct users $nUsers")
+    val total = rows.map(_.getAs[Long]("n_users")).sum
+    val userWeeks = Tables(spark, sfDir, "events")
+      .select(col("user_id"),
+        date_trunc("week", col("ts").cast("timestamp")).as("wk"))
+      .distinct().count()
+    assert(total == userWeeks,
+      s"retention matrix total $total != distinct user-weeks $userWeeks")
+  }
+
+  test("an_markov transition counts sum to events minus users") {
+    val rows = AnalyticsQueries.queries("an_markov")(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_trans")).sum
+    val ev = Tables(spark, sfDir, "events")
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(total == expected, s"transitions $total != |events|-|users| $expected")
+    // n_from is the row total of its from_type group
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (_, grp) =>
+      val sumN = grp.map(_.getAs[Long]("n_trans")).sum
+      grp.foreach(r => assert(r.getAs[Long]("n_from") == sumN))
+      // ppm values of a row sum to <= 1e6 (floor) and > 1e6 - |group|
+      val ppm = grp.map(_.getAs[Long]("ppm")).sum
+      assert(ppm <= 1000000L && ppm > 1000000L - grp.length)
+    }
+  }
+
+  test("a_mode picks the max count with the least-value tiebreak") {
+    val got = AnalyticsQueries.queries("a_mode")(spark, sfDir).collect()
+    val counts = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .groupBy(_.getAs[String]("o_orderstatus"))
+    got.foreach { r =>
+      val grp = counts(r.getAs[String]("o_orderstatus"))
+      val maxCnt = grp.map(_.getAs[Long]("cnt")).max
+      assert(r.getAs[Long]("n_mode") == maxCnt)
+      val best = grp.filter(_.getAs[Long]("cnt") == maxCnt)
+        .map(_.getAs[String]("o_orderpriority")).min
+      assert(r.getAs[String]("mode_priority") == best)
+    }
+  }
+
+  test("an_rfm: quartile labels in range and customers conserved") {
+    val rows = AnalyticsQueries.queries("an_rfm")(spark, sfDir).collect()
+    rows.foreach { r =>
+      Seq("r_q", "f_q", "m_q").foreach { c =>
+        val q = r.getAs[Int](c)
+        assert(q >= 1 && q <= 4, s"$c=$q outside 1..4")
+      }
+    }
+    val total = rows.map(_.getAs[Long]("n_customers")).sum
+    val nCust = Tables(spark, sfDir, "orders")
+      .select(col("o_custkey")).distinct().count()
+    assert(total == nCust, s"segment matrix total $total != customers $nCust")
+    // each dimension's quartiles are balanced within one customer
+    Seq("r_q", "f_q", "m_q").foreach { c =>
+      val byQ = rows.groupBy(_.getAs[Int](c)).view
+        .mapValues(_.map(_.getAs[Long]("n_customers")).sum).values.toSeq
+      assert(byQ.max - byQ.min <= 1, s"$c buckets unbalanced: $byQ")
+    }
+  }
+
   test("a_approx_quantile: the GK summary's rank stays within epsilon") {
     import graft.queries.ExtendedQueries
     val rows = ExtendedQueries.queries("a_approx_quantile")(spark, sfDir).collect()
