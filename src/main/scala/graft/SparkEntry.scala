@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, E2EQueries, EcomQueries, ExtendedQueries, GraphQueries, MediaQueries, PipelineQueries, RelationalQueries, SimilarityQueries, TextQueries, TrainingQueries}
+import graft.queries.{AnalyticsQueries, E2EQueries, EcomQueries, ExtendedQueries, GraphQueries, MediaQueries, PipelineQueries, RelationalQueries, SimilarityQueries, TextQueries, TimeSeriesQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,7 @@ object SparkEntry {
       SimilarityQueries.queries ++ AnalyticsQueries.queries ++
       ExtendedQueries.queries ++ PipelineQueries.queries ++
       TrainingQueries.queries ++ MediaQueries.queries ++ EcomQueries.queries ++
-      E2EQueries.queries ++ GraphQueries.queries
+      E2EQueries.queries ++ GraphQueries.queries ++ TimeSeriesQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
       SimilarityQueries.oracle ++ AnalyticsQueries.oracle ++
       ExtendedQueries.oracle ++ PipelineQueries.oracle ++
       TrainingQueries.oracle ++ MediaQueries.oracle ++ EcomQueries.oracle ++
-      E2EQueries.oracle ++ GraphQueries.oracle
+      E2EQueries.oracle ++ GraphQueries.oracle ++ TimeSeriesQueries.oracle
 }

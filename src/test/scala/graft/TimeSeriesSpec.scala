@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.TimeSeriesQueries
+
+/** Semantic checks for the time-series pack beyond oracle value-equality:
+  * the EWMA's dot-product bounds and user conservation, and CUSUM's
+  * deviation-law invariants. */
+class TimeSeriesSpec extends SparkSpec {
+
+  test("ts_ewma covers every user once and stays within the value hull") {
+    val rows = TimeSeriesQueries.queries("ts_ewma")(spark, sfDir).collect()
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    assert(rows.length == nUsers, s"${rows.length} EWMA rows != $nUsers users")
+    // weights sum to 2^16 - 1, each term is one event's cents (or a zero
+    // pad): the scaled EWMA can never leave [min*(2^16-1), max*(2^16-1)]
+    // extended to 0 by cold-start padding
+    val mm = ev.agg(min(col("cents")), max(col("cents"))).head()
+    val lo = math.min(0L, mm.getLong(0)) * 65535L
+    val hi = math.max(0L, mm.getLong(1)) * 65535L
+    rows.foreach { r =>
+      val e = r.getAs[Long]("ewma_x")
+      assert(e >= lo && e <= hi, s"user ${r.getAs[Long]("user_id")} ewma $e outside [$lo,$hi]")
+    }
+  }
+
+  test("ts_ewma equals a per-user replay on a sampled user") {
+    val user = Tables(spark, sfDir, "events")
+      .groupBy(col("user_id")).count().orderBy(col("count").desc, col("user_id"))
+      .head().getLong(0)
+    val hist = Tables(spark, sfDir, "events")
+      .filter(col("user_id") === user)
+      .select(expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsus"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect()
+      .sortBy(r => (r.getAs[Long]("tsus"), r.getAs[Long]("event_id")))
+      .map(_.getAs[Long]("c"))
+    val last16 = hist.takeRight(16).reverse.padTo(16, 0L) // most recent first
+    val expected = last16.zipWithIndex.map { case (c, i) => c * (1L << (15 - i)) }.sum
+    val got = TimeSeriesQueries.queries("ts_ewma")(spark, sfDir)
+      .filter(col("user_id") === user).head().getAs[Long]("ewma_x")
+    assert(got == expected, s"user $user: engine $got != replay $expected")
+  }
+
+  test("ts_cusum picks the max |deviation| day and it is never the last day") {
+    val rows = TimeSeriesQueries.queries("ts_cusum")(spark, sfDir).collect()
+    val types = Tables(spark, sfDir, "events")
+      .select(col("event_type")).distinct().count()
+    assert(rows.length == types, "one changepoint row per event type")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cusum_abs") >= 0L)
+      assert(r.getAs[Long]("n_days") >= 1L)
+    }
+    // CUSUM at k = n is exactly 0 (n*total - n*total); the argmax day can
+    // only be the final day when the series never deviates at all, i.e.
+    // cusum_abs == 0
+    val lastDay = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(max(col("ts").cast("date")).as("last_day")).collect()
+      .map(r => r.getAs[String](0) -> r.getAs[java.sql.Date](1)).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      if (r.getAs[Long]("cusum_abs") > 0L)
+        assert(r.getAs[java.sql.Date]("cp_day") != lastDay(t),
+          s"$t: nonzero CUSUM argmax landed on the zero-by-construction last day")
+    }
+  }
+}
