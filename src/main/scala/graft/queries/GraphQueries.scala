@@ -31,7 +31,8 @@ object GraphQueries {
 
   def queries: Map[String, Q] = Map(
     "graph_pagerank" -> graphPagerank,
-    "graph_degree_dist" -> graphDegreeDist
+    "graph_degree_dist" -> graphDegreeDist,
+    "graph_triangles" -> graphTriangles
   )
 
   /** The symmetric customer↔supplier edge list. Distinct collapses the
@@ -93,6 +94,48 @@ object GraphQueries {
       .orderBy($"kind", $"deg")
   }
 
+  /** Per-node triangle participation in the VERIFIED near-dup pair graph
+    * (the minhash-banded, Jaccard-verified edges the dedup family already
+    * mines) — the clustering-coefficient signal that tells a dedup
+    * pipeline whether its duplicate groups are cliques (true near-dup
+    * clusters) or chains (threshold-straddling transitive bridges, the
+    * case where component-grain dedup over-merges).
+    *
+    * Algorithm is the canonical skew-safe one: ORIENT each undirected
+    * edge from its lower-(degree, id) endpoint to the higher, so every
+    * node's out-degree is O(√m) regardless of how hot a hub is; wedges
+    * (two out-edges of one node) then closing-edge lookups are two
+    * bounded self-joins instead of the naive deg² explosion on hubs.
+    * Edges come from the banded candidate generator (linear in docs by
+    * the LSH bound), so the whole key rides the dedup family's scale
+    * envelope. Every triangle (u,v,w) credits all three corners. */
+  private val graphTriangles: Q = (s, dir) => {
+    import s.implicits._
+    val e0 = SimilarityQueries.minhashVerifiedPairs(s, dir)
+      .select($"doc_a".as("a"), $"doc_b".as("b"))
+      .localCheckpoint() // pair generation runs ONCE; three downstream uses
+    val deg = e0.select($"a".as("n")).union(e0.select($"b".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val oriented = e0
+      .join(deg.select($"n".as("a"), $"deg".as("dega")), "a")
+      .join(deg.select($"n".as("b"), $"deg".as("degb")), "b")
+      .select(
+        when($"dega" < $"degb" || ($"dega" === $"degb" && $"a" < $"b"), $"a")
+          .otherwise($"b").as("src"),
+        when($"dega" < $"degb" || ($"dega" === $"degb" && $"a" < $"b"), $"b")
+          .otherwise($"a").as("dst"))
+    val wedges = oriented.as("o1")
+      .join(oriented.as("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+      .select(col("o1.src").as("u"), col("o1.dst").as("v"), col("o2.dst").as("w"))
+    // closing edge: e0 is stored a < b and v < w by construction
+    val tri = wedges.join(e0, $"v" === $"a" && $"w" === $"b")
+      .select($"u", $"v", $"w")
+    tri.select(explode(array($"u", $"v", $"w")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"doc_id")
+  }
+
   private val EdgeCte: String =
     """e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -115,6 +158,27 @@ object GraphQueries {
          |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
          | node, mass
          |FROM m3 ORDER BY mass DESC, node LIMIT 10""".stripMargin,
+
+    "graph_triangles" ->
+      s"""WITH ${SimilarityQueries.shinglesCte},
+         |${SimilarityQueries.minhashCandCtes},
+         |pairs AS (${SimilarityQueries.jaccardVerifySql}),
+         |g0 AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+         |dg AS (SELECT n, COUNT(*) AS deg FROM
+         |  (SELECT a AS n FROM g0 UNION ALL SELECT b FROM g0) GROUP BY n),
+         |og AS (SELECT
+         |   CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND g0.a < g0.b)
+         |     THEN g0.a ELSE g0.b END AS src,
+         |   CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND g0.a < g0.b)
+         |     THEN g0.b ELSE g0.a END AS dst
+         |  FROM g0 JOIN dg da ON g0.a = da.n JOIN dg db ON g0.b = db.n),
+         |tri AS (SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+         |  FROM og o1 JOIN og o2 ON o1.src = o2.src AND o1.dst < o2.dst
+         |  JOIN g0 ON g0.a = o1.dst AND g0.b = o2.dst),
+         |roles AS (SELECT u AS doc_id FROM tri
+         |  UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
+         |SELECT doc_id, COUNT(*) AS n_triangles
+         |FROM roles GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "graph_degree_dist" ->
       s"""WITH $EdgeCte,

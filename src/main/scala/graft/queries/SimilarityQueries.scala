@@ -466,7 +466,7 @@ object SimilarityQueries {
     * bucket sizes — and Σc² join work — grow with the corpus; band
     * buckets stay ~constant). Shared by dedup_minhash_lsh and the
     * grouping scale path dedup_components_lsh. */
-  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val shd = shingled(s, dir)
     val bands = shd.select($"doc_id",
@@ -1667,7 +1667,7 @@ object SimilarityQueries {
   // ---------------------------------------------------------------------
 
   /** doc_id + distinct 3-gram shingle list, as a DuckDB CTE body. */
-  private val shinglesCte =
+  private[queries] val shinglesCte =
     raw"""toks AS (SELECT doc_id,
          |  regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') t
          |  FROM documents),
@@ -1696,7 +1696,7 @@ object SimilarityQueries {
 
   /** MinHash signature → band → distinct candidate pairs, as CTEs over
     * `shd` — shared by the three batch minhash-based oracles. */
-  private val minhashCandCtes =
+  private[queries] val minhashCandCtes =
     s"""$minhashSigBandCtes,
        |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
@@ -1710,7 +1710,7 @@ object SimilarityQueries {
       |          UNION SELECT r.id, e2.d FROM reach r JOIN edges e2 ON r.o = e2.s),
       |comp AS (SELECT id AS doc_id, MIN(o) AS component_id FROM reach GROUP BY id)""".stripMargin
 
-  private val jaccardVerifySql =
+  private[queries] val jaccardVerifySql =
     """SELECT doc_a, doc_b, jaccard FROM (
       | SELECT c.doc_a, c.doc_b,
       |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)

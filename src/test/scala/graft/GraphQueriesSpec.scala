@@ -30,6 +30,27 @@ class GraphQueriesSpec extends SparkSpec {
     assert(a == b, "two runs of the integer PageRank diverged")
   }
 
+  test("graph_triangles equals a brute-force count on the collected edge set") {
+    val got = GraphQueries.queries("graph_triangles")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_triangles")).toMap
+    // brute force: adjacency sets over the same verified pair graph
+    val pairs = graft.queries.SimilarityQueries.minhashVerifiedPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    pairs.foreach { case (a, b) =>
+      // count common neighbors above b to credit each triangle once
+      (adj(a) intersect adj(b)).filter(c => c > b).foreach { c =>
+        Seq(a, b, c).foreach(n => expected(n) += 1L)
+      }
+    }
+    // edges are a<b; a triangle a<b<c is found exactly at its (a,b) edge
+    assert(got == expected.toMap, s"engine $got != brute force ${expected.toMap}")
+    assert(got.values.sum % 3 == 0, "role credits must be divisible by 3")
+  }
+
   test("graph_degree_dist conserves nodes and edge endpoints") {
     val dist = GraphQueries.queries("graph_degree_dist")(spark, sfDir).collect()
     val nNodes = dist.map(_.getAs[Long]("n_nodes")).sum
