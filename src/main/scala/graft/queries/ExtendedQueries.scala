@@ -29,6 +29,7 @@ object ExtendedQueries {
     "w2_window_frames" -> w2WindowFrames,
     "u4_intersect_except" -> u4IntersectExcept,
     "scd2_orders" -> scd2Orders,
+    "scd2_apply" -> scd2Apply,
     "s_regex_pack" -> sRegexPack,
     "s_json_pack" -> sJsonPack,
     "n_nested_pack" -> nNestedPack,
@@ -273,6 +274,41 @@ object ExtendedQueries {
       .orderBy($"o_custkey", $"valid_from", $"o_orderkey")
   }
 
+  /** Incremental SCD2 APPLY — day-2 of [[scd2Orders]]: a standing history
+    * (built from orders BEFORE a corpus-derived cutoff) absorbs the new
+    * slice by CLOSING each touched customer's current row at their first
+    * new order date and chaining the new versions behind it; untouched
+    * customers pass through. The oracle is the ONE-SHOT rebuild over all
+    * orders — the hash match proves apply ≡ rebuild exactly (the same
+    * equivalence discipline as train_curriculum_order and
+    * EcomIncrementalSpec), which is the contract that lets the 100 TB
+    * history table be maintained by touching only O(new-keys) rows: the
+    * close-update is a broadcast-joined per-key min, never a rewrite of
+    * the standing table. */
+  private val scd2Apply: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
+        F.money($"o_totalprice").cast("double").as("price"),
+        $"o_orderdate".cast("date").as("valid_from"))
+    val cut = o.agg(date_sub(max($"valid_from"), 180).as("cut"))
+    val w = Window.partitionBy($"o_custkey").orderBy($"valid_from".asc, $"o_orderkey".asc)
+    val standing = o.join(broadcast(cut), $"valid_from" < $"cut").drop("cut")
+      .withColumn("valid_to", lead($"valid_from", 1).over(w))
+    val incoming = o.join(broadcast(cut), $"valid_from" >= $"cut").drop("cut")
+      .withColumn("valid_to", lead($"valid_from", 1).over(w))
+    val firstNew = incoming.groupBy($"o_custkey")
+      .agg(min($"valid_from").as("first_new"))
+    val closed = standing.join(firstNew, Seq("o_custkey"), "left")
+      .withColumn("valid_to",
+        when($"valid_to".isNull && $"first_new".isNotNull, $"first_new")
+          .otherwise($"valid_to"))
+      .drop("first_new")
+    closed.unionByName(incoming)
+      .withColumn("is_current", $"valid_to".isNull)
+      .orderBy($"o_custkey", $"valid_from", $"o_orderkey")
+  }
+
   // ------------------------------------------------------- regex pack -----
   /** Regex scalar family — extract, replace-all, match flag. Patterns are
     * dialect-portable (no lookaround, no named classes). */
@@ -478,6 +514,18 @@ object ExtendedQueries {
         |ORDER BY op, o_custkey""".stripMargin,
 
     "scd2_orders" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        | CAST(o_orderdate AS DATE) AS valid_from,
+        | CAST(lead(o_orderdate, 1) OVER w AS DATE) AS valid_to,
+        | (lead(o_orderdate, 1) OVER w IS NULL) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+
+    // the one-shot rebuild: hash-equality against the Spark-side
+    // incremental apply PROVES apply ≡ rebuild
+    "scd2_apply" ->
       """SELECT o_custkey, o_orderkey, o_orderstatus,
         | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
         | CAST(o_orderdate AS DATE) AS valid_from,
