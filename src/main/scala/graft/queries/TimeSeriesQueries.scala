@@ -23,7 +23,9 @@ object TimeSeriesQueries {
 
   def queries: Map[String, Q] = Map(
     "ts_ewma" -> tsEwma,
-    "ts_cusum" -> tsCusum
+    "ts_cusum" -> tsCusum,
+    "ts_streaks" -> tsStreaks,
+    "ts_peak_concurrency" -> tsPeakConcurrency
   )
 
   /** EWMA horizon: events beyond the 16th-most-recent carry weight
@@ -92,6 +94,82 @@ object TimeSeriesQueries {
       .orderBy($"event_type")
   }
 
+  /** Longest run of consecutive DOWN days (daily value strictly below the
+    * previous day) per event type — the gaps-and-islands pattern: a run is
+    * the group where row_number-over-sequence minus row_number-over-down
+    * is constant, so runs fall out of two window ranks with NO self-join
+    * or recursive walk. Everything past the first hash aggregate runs on
+    * the tiny (type, day) table. Ties on length break to the earliest
+    * ending run. */
+  private val tsStreaks: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wSeq = Window.partitionBy($"event_type").orderBy($"day")
+    val daily = Tables(s, dir, "events")
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      .withColumn("down", $"x" < lag($"x", 1).over(wSeq))
+      .filter($"down")
+    val wDown = Window.partitionBy($"event_type").orderBy($"day")
+    val wPick = Window.partitionBy($"event_type")
+      .orderBy($"len".desc, $"end_day".asc)
+    daily
+      .withColumn("grp", datediff($"day", lit("1970-01-01").cast("date"))
+        - row_number().over(wDown))
+      .groupBy($"event_type", $"grp")
+      .agg(count(lit(1)).as("len"), max($"day").as("end_day"))
+      .withColumn("pick", row_number().over(wPick))
+      .filter($"pick" === 1)
+      .select($"event_type", $"len", $"end_day")
+      .orderBy($"event_type")
+  }
+
+  /** Session gap for the concurrency sweep: 30 minutes, in microseconds. */
+  private val GapUs = 30L * 60 * 1000000
+
+  /** Peak concurrent SESSIONS per day — the interval-sweep staple
+    * (capacity planning, licensing, load-profile audits). Sessions are
+    * gap-based per user (a new session when > 30 min passes); each emits
+    * +1 at its start and −1 one µs after its end; concurrency is the
+    * running sum of per-instant net deltas, and the day's peak is the max
+    * running level, counting the carry-in level at day start.
+    *
+    * The running sum is the TWO-LEVEL distributed prefix sum
+    * (a_median_hist / train_curriculum_order discipline): the heavy
+    * within-day cumsum is partitioned by day, and only the tiny
+    * (day, net) table crosses partitions for the day-offset window — no
+    * global sort of the delta stream at any corpus size. */
+  private val tsPeakConcurrency: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wUser = Window.partitionBy($"user_id").orderBy($"tus")
+    val sess = Tables(s, dir, "events")
+      .select($"user_id", expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tus"))
+      .withColumn("prev", lag($"tus", 1).over(wUser))
+      .withColumn("news",
+        ($"prev".isNull || $"tus" - $"prev" > GapUs).cast("long"))
+      .withColumn("sid", sum($"news").over(wUser))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"tus").as("s"), max($"tus").as("e"))
+    val deltas = sess.select($"s".as("tus"), lit(1L).as("d"))
+      .unionByName(sess.select(($"e" + 1).as("tus"), lit(-1L).as("d")))
+      .groupBy($"tus").agg(sum($"d").as("net"))
+      .withColumn("day", expr("CAST(timestamp_micros(tus) AS DATE)"))
+    val wDay = Window.partitionBy($"day").orderBy($"tus")
+    val wCarry = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dayNet = deltas.groupBy($"day").agg(sum($"net").as("day_net"))
+      .withColumn("carry", coalesce(sum($"day_net").over(wCarry), lit(0L)))
+      .select($"day", $"carry")
+    deltas
+      .withColumn("within", sum($"net").over(wDay))
+      .groupBy($"day").agg(max($"within").as("max_within"))
+      .join(dayNet, "day")
+      .select($"day",
+        greatest($"carry" + $"max_within", $"carry").as("peak_concurrency"))
+      .orderBy($"day")
+  }
+
   private val EwmaTerms: String = (0 until Horizon)
     .map(i => s"COALESCE(LAG(cents, $i) OVER w, 0) * ${1L << (Horizon - 1 - i)}")
     .mkString(" + ")
@@ -107,6 +185,51 @@ object TimeSeriesQueries {
          | FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          |SELECT user_id, n_events, ewma_x FROM e
          |WHERE rn = n_events ORDER BY user_id""".stripMargin,
+
+    "ts_streaks" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        | FROM events GROUP BY 1, 2),
+        |dn AS (SELECT event_type, day,
+        |  x < LAG(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS down
+        | FROM d),
+        |f AS (SELECT event_type, day,
+        |  (day - DATE '1970-01-01')
+        |    - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS grp
+        | FROM dn WHERE down),
+        |r AS (SELECT event_type, grp, COUNT(*) AS len, MAX(day) AS end_day
+        | FROM f GROUP BY 1, 2),
+        |p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |  ORDER BY len DESC, end_day ASC) AS pick FROM r)
+        |SELECT event_type, len, end_day FROM p
+        |WHERE pick = 1 ORDER BY event_type""".stripMargin,
+
+    "ts_peak_concurrency" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |s1 AS (SELECT user_id, tus,
+        |  LAG(tus, 1) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+        | FROM ev),
+        |s2 AS (SELECT user_id, tus,
+        |  SUM(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY tus) AS sid
+        | FROM s1),
+        |sess AS (SELECT user_id, sid, MIN(tus) AS s, MAX(tus) AS e
+        | FROM s2 GROUP BY 1, 2),
+        |dl AS (SELECT s AS tus, 1 AS d FROM sess
+        | UNION ALL SELECT e + 1, -1 FROM sess),
+        |net AS (SELECT tus, CAST(SUM(d) AS BIGINT) AS net,
+        |  CAST(make_timestamp(tus) AS DATE) AS day FROM dl GROUP BY tus),
+        |run AS (SELECT day, tus,
+        |  SUM(net) OVER (PARTITION BY day ORDER BY tus) AS within FROM net),
+        |mw AS (SELECT day, MAX(within) AS max_within FROM run GROUP BY day),
+        |dn2 AS (SELECT day, SUM(net) AS day_net FROM net GROUP BY day),
+        |cr AS (SELECT day, COALESCE(SUM(day_net) OVER (ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+        | FROM dn2)
+        |SELECT mw.day,
+        | CAST(GREATEST(carry + max_within, carry) AS BIGINT) AS peak_concurrency
+        |FROM mw JOIN cr ON mw.day = cr.day ORDER BY mw.day""".stripMargin,
 
     "ts_cusum" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,

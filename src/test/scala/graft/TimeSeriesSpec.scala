@@ -45,6 +45,78 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == expected, s"user $user: engine $got != replay $expected")
   }
 
+  test("ts_streaks equals a brute-force scan of the daily series") {
+    val got = TimeSeriesQueries.queries("ts_streaks")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("len"), r.getAs[Any]("end_day").toString)).toMap
+    val daily = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+    daily.foreach { case (t, rows) =>
+      val series = rows
+        .map(r => (java.time.LocalDate.parse(r.getAs[Any]("day").toString),
+          r.getAs[Long]("x")))
+        .sortBy(_._1.toEpochDay)
+      var best = (0L, Option.empty[String])
+      var cur = 0L
+      var lastDown: java.time.LocalDate = null
+      series.sliding(2).foreach {
+        case Array((_, xa), (db, xb)) =>
+          if (xb < xa) {
+            // a run only continues across CALENDAR-consecutive down days
+            // (the engine's island key is epoch-day minus row_number)
+            cur = if (lastDown != null && db == lastDown.plusDays(1)) cur + 1 else 1L
+            lastDown = db
+            // ties break to the EARLIEST ending run: strict improvement only
+            if (cur > best._1) best = (cur, Some(db.toString))
+          } else cur = 0L
+        case _ => ()
+      }
+      got.get(t) match {
+        case Some((len, end)) =>
+          assert(len == best._1 && Some(end) == best._2,
+            s"$t: engine ($len, $end) != brute (${best._1}, ${best._2})")
+        case None => assert(best._1 == 0L, s"$t missing but brute found ${best._1}")
+      }
+    }
+  }
+
+  test("ts_peak_concurrency equals a brute-force sweep and drains to zero") {
+    val got = TimeSeriesQueries.queries("ts_peak_concurrency")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Any]("day").toString -> r.getAs[Long]("peak_concurrency"))
+      .toMap
+    // brute force: rebuild sessions and sweep on the driver
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id"), expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val gap = 30L * 60 * 1000000
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    ev.groupBy(_._1).values.foreach { rows =>
+      val ts = rows.map(_._2).sorted
+      var start = ts.head; var end = ts.head
+      ts.tail.foreach { t =>
+        if (t - end > gap) { deltas += ((start, 1L)); deltas += ((end + 1, -1L)); start = t }
+        end = t
+      }
+      deltas += ((start, 1L)); deltas += ((end + 1, -1L))
+    }
+    var level = 0L
+    val peaks = scala.collection.mutable.Map.empty[String, Long]
+    var curDay: String = null
+    deltas.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      .foreach { case (tus, net) =>
+        val day = java.time.LocalDate.ofEpochDay(Math.floorDiv(tus, 86400000000L)).toString
+        if (day != curDay) { curDay = day; peaks(day) = level } // carry-in
+        level += net
+        if (level > peaks(day)) peaks(day) = level
+      }
+    assert(level == 0L, s"sweep did not drain to zero: $level")
+    assert(got == peaks.toMap, s"engine $got != brute ${peaks.toMap}")
+  }
+
   test("ts_cusum picks the max |deviation| day and it is never the last day") {
     val rows = TimeSeriesQueries.queries("ts_cusum")(spark, sfDir).collect()
     val types = Tables(spark, sfDir, "events")
