@@ -32,8 +32,61 @@ object AnalyticsQueries {
     "an_retention" -> anRetention,
     "an_markov" -> anMarkov,
     "a_mode" -> aMode,
-    "an_rfm" -> anRfm
+    "an_rfm" -> anRfm,
+    "an_pareto" -> anPareto,
+    "an_cohort_ltv" -> anCohortLtv
   )
+
+  /** Revenue-concentration deciles (the Pareto/ABC curve): customers
+    * ranked by lifetime spend, cut into 10 equal-count buckets, each
+    * bucket's share of total revenue as a floor-ppm integer. Same
+    * customer-grain-collapse-then-rank shape as [[anRfm]] (the ntile
+    * sorts the customer SUMMARY, never the fact table; at dimension-scale
+    * the counting-histogram rank replaces it). The running share is
+    * cumulative over ONLY 10 rows. */
+  private val anPareto: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val wRank = Window.orderBy($"cents".desc, $"o_custkey")
+    val wCum = Window.orderBy($"decile")
+    per
+      .withColumn("decile", ntile(10).over(wRank))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"), sum($"cents").as("sum_cents"))
+      .withColumn("total", sum($"sum_cents").over(Window.partitionBy()))
+      .withColumn("cum_cents", sum($"sum_cents").over(wCum))
+      .select($"decile", $"n_customers", $"sum_cents",
+        expr("(cum_cents * 1000000) div total").as("cum_share_ppm"))
+      .orderBy($"decile")
+  }
+
+  /** Cohort lifetime value — [[anRetention]]'s revenue sibling: customers
+    * grouped by FIRST-order month, each cohort's cumulative spend tracked
+    * by months-since-acquisition. The fact table collapses to
+    * (customer, month) cents in one shuffle; the cohort month is a
+    * per-customer min re-joined on the same key; the cumulative sum runs
+    * over the tiny (cohort, offset) matrix. Month offset is exact integer
+    * calendar arithmetic (months_between on truncated months is whole). */
+  private val anCohortLtv: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cm = Tables(s, dir, "orders")
+      .groupBy($"o_custkey",
+        date_trunc("month", $"o_orderdate".cast("date")).cast("date").as("mo"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val cohort = cm.groupBy($"o_custkey").agg(min($"mo").as("cohort_mo"))
+    val wCum = Window.partitionBy($"cohort_mo").orderBy($"month_offset")
+    cm.join(cohort, "o_custkey")
+      .withColumn("month_offset",
+        months_between($"mo", $"cohort_mo").cast("int"))
+      .groupBy($"cohort_mo", $"month_offset")
+      .agg(count(lit(1)).as("n_active"), sum($"cents").as("sum_cents"))
+      .withColumn("cum_cents", sum($"sum_cents").over(wCum))
+      .orderBy($"cohort_mo", $"month_offset")
+  }
 
   /** Ordered conversion funnel view→click→purchase — the product-analytics
     * staple a clickstream warehouse runs daily. Step k's timestamp is the
@@ -408,6 +461,35 @@ object AnalyticsQueries {
   private val Pow250: Double = 1125899906842624.0 // 2^50
 
   def oracle: Map[String, String] = Map(
+    "an_pareto" ->
+      """WITH per AS (SELECT o_custkey,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM orders GROUP BY o_custkey),
+        |d AS (SELECT cents,
+        |  ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile FROM per),
+        |g AS (SELECT decile, COUNT(*) AS n_customers,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents FROM d GROUP BY decile),
+        |c AS (SELECT *, SUM(sum_cents) OVER () AS total,
+        |  SUM(sum_cents) OVER (ORDER BY decile) AS cum_cents FROM g)
+        |SELECT decile, n_customers, sum_cents,
+        | CAST((cum_cents * 1000000) // total AS BIGINT) AS cum_share_ppm
+        |FROM c ORDER BY decile""".stripMargin,
+
+    "an_cohort_ltv" ->
+      """WITH cm AS (SELECT o_custkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM orders GROUP BY 1, 2),
+        |cohort AS (SELECT o_custkey, MIN(mo) AS cohort_mo FROM cm GROUP BY 1),
+        |g AS (SELECT cohort_mo,
+        |  CAST(datediff('month', cohort_mo, mo) AS INT) AS month_offset,
+        |  COUNT(*) AS n_active, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        | FROM cm JOIN cohort USING (o_custkey) GROUP BY 1, 2)
+        |SELECT cohort_mo, month_offset, n_active, sum_cents,
+        | CAST(SUM(sum_cents) OVER (PARTITION BY cohort_mo
+        |   ORDER BY month_offset) AS BIGINT) AS cum_cents
+        |FROM g ORDER BY cohort_mo, month_offset""".stripMargin,
+
     "an_funnel" ->
       """WITH s1 AS (SELECT user_id, event_type, ts,
         |  MIN(CASE WHEN event_type = 'view' THEN ts END)

@@ -124,6 +124,40 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("an_pareto: balanced deciles, monotone concentration, exact closure") {
+    val rows = AnalyticsQueries.queries("an_pareto")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("decile"))
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
+    val counts = rows.map(_.getAs[Long]("n_customers"))
+    assert(counts.max - counts.min <= 1, s"deciles unbalanced: ${counts.toSeq}")
+    val nCust = Tables(spark, sfDir, "orders")
+      .select(col("o_custkey")).distinct().count()
+    assert(counts.sum == nCust)
+    val ppm = rows.map(_.getAs[Long]("cum_share_ppm"))
+    assert(ppm.zip(ppm.tail).forall { case (a, b) => a <= b }, "share not monotone")
+    assert(ppm.last == 1000000L, s"final cumulative share ${ppm.last} != 1e6 ppm")
+    // deciles ranked by spend: per-decile revenue must be non-increasing
+    val cents = rows.map(_.getAs[Long]("sum_cents"))
+    assert(cents.zip(cents.tail).forall { case (a, b) => a >= b },
+      "a later decile out-earned an earlier one")
+  }
+
+  test("an_cohort_ltv: offset-0 base, monotone cumulative, total closure") {
+    val rows = AnalyticsQueries.queries("an_cohort_ltv")(spark, sfDir).collect()
+    val totalCents = Tables(spark, sfDir, "orders")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("sum_cents")).sum == totalCents,
+      "cohort matrix loses revenue")
+    rows.groupBy(_.getAs[Any]("cohort_mo").toString).foreach { case (_, grp) =>
+      val seq = grp.sortBy(_.getAs[Int]("month_offset"))
+      assert(seq.head.getAs[Int]("month_offset") == 0,
+        "a cohort's first offset must be its acquisition month")
+      val cum = seq.map(_.getAs[Long]("cum_cents"))
+      assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+      assert(cum.last == seq.map(_.getAs[Long]("sum_cents")).sum)
+    }
+  }
+
   test("a_approx_quantile: the GK summary's rank stays within epsilon") {
     import graft.queries.ExtendedQueries
     val rows = ExtendedQueries.queries("a_approx_quantile")(spark, sfDir).collect()
