@@ -59,7 +59,10 @@ object AnalyticsQueries {
       .withColumn("total", sum($"sum_cents").over(Window.partitionBy()))
       .withColumn("cum_cents", sum($"sum_cents").over(wCum))
       .select($"decile", $"n_customers", $"sum_cents",
-        expr("(cum_cents * 1000000) div total").as("cum_share_ppm"))
+        // widen before the ×1e6: corpus-total cents × 1e6 overflows a
+        // long past ~9.2e12 total dollars (hit at the sf1 decade)
+        expr("CAST((CAST(cum_cents AS DECIMAL(38,0)) * 1000000) div total AS BIGINT)")
+          .as("cum_share_ppm"))
       .orderBy($"decile")
   }
 
@@ -472,7 +475,7 @@ object AnalyticsQueries {
         |c AS (SELECT *, SUM(sum_cents) OVER () AS total,
         |  SUM(sum_cents) OVER (ORDER BY decile) AS cum_cents FROM g)
         |SELECT decile, n_customers, sum_cents,
-        | CAST((cum_cents * 1000000) // total AS BIGINT) AS cum_share_ppm
+        | CAST((CAST(cum_cents AS HUGEINT) * 1000000) // total AS BIGINT) AS cum_share_ppm
         |FROM c ORDER BY decile""".stripMargin,
 
     "an_cohort_ltv" ->
