@@ -34,8 +34,46 @@ object AnalyticsQueries {
     "a_mode" -> aMode,
     "an_rfm" -> anRfm,
     "an_pareto" -> anPareto,
-    "an_cohort_ltv" -> anCohortLtv
+    "an_cohort_ltv" -> anCohortLtv,
+    "an_abtest" -> anAbtest
   )
+
+  /** A/B experiment readout with an EXACT-INTEGER significance verdict.
+    * Users are hash-split into two arms (same md5 convention as
+    * sample_hash_split, so assignment is engine-, partitioning- and
+    * rerun-stable); conversion = the user ever purchases. The two-
+    * proportion z-test fires at |z| > 1.96, decided WITHOUT floats by
+    * clearing every denominator from z² > 1.96²·p̂(1−p̂)(1/n₁+1/n₂):
+    *
+    *   10000·N·(c₁n₂ − c₂n₁)² > 38416·C·(N−C)·n₁·n₂
+    *
+    * (C = c₁+c₂, N = n₁+n₂) — both sides DECIMAL(38,0)/HUGEINT, exact up
+    * to ~3·10¹⁰ users per arm, far past any realistic experiment. One
+    * shuffle to user grain, then a single conditional-aggregate row. */
+  private val anAbtest: Q = (s, dir) => {
+    import s.implicits._
+    val users = Tables(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("variant",
+        pmod(graft.functions.Vectors.hash60(
+          concat(lit("ab_"), $"user_id".cast("string"))), lit(2)))
+    users.agg(
+      sum(when($"variant" === 0, 1L).otherwise(0L)).as("n_control"),
+      sum(when($"variant" === 0, $"conv").otherwise(0L)).as("conv_control"),
+      sum(when($"variant" === 1, 1L).otherwise(0L)).as("n_treat"),
+      sum(when($"variant" === 1, $"conv").otherwise(0L)).as("conv_treat"))
+      .withColumn("diff", expr(
+        """CAST(conv_control AS DECIMAL(38,0)) * n_treat
+          | - CAST(conv_treat AS DECIMAL(38,0)) * n_control""".stripMargin))
+      .withColumn("significant", expr(
+        """10000 * CAST(n_control + n_treat AS DECIMAL(38,0)) * diff * diff
+          |> 38416 * CAST(conv_control + conv_treat AS DECIMAL(38,0))
+          |  * CAST((n_control + n_treat) - (conv_control + conv_treat) AS DECIMAL(38,0))
+          |  * CAST(n_control AS DECIMAL(38,0)) * CAST(n_treat AS DECIMAL(38,0))
+          |""".stripMargin))
+      .drop("diff")
+  }
 
   /** Revenue-concentration deciles (the Pareto/ABC curve): customers
     * ranked by lifetime spend, cut into 10 equal-count buckets, each
@@ -170,7 +208,10 @@ object AnalyticsQueries {
       .groupBy($"event_type".as("from_type"), $"next_type")
       .agg(count(lit(1)).as("n_trans"))
       .withColumn("n_from", sum($"n_trans").over(wf))
-      .withColumn("ppm", expr("(n_trans * 1000000) div n_from"))
+      // widened before the ×1e6: transition counts are event-scale, and
+      // event-scale × 1e6 passes 2⁶³ near 9.2e12 rows (a 100 TB corpus)
+      .withColumn("ppm",
+        expr("CAST((CAST(n_trans AS DECIMAL(38,0)) * 1000000) div n_from AS BIGINT)"))
       .select($"from_type", $"next_type", $"n_trans", $"n_from", $"ppm")
       .orderBy($"from_type", $"next_type")
   }
@@ -464,6 +505,26 @@ object AnalyticsQueries {
   private val Pow250: Double = 1125899906842624.0 // 2^50
 
   def oracle: Map[String, String] = Map(
+    "an_abtest" ->
+      """WITH u AS (SELECT user_id,
+        |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |  CAST(CONCAT('0x', SUBSTR(md5(CONCAT('ab_', CAST(user_id AS VARCHAR))),1,15)) AS BIGINT) % 2 AS variant
+        | FROM events GROUP BY user_id),
+        |a AS (SELECT
+        |  CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+        |  CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_control,
+        |  CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+        |  CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_treat
+        | FROM u)
+        |SELECT n_control, conv_control, n_treat, conv_treat,
+        | 10000 * CAST(n_control + n_treat AS HUGEINT)
+        |   * (CAST(conv_control AS HUGEINT) * n_treat - CAST(conv_treat AS HUGEINT) * n_control)
+        |   * (CAST(conv_control AS HUGEINT) * n_treat - CAST(conv_treat AS HUGEINT) * n_control)
+        | > 38416 * CAST(conv_control + conv_treat AS HUGEINT)
+        |   * CAST((n_control + n_treat) - (conv_control + conv_treat) AS HUGEINT)
+        |   * CAST(n_control AS HUGEINT) * CAST(n_treat AS HUGEINT) AS significant
+        |FROM a""".stripMargin,
+
     "an_pareto" ->
       """WITH per AS (SELECT o_custkey,
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
@@ -530,7 +591,7 @@ object AnalyticsQueries {
         | FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2),
         |t AS (SELECT *, CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS n_from FROM c)
         |SELECT from_type, next_type, n_trans, n_from,
-        | CAST((n_trans * 1000000) // n_from AS BIGINT) AS ppm
+        | CAST((CAST(n_trans AS HUGEINT) * 1000000) // n_from AS BIGINT) AS ppm
         |FROM t ORDER BY from_type, next_type""".stripMargin,
 
     "a_mode" ->

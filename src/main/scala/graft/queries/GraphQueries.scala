@@ -32,8 +32,38 @@ object GraphQueries {
   def queries: Map[String, Q] = Map(
     "graph_pagerank" -> graphPagerank,
     "graph_degree_dist" -> graphDegreeDist,
-    "graph_triangles" -> graphTriangles
+    "graph_triangles" -> graphTriangles,
+    "graph_khop" -> graphKhop
   )
+
+  /** 3-hop BFS reach profile from a deterministic seed (the lowest
+    * supplier node): how many nodes first become reachable at each hop —
+    * the blast-radius / influence-propagation primitive. Frontier
+    * expansion is the scale-correct BFS on Spark: each hop is ONE
+    * edge-join of the CURRENT frontier (never the visited set) followed
+    * by an anti-join against visited, so per-hop work is O(frontier ·
+    * avg-degree) regardless of graph size; localCheckpoint cuts lineage
+    * per hop exactly as in [[graphPagerank]]. The oracle unrolls the
+    * three hops as EXCEPT-chained CTEs. */
+  private val graphKhop: Q = (s, dir) => {
+    import s.implicits._
+    val e = edges(s, dir).persist()
+    val seed = e.filter($"a" % 2 === 1).agg(min($"a")).head().getLong(0)
+    var frontier = s.range(1).select(lit(seed).as("node")).localCheckpoint()
+    var visited = frontier
+    val counts = Seq.newBuilder[(Int, Long)]
+    counts += ((0, 1L))
+    for (hop <- 1 to 3) {
+      frontier = e.join(frontier, $"a" === $"node")
+        .select($"b".as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint()
+      counts += ((hop, frontier.count()))
+      visited = visited.unionByName(frontier).localCheckpoint()
+    }
+    e.unpersist()
+    counts.result().toDF("hop", "n_nodes").orderBy($"hop")
+  }
 
   /** The symmetric customer↔supplier edge list. Distinct collapses the
     * lineitem fan-in (a customer ordering 40 lines from one supplier is ONE
@@ -179,6 +209,23 @@ object GraphQueries {
          |  UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
          |SELECT doc_id, COUNT(*) AS n_triangles
          |FROM roles GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "graph_khop" ->
+      s"""WITH $EdgeCte,
+         |seed AS (SELECT MIN(a) AS s FROM e WHERE a % 2 = 1),
+         |d0 AS (SELECT s AS node FROM seed),
+         |d1 AS (SELECT DISTINCT b AS node FROM e JOIN d0 ON e.a = d0.node
+         |       EXCEPT SELECT node FROM d0),
+         |d2 AS (SELECT DISTINCT b AS node FROM e JOIN d1 ON e.a = d1.node
+         |       EXCEPT (SELECT node FROM d0 UNION SELECT node FROM d1)),
+         |d3 AS (SELECT DISTINCT b AS node FROM e JOIN d2 ON e.a = d2.node
+         |       EXCEPT (SELECT node FROM d0 UNION SELECT node FROM d1
+         |               UNION SELECT node FROM d2))
+         |SELECT 0 AS hop, COUNT(*) AS n_nodes FROM d0
+         |UNION ALL SELECT 1, COUNT(*) FROM d1
+         |UNION ALL SELECT 2, COUNT(*) FROM d2
+         |UNION ALL SELECT 3, COUNT(*) FROM d3
+         |ORDER BY hop""".stripMargin,
 
     "graph_degree_dist" ->
       s"""WITH $EdgeCte,

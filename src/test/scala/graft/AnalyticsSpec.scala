@@ -158,6 +158,24 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("an_abtest: arms partition the users and the verdict matches BigInt") {
+    val r = AnalyticsQueries.queries("an_abtest")(spark, sfDir).head()
+    val (n1, c1, n2, c2) = (r.getAs[Long]("n_control"), r.getAs[Long]("conv_control"),
+      r.getAs[Long]("n_treat"), r.getAs[Long]("conv_treat"))
+    val nUsers = Tables(spark, sfDir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(n1 + n2 == nUsers, s"arms ${n1 + n2} != users $nUsers")
+    assert(c1 <= n1 && c2 <= n2, "more conversions than users in an arm")
+    assert(n1 > 0 && n2 > 0, "an empty arm makes the test vacuous")
+    val (bn1, bc1, bn2, bc2) = (BigInt(n1), BigInt(c1), BigInt(n2), BigInt(c2))
+    val diff = bc1 * bn2 - bc2 * bn1
+    val C = bc1 + bc2; val N = bn1 + bn2
+    val expected = BigInt(10000) * N * diff * diff >
+      BigInt(38416) * C * (N - C) * bn1 * bn2
+    assert(r.getAs[Boolean]("significant") == expected,
+      s"engine verdict != exact BigInt replay ($n1,$c1,$n2,$c2)")
+  }
+
   test("a_approx_quantile: the GK summary's rank stays within epsilon") {
     import graft.queries.ExtendedQueries
     val rows = ExtendedQueries.queries("a_approx_quantile")(spark, sfDir).collect()

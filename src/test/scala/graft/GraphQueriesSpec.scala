@@ -51,6 +51,27 @@ class GraphQueriesSpec extends SparkSpec {
     assert(got.values.sum % 3 == 0, "role credits must be divisible by 3")
   }
 
+  test("graph_khop equals a driver-side BFS from the same seed") {
+    val got = GraphQueries.queries("graph_khop")(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("hop") -> r.getAs[Long]("n_nodes")).toMap
+    val pairs = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val seed = pairs.map(_._2).min
+    var visited = Set(seed); var frontier = Set(seed)
+    val expected = scala.collection.mutable.Map(0 -> 1L)
+    (1 to 3).foreach { hop =>
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- visited
+      expected(hop) = frontier.size.toLong
+      visited ++= frontier
+    }
+    assert(got == expected.toMap, s"engine $got != brute ${expected.toMap}")
+  }
+
   test("graph_degree_dist conserves nodes and edge endpoints") {
     val dist = GraphQueries.queries("graph_degree_dist")(spark, sfDir).collect()
     val nNodes = dist.map(_.getAs[Long]("n_nodes")).sum
