@@ -35,8 +35,85 @@ object AnalyticsQueries {
     "an_rfm" -> anRfm,
     "an_pareto" -> anPareto,
     "an_cohort_ltv" -> anCohortLtv,
-    "an_abtest" -> anAbtest
+    "an_abtest" -> anAbtest,
+    "an_basket_pairs" -> anBasketPairs,
+    "an_stickiness" -> anStickiness,
+    "qa_null_profile" -> qaNullProfile
   )
+
+  /** Market-basket co-occurrence — the top-20 part pairs bought together
+    * in one order, with each part's own support riding along (the inputs
+    * to confidence/lift, kept as EXACT counts; the consumer divides).
+    * Pair generation is bounded by ORDER width, not catalog size: a
+    * ≤7-line order yields ≤21 pairs, so the pair stream is a constant
+    * factor of lineitem — never the parts² explosion a catalog-side
+    * self-join would risk. One self-join per order key (co-partitioned),
+    * one pair aggregate, top-20 by support with a full deterministic
+    * tiebreak. */
+  private val anBasketPairs: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val pairs = li.as("x")
+      .join(li.as("y"), col("x.l_orderkey") === col("y.l_orderkey")
+        && col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"))
+      .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("support"))
+    val single = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(single.select($"l_partkey".as("part_a"), $"n_orders".as("orders_a")), "part_a")
+      .join(single.select($"l_partkey".as("part_b"), $"n_orders".as("orders_b")), "part_b")
+      .orderBy($"support".desc, $"part_a", $"part_b")
+      .limit(20)
+      .select($"part_a", $"part_b", $"support", $"orders_a", $"orders_b")
+  }
+
+  /** DAU/MAU stickiness per month as a floor-ppm integer: the average
+    * daily active share of the month's actives —
+    * Σdau · 10⁶ div (mau · n_days). Two distinct-collapses of the events
+    * table (day grain and month grain), both on the same user key, then
+    * the arithmetic on the tiny month table; the ×10⁶ is widened like
+    * an_pareto's. */
+  private val anStickiness: Q = (s, dir) => {
+    import s.implicits._
+    val ud = Tables(s, dir, "events")
+      .select($"user_id", $"ts".cast("date").as("day"))
+      .distinct()
+    val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+      .groupBy(date_trunc("month", $"day").cast("date").as("mo"))
+      .agg(sum($"dau").as("sum_dau"), count(lit(1)).as("n_days"))
+    val mau = ud.select($"user_id", date_trunc("month", $"day").cast("date").as("mo"))
+      .distinct()
+      .groupBy($"mo").agg(count(lit(1)).as("mau"))
+    dau.join(mau, "mo")
+      .select($"mo", $"sum_dau", $"n_days", $"mau",
+        expr("CAST((CAST(sum_dau AS DECIMAL(38,0)) * 1000000) div (mau * n_days) AS BIGINT)")
+          .as("stickiness_ppm"))
+      .orderBy($"mo")
+  }
+
+  /** Column-level data profile of the orders table — the dbt-docs /
+    * data-catalog summary: per column, null count and distinct count in
+    * ONE pass (conditional aggregates + count_distinct side by side;
+    * Spark plans the distincts as a single expand, not N scans). Output
+    * is one row per column via an explode of the aggregate struct. */
+  private val qaNullProfile: Q = (s, dir) => {
+    import s.implicits._
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"))
+    }
+    Tables(s, dir, "orders")
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select($"n_rows", explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"),
+          col(s"${c}_nulls").as("n_null"),
+          col(s"${c}_distinct").as("n_distinct"))): _*)).as("r"))
+      .select($"r.column_name", $"n_rows", $"r.n_null", $"r.n_distinct")
+      .orderBy($"column_name")
+  }
 
   /** A/B experiment readout with an EXACT-INTEGER significance verdict.
     * Users are hash-split into two arms (same md5 convention as
@@ -505,6 +582,58 @@ object AnalyticsQueries {
   private val Pow250: Double = 1125899906842624.0 // 2^50
 
   def oracle: Map[String, String] = Map(
+    "an_basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+        |  COUNT(*) AS support
+        | FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |   AND x.l_partkey < y.l_partkey
+        | GROUP BY 1, 2),
+        |s AS (SELECT l_partkey, COUNT(*) AS n_orders FROM li GROUP BY 1)
+        |SELECT part_a, part_b, support, sa.n_orders AS orders_a,
+        | sb.n_orders AS orders_b
+        |FROM p JOIN s sa ON p.part_a = sa.l_partkey
+        | JOIN s sb ON p.part_b = sb.l_partkey
+        |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+    "an_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |d AS (SELECT CAST(date_trunc('month', day) AS DATE) AS mo,
+        |  CAST(SUM(dau) AS BIGINT) AS sum_dau, COUNT(*) AS n_days
+        | FROM (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day) GROUP BY 1),
+        |m AS (SELECT mo, COUNT(*) AS mau FROM
+        |  (SELECT DISTINCT user_id, CAST(date_trunc('month', day) AS DATE) AS mo
+        |   FROM ud) GROUP BY mo)
+        |SELECT d.mo, sum_dau, n_days, mau,
+        | CAST((CAST(sum_dau AS HUGEINT) * 1000000) // (mau * n_days) AS BIGINT)
+        |   AS stickiness_ppm
+        |FROM d JOIN m ON d.mo = m.mo ORDER BY d.mo""".stripMargin,
+
+    "qa_null_profile" ->
+      """WITH a AS (SELECT COUNT(*) AS n_rows,
+        |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k1n,
+        |  COUNT(DISTINCT o_orderkey) AS k1d,
+        |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS k2n,
+        |  COUNT(DISTINCT o_custkey) AS k2d,
+        |  SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS k3n,
+        |  COUNT(DISTINCT o_orderstatus) AS k3d,
+        |  SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS k4n,
+        |  COUNT(DISTINCT o_totalprice) AS k4d,
+        |  SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS k5n,
+        |  COUNT(DISTINCT o_orderdate) AS k5d,
+        |  SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS k6n,
+        |  COUNT(DISTINCT o_orderpriority) AS k6d
+        | FROM orders)
+        |SELECT column_name, n_rows, CAST(n_null AS BIGINT) AS n_null,
+        | CAST(n_distinct AS BIGINT) AS n_distinct FROM (
+        | SELECT 'o_orderkey' AS column_name, n_rows, k1n AS n_null, k1d AS n_distinct FROM a
+        | UNION ALL SELECT 'o_custkey', n_rows, k2n, k2d FROM a
+        | UNION ALL SELECT 'o_orderstatus', n_rows, k3n, k3d FROM a
+        | UNION ALL SELECT 'o_totalprice', n_rows, k4n, k4d FROM a
+        | UNION ALL SELECT 'o_orderdate', n_rows, k5n, k5d FROM a
+        | UNION ALL SELECT 'o_orderpriority', n_rows, k6n, k6d FROM a)
+        |ORDER BY column_name""".stripMargin,
+
     "an_abtest" ->
       """WITH u AS (SELECT user_id,
         |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,

@@ -176,6 +176,53 @@ class AnalyticsSpec extends SparkSpec {
       s"engine verdict != exact BigInt replay ($n1,$c1,$n2,$c2)")
   }
 
+  test("an_basket_pairs: support bounded by both sides, top-1 matches brute") {
+    val rows = AnalyticsQueries.queries("an_basket_pairs")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("support") <=
+        math.min(r.getAs[Long]("orders_a"), r.getAs[Long]("orders_b")),
+        "pair support exceeds a member's own support")
+    }
+    val sup = rows.map(_.getAs[Long]("support"))
+    assert(sup.zip(sup.tail).forall { case (a, b) => a >= b }, "not sorted by support")
+    // brute-force the max support from the collected basket list
+    val baskets = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .values.map(_.map(_._2).sorted)
+    val counts = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    baskets.foreach { items =>
+      for (i <- items.indices; j <- (i + 1) until items.length)
+        counts((items(i), items(j))) += 1L
+    }
+    assert(sup.head == counts.values.max, "top support != brute-force max")
+  }
+
+  test("an_stickiness: ppm within (0, 1e6] and month grain conserved") {
+    val rows = AnalyticsQueries.queries("an_stickiness")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("stickiness_ppm")
+      assert(ppm > 0L && ppm <= 1000000L, s"stickiness $ppm outside (0, 1e6]")
+      assert(r.getAs[Long]("sum_dau") >= r.getAs[Long]("mau"),
+        "monthly actives exceed summed daily actives")
+    }
+  }
+
+  test("qa_null_profile: distinct+null bounds hold and the PK profile is exact") {
+    val rows = AnalyticsQueries.queries("qa_null_profile")(spark, sfDir).collect()
+    assert(rows.length == 6)
+    val nRows = rows.head.getAs[Long]("n_rows")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_null") + r.getAs[Long]("n_distinct") <= nRows + 1,
+        s"${r.getAs[String]("column_name")}: impossible null/distinct profile")
+    }
+    val pk = rows.find(_.getAs[String]("column_name") == "o_orderkey").get
+    assert(pk.getAs[Long]("n_null") == 0L && pk.getAs[Long]("n_distinct") == nRows,
+      "order key is not a clean primary key in the profile")
+  }
+
   test("a_approx_quantile: the GK summary's rank stays within epsilon") {
     import graft.queries.ExtendedQueries
     val rows = ExtendedQueries.queries("a_approx_quantile")(spark, sfDir).collect()
