@@ -133,6 +133,49 @@ object MediaQueries {
       .orderBy($"media_id")
   }
 
+  /** Flip bit p (0-based) of an 8-char bitstring column. */
+  private def flipBit(c: Column, p: Int): Column =
+    concat(substring(c, 1, p),
+      when(substring(c, p + 1, 1) === "0", "1").otherwise("0"),
+      substring(c, p + 2, 8 - p - 1))
+
+  /** Image near-dups BEYOND exact phash equality — pairs within hamming
+    * distance 8 of 64 (the standard perceptual threshold band), found by
+    * the hamming-1 MULTIPROBE on the 8-bit row signature (the planted
+    * aHash repeats one row 8×, so 64-bit distance = 8 × row distance; a
+    * real corpus would band the full 64 bits the same way). Each image
+    * probes its own key plus all 8 one-bit flips — a constant 9× fan-out
+    * bucket-join, exactly [[ann_lsh_multiprobe]]'s recall lever applied
+    * to images: O(n·probes·bucket), never pairwise. Exact hamming
+    * verifies each candidate. */
+  private val mmPhashNeardup: Q = (s, dir) => {
+    import s.implicits._
+    val ids = Tables(s, dir, "documents")
+      .filter($"doc_id" % 3 === 0).select($"doc_id").as[Long]
+    val ph = graft.operators.Multimodal.averageHash(
+      graft.operators.Multimodal.plantedImages(ids))
+      .toDF()
+      .select($"media_id", substring($"phash_bits", 1, 8).as("row_sig"))
+    val probes = ph.select($"media_id", explode(array(
+      $"row_sig" +: (0 until 8).map(p => flipBit($"row_sig", p)): _*)).as("probe"))
+    val cand = probes.as("a")
+      .join(ph.as("b"), col("a.probe") === col("b.row_sig")
+        && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
+      .distinct()
+    val ham = (0 until 8)
+      .map(i => when(substring($"sa", i + 1, 1) =!= substring($"sb", i + 1, 1), 1L)
+        .otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(ph.select($"media_id".as("media_a"), $"row_sig".as("sa")), "media_a")
+      .join(ph.select($"media_id".as("media_b"), $"row_sig".as("sb")), "media_b")
+      .withColumn("hamming64", ham * 8)
+      .filter($"hamming64" <= 8)
+      .select($"media_a", $"media_b", $"hamming64")
+      .orderBy($"media_a", $"media_b")
+  }
+
   /** Image near-dup GROUPING by perceptual hash — the dedup step
     * [[mmPhash]] feeds: one hash shuffle on the 64-bit key clusters every
     * perceptually-equivalent image (aHash collapses re-encodes, rescales,
@@ -280,6 +323,7 @@ object MediaQueries {
     "mm_pixel_stats" -> mmPixelStats,
     "mm_phash" -> mmPhash,
     "mm_phash_groups" -> mmPhashGroups,
+    "mm_phash_neardup" -> mmPhashNeardup,
     "mm_audio_stats" -> mmAudioStats,
     "mm_ulaw_stats" -> mmUlawStats,
     "mm_video_frames" -> mmVideoFrames,
@@ -360,6 +404,36 @@ object MediaQueries {
         |SELECT doc_id AS media_id, repeat(rowstr, 8) AS phash_bits,
         | CAST(8 * (length(rowstr) - length(replace(rowstr, '1', ''))) AS BIGINT) AS n_set
         |FROM bits ORDER BY media_id""".stripMargin,
+
+    "mm_phash_neardup" ->
+      """WITH base AS (SELECT doc_id,
+        |  CAST(doc_id % 8 + 2 AS BIGINT) w,
+        |  (doc_id * 37) % 256 ra, (doc_id * 59) % 256 ga, (doc_id * 83) % 256 ba
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |t AS (SELECT doc_id, w, w // 2 AS split,
+        |  (299*ra + 587*ga + 114*ba) // 1000 AS la,
+        |  (299*(255-ra) + 587*(255-ga) + 114*(255-ba)) // 1000 AS lb
+        |  FROM base),
+        |rowp AS (SELECT doc_id,
+        |  [CASE WHEN (j*w) // 8 < split THEN la ELSE lb END FOR j IN range(0, 8)] AS ls
+        | FROM t),
+        |bits AS (SELECT doc_id,
+        |  array_to_string([CASE WHEN l * 8 > list_aggregate(ls, 'sum') THEN '1' ELSE '0' END
+        |    FOR l IN ls], '') AS rowstr
+        | FROM rowp),
+        |pr AS (SELECT doc_id, unnest(list_append(
+        |  [CONCAT(substr(rowstr, 1, k),
+        |     CASE substr(rowstr, k + 1, 1) WHEN '0' THEN '1' ELSE '0' END,
+        |     substr(rowstr, k + 2)) FOR k IN range(0, 8)], rowstr)) AS probe
+        | FROM bits),
+        |cand AS (SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b
+        | FROM pr a JOIN bits b ON a.probe = b.rowstr AND a.doc_id < b.doc_id),
+        |h AS (SELECT media_a, media_b,
+        |  CAST(8 * list_sum([CASE WHEN substr(x.rowstr, i + 1, 1) <> substr(y.rowstr, i + 1, 1)
+        |    THEN 1 ELSE 0 END FOR i IN range(0, 8)]) AS BIGINT) AS hamming64
+        | FROM cand JOIN bits x ON media_a = x.doc_id JOIN bits y ON media_b = y.doc_id)
+        |SELECT media_a, media_b, hamming64 FROM h
+        |WHERE hamming64 <= 8 ORDER BY media_a, media_b""".stripMargin,
 
     "mm_phash_groups" ->
       """WITH base AS (SELECT doc_id,
