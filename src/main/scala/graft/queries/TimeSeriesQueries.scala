@@ -25,8 +25,71 @@ object TimeSeriesQueries {
     "ts_ewma" -> tsEwma,
     "ts_cusum" -> tsCusum,
     "ts_streaks" -> tsStreaks,
-    "ts_peak_concurrency" -> tsPeakConcurrency
+    "ts_peak_concurrency" -> tsPeakConcurrency,
+    "ts_forecast_naive" -> tsForecastNaive,
+    "ts_acf_lag7" -> tsAcfLag7
   )
+
+  /** Seasonal-naive forecast backtest — the baseline every demand model
+    * must beat: predict day d with day d−7, score on exact integer cents
+    * (n evaluated, Σ|err|, Σerr for bias; the consumer divides for
+    * MAE). The lag runs on the tiny per-type daily table; days without a
+    * lag-7 observation are excluded, not zero-filled. */
+  private val tsForecastNaive: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    Tables(s, dir, "events")
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      .withColumn("pred_day", lag($"day", 7).over(w))
+      .withColumn("pred", lag($"x", 7).over(w))
+      // a 7-rows-back observation is only the seasonal twin if it is
+      // exactly 7 CALENDAR days back (dense series: equivalent; sparse:
+      // prevents scoring against the wrong weekday)
+      .filter($"pred".isNotNull && expr("datediff(day, pred_day)") === 7)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs($"x" - $"pred")).as("sum_abs_err_cents"),
+        sum($"x" - $"pred").as("sum_err_cents"))
+      .orderBy($"event_type")
+  }
+
+  /** Lag-7 autocovariance and variance NUMERATORS per event type, exact:
+    * n²-scaled so the mean subtraction stays integral —
+    * acov = Σₜ(n·xₜ−S)(n·xₜ₋₇−S), var the same with both terms current,
+    * summed over exactly the lag-covered days. Widened to DECIMAL(38)
+    * (the n-scaled deviations square past 2⁶³). Emitted as the exact
+    * integer PAIR rather than a floored ratio: the two engines disagree
+    * on negative integer division (truncate vs floor), and a consumer
+    * divides floats anyway. Weekly seasonality shows as acov_num > 0
+    * against var_num. */
+  private val tsAcfLag7: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val wAll = Window.partitionBy($"event_type")
+    Tables(s, dir, "events")
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      .withColumn("xl", lag($"x", 7).over(w))
+      .withColumn("pl", lag($"day", 7).over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum($"x").over(wAll))
+      .filter($"xl".isNotNull && expr("datediff(day, pl)") === 7)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_terms"), max($"n").as("n_days"),
+        // emitted as exact decimal STRINGS: a >2⁶³ integer column would
+        // otherwise ride as DECIMAL(38)/HUGEINT, whose engine-to-pandas
+        // renderings diverge (int repr vs float repr) in the hash gate
+        sum(expr("""(CAST(n AS DECIMAL(38,0)) * x - s)
+                  | * (CAST(n AS DECIMAL(38,0)) * xl - s)""".stripMargin))
+          .cast("decimal(38,0)").cast("string").as("acov_num"),
+        sum(expr("""(CAST(n AS DECIMAL(38,0)) * x - s)
+                  | * (CAST(n AS DECIMAL(38,0)) * x - s)""".stripMargin))
+          .cast("decimal(38,0)").cast("string").as("var_num"))
+      .orderBy($"event_type")
+  }
 
   /** EWMA horizon: events beyond the 16th-most-recent carry weight
     * < 2⁻¹⁶ of the total — below cent resolution — so the truncation IS
@@ -185,6 +248,36 @@ object TimeSeriesQueries {
          | FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          |SELECT user_id, n_events, ewma_x FROM e
          |WHERE rn = n_events ORDER BY user_id""".stripMargin,
+
+    "ts_forecast_naive" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        | FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, x,
+        |  LAG(x, 7) OVER w AS pred, LAG(day, 7) OVER w AS pred_day
+        | FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, COUNT(*) AS n_eval,
+        | CAST(SUM(abs(x - pred)) AS BIGINT) AS sum_abs_err_cents,
+        | CAST(SUM(x - pred) AS BIGINT) AS sum_err_cents
+        |FROM l WHERE pred IS NOT NULL AND day - pred_day = 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts_acf_lag7" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        | FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, x,
+        |  LAG(x, 7) OVER w AS xl, LAG(day, 7) OVER w AS pl,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |  SUM(x) OVER (PARTITION BY event_type) AS s
+        | FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, COUNT(*) AS n_terms, CAST(MAX(n) AS BIGINT) AS n_days,
+        | CAST(CAST(SUM((CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * xl - s))
+        |   AS HUGEINT) AS VARCHAR) AS acov_num,
+        | CAST(CAST(SUM((CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x - s))
+        |   AS HUGEINT) AS VARCHAR) AS var_num
+        |FROM l WHERE xl IS NOT NULL AND day - pl = 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "ts_streaks" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -117,6 +117,43 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == peaks.toMap, s"engine $got != brute ${peaks.toMap}")
   }
 
+  test("ts_forecast_naive: |bias| bounded by MAE mass, lag-7 terms counted") {
+    val rows = TimeSeriesQueries.queries("ts_forecast_naive")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Long]("sum_err_cents")) <=
+        r.getAs[Long]("sum_abs_err_cents"),
+        "bias magnitude exceeded total absolute error")
+      assert(r.getAs[Long]("n_eval") > 0)
+    }
+  }
+
+  test("ts_acf_lag7 matches a BigInt replay of the daily series") {
+    val got = TimeSeriesQueries.queries("ts_acf_lag7")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_terms"), BigInt(r.getAs[String]("acov_num")),
+          BigInt(r.getAs[String]("var_num")))).toMap
+    val daily = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"))
+      .collect().groupBy(_.getAs[String]("event_type"))
+    daily.foreach { case (t, rows) =>
+      val series = rows
+        .map(r => (java.time.LocalDate.parse(r.getAs[Any]("day").toString).toEpochDay,
+          r.getAs[Long]("x"))).sortBy(_._1)
+      val n = BigInt(series.length)
+      val sTot = series.map(r => BigInt(r._2)).sum
+      val terms = series.drop(7).zip(series).filter { case ((d2, _), (d1, _)) => d2 - d1 == 7 }
+      val acov = terms.map { case ((_, x), (_, xl)) => (n * x - sTot) * (n * xl - sTot) }.sum
+      val vvar = terms.map { case ((_, x), _) => (n * x - sTot) * (n * x - sTot) }.sum
+      got.get(t).foreach { case (nt, a, v) =>
+        assert(nt == terms.length.toLong && a == acov && v == vvar,
+          s"$t: engine ($nt, $a, $v) != replay (${terms.length}, $acov, $vvar)")
+      }
+      assert(terms.isEmpty == !got.contains(t))
+    }
+  }
+
   test("ts_cusum picks the max |deviation| day and it is never the last day") {
     val rows = TimeSeriesQueries.queries("ts_cusum")(spark, sfDir).collect()
     val types = Tables(spark, sfDir, "events")
