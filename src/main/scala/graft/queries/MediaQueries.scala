@@ -139,41 +139,53 @@ object MediaQueries {
       when(substring(c, p + 1, 1) === "0", "1").otherwise("0"),
       substring(c, p + 2, 8 - p - 1))
 
-  /** Image near-dups BEYOND exact phash equality — pairs within hamming
-    * distance 8 of 64 (the standard perceptual threshold band), found by
-    * the hamming-1 MULTIPROBE on the 8-bit row signature (the planted
-    * aHash repeats one row 8×, so 64-bit distance = 8 × row distance; a
-    * real corpus would band the full 64 bits the same way). Each image
-    * probes its own key plus all 8 one-bit flips — a constant 9× fan-out
-    * bucket-join, exactly [[ann_lsh_multiprobe]]'s recall lever applied
-    * to images: O(n·probes·bucket), never pairwise. Exact hamming
-    * verifies each candidate. */
+  /** Image near-dups BEYOND exact phash equality — SIGNATURE-grain pairs
+    * within hamming distance 8 of 64 (the standard perceptual threshold
+    * band), found by the hamming-1 MULTIPROBE on the 8-bit row signature
+    * (the planted aHash repeats one row 8×, so 64-bit distance = 8 × row
+    * distance; a real corpus would band the full 64 bits the same way).
+    *
+    * The corpus collapses to its DISTINCT signatures FIRST (one hash
+    * shuffle — the mm_phash_groups step), and the 9-probe ring runs at
+    * signature grain: ≤2⁸ signatures exist, so the probe join is
+    * CONSTANT-sized no matter how many images share a hash. Listing
+    * image-level pairs inside hot buckets would be quadratic in bucket
+    * size (measured: 23× for 10× images before this collapse — blank-
+    * image-style hot hashes are exactly the production skew case); the
+    * group sizes and min-id representatives ride along instead, and
+    * `implied_pairs` = n_a·n_b carries the pair MASS without
+    * materializing it. */
   private val mmPhashNeardup: Q = (s, dir) => {
     import s.implicits._
     val ids = Tables(s, dir, "documents")
       .filter($"doc_id" % 3 === 0).select($"doc_id").as[Long]
-    val ph = graft.operators.Multimodal.averageHash(
+    val grp = graft.operators.Multimodal.averageHash(
       graft.operators.Multimodal.plantedImages(ids))
       .toDF()
       .select($"media_id", substring($"phash_bits", 1, 8).as("row_sig"))
-    val probes = ph.select($"media_id", explode(array(
+      .groupBy($"row_sig")
+      .agg(count(lit(1)).as("n_images"), min($"media_id").as("keeper_id"))
+    val probes = grp.select($"row_sig", explode(array(
       $"row_sig" +: (0 until 8).map(p => flipBit($"row_sig", p)): _*)).as("probe"))
-    val cand = probes.as("a")
-      .join(ph.as("b"), col("a.probe") === col("b.row_sig")
-        && col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
-      .distinct()
     val ham = (0 until 8)
-      .map(i => when(substring($"sa", i + 1, 1) =!= substring($"sb", i + 1, 1), 1L)
-        .otherwise(0L))
+      .map(i => when(substring(col("a.row_sig"), i + 1, 1)
+        =!= substring(col("b.row_sig"), i + 1, 1), 1L).otherwise(0L))
       .reduce(_ + _)
-    cand
-      .join(ph.select($"media_id".as("media_a"), $"row_sig".as("sa")), "media_a")
-      .join(ph.select($"media_id".as("media_b"), $"row_sig".as("sb")), "media_b")
-      .withColumn("hamming64", ham * 8)
+    probes.as("a")
+      .join(grp.as("b"), col("a.probe") === col("b.row_sig")
+        && col("a.row_sig") < col("b.row_sig"))
+      .select(
+        col("a.row_sig").as("sig_a"), col("b.row_sig").as("sig_b"),
+        (ham * 8).as("hamming64"),
+        col("b.n_images").as("n_images_b"), col("b.keeper_id").as("keeper_b"))
+      .distinct()
+      .join(grp.select($"row_sig".as("sig_a"), $"n_images".as("n_images_a"),
+        $"keeper_id".as("keeper_a")), "sig_a")
       .filter($"hamming64" <= 8)
-      .select($"media_a", $"media_b", $"hamming64")
-      .orderBy($"media_a", $"media_b")
+      .select($"keeper_a", $"keeper_b", $"hamming64",
+        $"n_images_a", $"n_images_b",
+        ($"n_images_a" * $"n_images_b").as("implied_pairs"))
+      .orderBy($"keeper_a", $"keeper_b")
   }
 
   /** Image near-dup GROUPING by perceptual hash — the dedup step
@@ -421,19 +433,25 @@ object MediaQueries {
         |  array_to_string([CASE WHEN l * 8 > list_aggregate(ls, 'sum') THEN '1' ELSE '0' END
         |    FOR l IN ls], '') AS rowstr
         | FROM rowp),
-        |pr AS (SELECT doc_id, unnest(list_append(
-        |  [CONCAT(substr(rowstr, 1, k),
-        |     CASE substr(rowstr, k + 1, 1) WHEN '0' THEN '1' ELSE '0' END,
-        |     substr(rowstr, k + 2)) FOR k IN range(0, 8)], rowstr)) AS probe
-        | FROM bits),
-        |cand AS (SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b
-        | FROM pr a JOIN bits b ON a.probe = b.rowstr AND a.doc_id < b.doc_id),
-        |h AS (SELECT media_a, media_b,
-        |  CAST(8 * list_sum([CASE WHEN substr(x.rowstr, i + 1, 1) <> substr(y.rowstr, i + 1, 1)
+        |grp AS (SELECT rowstr AS row_sig, COUNT(*) AS n_images,
+        |  MIN(doc_id) AS keeper_id FROM bits GROUP BY rowstr),
+        |pr AS (SELECT row_sig, unnest(list_append(
+        |  [CONCAT(substr(row_sig, 1, k),
+        |     CASE substr(row_sig, k + 1, 1) WHEN '0' THEN '1' ELSE '0' END,
+        |     substr(row_sig, k + 2)) FOR k IN range(0, 8)], row_sig)) AS probe
+        | FROM grp),
+        |cand AS (SELECT DISTINCT a.row_sig AS sig_a, b.row_sig AS sig_b
+        | FROM pr a JOIN grp b ON a.probe = b.row_sig AND a.row_sig < b.row_sig),
+        |h AS (SELECT sig_a, sig_b,
+        |  CAST(8 * list_sum([CASE WHEN substr(sig_a, i + 1, 1) <> substr(sig_b, i + 1, 1)
         |    THEN 1 ELSE 0 END FOR i IN range(0, 8)]) AS BIGINT) AS hamming64
-        | FROM cand JOIN bits x ON media_a = x.doc_id JOIN bits y ON media_b = y.doc_id)
-        |SELECT media_a, media_b, hamming64 FROM h
-        |WHERE hamming64 <= 8 ORDER BY media_a, media_b""".stripMargin,
+        | FROM cand)
+        |SELECT ga.keeper_id AS keeper_a, gb.keeper_id AS keeper_b, hamming64,
+        | ga.n_images AS n_images_a, gb.n_images AS n_images_b,
+        | CAST(ga.n_images * gb.n_images AS BIGINT) AS implied_pairs
+        |FROM h JOIN grp ga ON h.sig_a = ga.row_sig
+        | JOIN grp gb ON h.sig_b = gb.row_sig
+        |WHERE hamming64 <= 8 ORDER BY keeper_a, keeper_b""".stripMargin,
 
     "mm_phash_groups" ->
       """WITH base AS (SELECT doc_id,

@@ -372,26 +372,30 @@ class MultimodalSpec extends SparkSpec {
       got(1L)._1.count(_ == '1').toLong)
   }
 
-  test("mm_phash_neardup finds EVERY pair at hamming64 <= 8 (multiprobe completeness)") {
+  test("mm_phash_neardup finds EVERY signature pair at hamming64 <= 8 (multiprobe completeness)") {
     import graft.queries.MediaQueries
     val got = MediaQueries.queries("mm_phash_neardup")(spark, sfDir).collect()
-      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
-        r.getAs[Long]("hamming64")).toMap
-    // brute force over all pairs of row signatures
+      .map(r => (r.getAs[Long]("keeper_a"), r.getAs[Long]("keeper_b")) ->
+        (r.getAs[Long]("hamming64"), r.getAs[Long]("implied_pairs"))).toMap
+    // brute force over all pairs of DISTINCT row signatures
     val ids = Tables(spark, sfDir, "documents")
       .filter(col("doc_id") % 3 === 0).select(col("doc_id")).as[Long](spark.implicits.newLongEncoder)
     val sigs = graft.operators.Multimodal.averageHash(
       graft.operators.Multimodal.plantedImages(ids)).toDF()
       .select(col("media_id"), substring(col("phash_bits"), 1, 8).as("sig"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
+    val groups = sigs.groupBy(_._2).view
+      .mapValues(m => (m.map(_._1).min, m.length.toLong)).toMap
     val expected = (for {
-      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      (sa, (ka, na)) <- groups.toSeq; (sb, (kb, nb)) <- groups.toSeq if sa < sb
       h = 8L * sa.zip(sb).count { case (x, y) => x != y }
       if h <= 8L
-    } yield (ida, idb) -> h).toMap
+    } yield (ka, kb) -> (h, na * nb)).toMap
     assert(got == expected,
       s"multiprobe missed or invented pairs: got ${got.size}, expected ${expected.size}")
-    assert(expected.values.exists(_ == 8L),
-      "corpus has no hamming-8 pair: the beyond-equality claim is vacuous")
+    assert(expected.values.exists(_._1 == 8L),
+      "corpus has no hamming-8 signature pair: the beyond-equality claim is vacuous")
+    assert(expected.values.exists(_._2 > 1L),
+      "no hot group: implied_pairs never exceeds 1, the collapse is untested")
   }
 }
