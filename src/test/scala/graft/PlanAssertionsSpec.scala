@@ -236,4 +236,46 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("an_funnel: all three step windows share ONE user-key exchange") {
+    // the scaladoc's claim — cascading MIN-over-condition windows on the
+    // SAME partitioning must not re-shuffle per step; allowed shuffles are
+    // the single user hash plus the final single-row collapse
+    val plan = planOf("an_funnel")
+    assert(countOf(plan, "Exchange hashpartitioning") === 1,
+      s"funnel re-shuffles between step windows:\n$plan")
+    assert(countOf(plan, "Window") >= 1 && !plan.contains("SortMergeJoin"),
+      s"funnel must stay window-based, not self-join:\n$plan")
+  }
+
+  test("ts_ewma: 16 lags ride one window sort, keep-latest adds no shuffle") {
+    val plan = planOf("ts_ewma")
+    assert(countOf(plan, "Exchange hashpartitioning") === 1,
+      s"EWMA must shuffle the events table exactly once on user_id:\n$plan")
+  }
+
+  test("a_mode / ts_cusum: two-level shape — fact collapse before any window") {
+    for (name <- Seq("a_mode", "ts_cusum")) {
+      val plan = planOf(name)
+      val aggIdx = plan.indexOf("HashAggregate")
+      val winIdx = plan.indexOf("Window")
+      assert(aggIdx >= 0 && winIdx >= 0 && winIdx < plan.lastIndexOf("HashAggregate"),
+        s"$name lost its collapse-then-rank shape:\n$plan")
+      // the window must consume the AGGREGATE's output, so the plan tree
+      // (printed leaves-last) shows the aggregate BELOW the window
+      assert(plan.contains("Window"), s"$name: missing window:\n$plan")
+    }
+  }
+
+  test("graph_khop: frontier expansion never sort-merges the edge list") {
+    val plan = planOf("graph_khop")
+    assert(!plan.contains("CartesianProduct"),
+      s"khop must never cross-join:\n$plan")
+  }
+
+  test("an_abtest: single-row readout is one aggregate pass, no join") {
+    val plan = planOf("an_abtest")
+    assert(!plan.contains("Join"), s"abtest readout must not join:\n$plan")
+    assert(countOf(plan, "Exchange hashpartitioning") <= 1,
+      s"abtest should shuffle only to user grain:\n$plan")
+  }
 }
