@@ -37,6 +37,7 @@ object AnalyticsQueries {
     "an_cohort_ltv" -> anCohortLtv,
     "an_abtest" -> anAbtest,
     "an_basket_pairs" -> anBasketPairs,
+    "an_attribution" -> anAttribution,
     "an_stickiness" -> anStickiness,
     "qa_null_profile" -> qaNullProfile
   )
@@ -70,6 +71,39 @@ object AnalyticsQueries {
       .orderBy($"support".desc, $"part_a", $"part_b")
       .limit(20)
       .select($"part_a", $"part_b", $"support", $"orders_a", $"orders_b")
+  }
+
+  /** Linear multi-touch attribution — each purchase's credit split
+    * equally (floor-ppm) across the user's view/click touches in the 7
+    * days strictly before it, rolled up per touch type. The pairing is a
+    * USER-KEYED, TIME-BOUNDED interval join (the batch twin of the
+    * watermarked stream-stream join st_stream_join runs): per-user
+    * activity bounds the pair fan-out, and the window that counts each
+    * purchase's touches runs on the pair table, partitioned by purchase —
+    * no global state. The floor split under-credits by < n_touches µppm
+    * per purchase; that remainder law is spec-pinned rather than hidden
+    * in float division. */
+  private val anAttribution: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tus"))
+    val touches = ev.filter($"event_type".isin("view", "click"))
+      .select($"user_id", $"event_type".as("touch_type"), $"tus".as("t_tus"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"tus".as("p_tus"))
+    val pairs = touches.join(purchases, Seq("user_id"))
+      .filter($"t_tus" < $"p_tus" && $"t_tus" >= $"p_tus" - lit(7L * 86400000000L))
+    val wP = Window.partitionBy($"purchase_id")
+    pairs
+      .withColumn("n_touch", count(lit(1)).over(wP))
+      .withColumn("credit_ppm", expr("1000000 div n_touch"))
+      .groupBy($"touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct($"purchase_id").as("n_purchases"),
+        sum($"credit_ppm").as("credit_ppm_sum"))
+      .orderBy($"touch_type")
   }
 
   /** DAU/MAU stickiness per month as a floor-ppm integer: the average
@@ -586,6 +620,24 @@ object AnalyticsQueries {
   private val Pow250: Double = 1125899906842624.0 // 2^50
 
   def oracle: Map[String, String] = Map(
+    "an_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        |  FROM events),
+        |t AS (SELECT user_id, event_type AS touch_type, tus AS t_tus
+        | FROM ev WHERE event_type IN ('view', 'click')),
+        |p AS (SELECT user_id, event_id AS purchase_id, tus AS p_tus
+        | FROM ev WHERE event_type = 'purchase'),
+        |pairs AS (SELECT touch_type, purchase_id
+        | FROM t JOIN p USING (user_id)
+        | WHERE t_tus < p_tus AND t_tus >= p_tus - 604800000000),
+        |c AS (SELECT touch_type, purchase_id,
+        |  1000000 // COUNT(*) OVER (PARTITION BY purchase_id) AS credit_ppm
+        | FROM pairs)
+        |SELECT touch_type, COUNT(*) AS n_touches,
+        | COUNT(DISTINCT purchase_id) AS n_purchases,
+        | CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm_sum
+        |FROM c GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+
     "an_basket_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |p AS (SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,

@@ -199,6 +199,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(sup.head == counts.values.max, "top support != brute-force max")
   }
 
+  test("an_attribution: floor-split credit conserves purchase mass") {
+    val rows = AnalyticsQueries.queries("an_attribution")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalCredit = rows.map(_.getAs[Long]("credit_ppm_sum")).sum
+    val totalPairs = rows.map(_.getAs[Long]("n_touches")).sum
+    // purchases with >= 1 touch, computed independently
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tus"))
+    val nAttr = ev.filter(col("event_type") === "purchase").as("p")
+      .join(ev.filter(col("event_type").isin("view", "click")).as("t"),
+        col("p.user_id") === col("t.user_id")
+          && col("t.tus") < col("p.tus")
+          && col("t.tus") >= col("p.tus") - lit(7L * 86400000000L), "left_semi")
+      .count()
+    // each attributed purchase hands out 1e6 ppm minus a floor remainder
+    // strictly below its touch count
+    assert(totalCredit <= 1000000L * nAttr, "credit exceeds purchase mass")
+    assert(totalCredit > 1000000L * nAttr - totalPairs,
+      s"floor remainder too large: $totalCredit vs ${1000000L * nAttr} - $totalPairs")
+  }
+
   test("an_stickiness: ppm within (0, 1e6] and month grain conserved") {
     val rows = AnalyticsQueries.queries("an_stickiness")(spark, sfDir).collect()
     assert(rows.nonEmpty)
