@@ -33,8 +33,43 @@ object GraphQueries {
     "graph_pagerank" -> graphPagerank,
     "graph_degree_dist" -> graphDegreeDist,
     "graph_triangles" -> graphTriangles,
-    "graph_khop" -> graphKhop
+    "graph_khop" -> graphKhop,
+    "graph_pagerank_delta" -> graphPagerankDelta
   )
+
+  /** PageRank CONVERGENCE monitor — per round, the total mass movement
+    * Σ|massᵣ − massᵣ₋₁| and how many nodes moved: the signal that tells a
+    * long-running rank loop when another iteration stops paying (the same
+    * role the fused observe() probe plays for connected components).
+    * Each delta is one co-partitioned full-outer join of consecutive
+    * mass tables (missing side = restart-only mass 150 000, matching the
+    * loop's semantics for nodes with no inbound share yet); integers end
+    * to end, so the curve replays exactly through the unrolled CTEs. */
+  private val graphPagerankDelta: Q = (s, dir) => {
+    import s.implicits._
+    val e = edges(s, dir).persist()
+    val deg = e.groupBy($"a").agg(count(lit(1)).as("deg"))
+    var mass = deg.select($"a".as("node"), lit(1000000L).as("mass"))
+    val rounds = Seq.newBuilder[DataFrame]
+    var prev = mass
+    for (r <- 1 to 3) {
+      val share = mass.join(deg.withColumnRenamed("a", "node"), "node")
+        .select($"node".as("a"), expr("(mass * 85) div (100 * deg)").as("c"))
+      mass = e.join(share, "a")
+        .groupBy($"b".as("node"))
+        .agg((lit(150000L) + sum($"c")).as("mass"))
+        .localCheckpoint()
+      rounds += prev.select($"node", $"mass".as("m_prev"))
+        .join(mass.select($"node", $"mass".as("m_cur")), Seq("node"), "full_outer")
+        .select(abs(coalesce($"m_cur", lit(150000L))
+          - coalesce($"m_prev", lit(150000L))).as("d"))
+        .agg(lit(r).as("round"), sum($"d").as("sum_abs_delta"),
+          sum(when($"d" > 0, 1L).otherwise(0L)).as("n_moved"))
+      prev = mass
+    }
+    e.unpersist()
+    rounds.result().reduce(_ unionByName _).orderBy($"round")
+  }
 
   /** 3-hop BFS reach profile from a deterministic seed (the lowest
     * supplier node): how many nodes first become reachable at each hop —
@@ -209,6 +244,32 @@ object GraphQueries {
          |  UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
          |SELECT doc_id, COUNT(*) AS n_triangles
          |FROM roles GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "graph_pagerank_delta" ->
+      s"""WITH $EdgeCte,
+         |d AS (SELECT a, COUNT(*) AS deg FROM e GROUP BY a),
+         |m0 AS (SELECT a AS node, CAST(1000000 AS BIGINT) AS mass FROM d),
+         |m1 AS (SELECT e.b AS node,
+         |   CAST(150000 + SUM((m0.mass * 85) // (100 * d.deg)) AS BIGINT) AS mass
+         |  FROM e JOIN m0 ON e.a = m0.node JOIN d ON e.a = d.a GROUP BY e.b),
+         |m2 AS (SELECT e.b AS node,
+         |   CAST(150000 + SUM((m1.mass * 85) // (100 * d.deg)) AS BIGINT) AS mass
+         |  FROM e JOIN m1 ON e.a = m1.node JOIN d ON e.a = d.a GROUP BY e.b),
+         |m3 AS (SELECT e.b AS node,
+         |   CAST(150000 + SUM((m2.mass * 85) // (100 * d.deg)) AS BIGINT) AS mass
+         |  FROM e JOIN m2 ON e.a = m2.node JOIN d ON e.a = d.a GROUP BY e.b),
+         |dd AS (
+         | SELECT 1 AS round, abs(COALESCE(m1.mass, 150000) - COALESCE(m0.mass, 150000)) AS dm
+         |  FROM m0 FULL OUTER JOIN m1 USING (node)
+         | UNION ALL
+         | SELECT 2, abs(COALESCE(m2.mass, 150000) - COALESCE(m1.mass, 150000))
+         |  FROM m1 FULL OUTER JOIN m2 USING (node)
+         | UNION ALL
+         | SELECT 3, abs(COALESCE(m3.mass, 150000) - COALESCE(m2.mass, 150000))
+         |  FROM m2 FULL OUTER JOIN m3 USING (node))
+         |SELECT round, CAST(SUM(dm) AS BIGINT) AS sum_abs_delta,
+         | CAST(SUM(CASE WHEN dm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         |FROM dd GROUP BY round ORDER BY round""".stripMargin,
 
     "graph_khop" ->
       s"""WITH $EdgeCte,

@@ -72,6 +72,21 @@ class GraphQueriesSpec extends SparkSpec {
     assert(got == expected.toMap, s"engine $got != brute ${expected.toMap}")
   }
 
+  test("graph_pagerank_delta: three rounds, converging mass movement") {
+    val rows = GraphQueries.queries("graph_pagerank_delta")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("round"))
+    assert(rows.map(_.getAs[Int]("round")).toSeq == Seq(1, 2, 3))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sum_abs_delta") >= 0L)
+      assert(r.getAs[Long]("n_moved") >= 0L)
+    }
+    // round 1 moves the most mass (uniform init is far from the rank);
+    // a converging loop never moves MORE total mass later than at start
+    val d = rows.map(_.getAs[Long]("sum_abs_delta"))
+    assert(d.head >= d.last,
+      s"mass movement grew over the loop: ${d.toSeq} — divergence, not convergence")
+  }
+
   test("graph_degree_dist conserves nodes and edge endpoints") {
     val dist = GraphQueries.queries("graph_degree_dist")(spark, sfDir).collect()
     val nNodes = dist.map(_.getAs[Long]("n_nodes")).sum
