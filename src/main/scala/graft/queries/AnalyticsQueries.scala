@@ -39,6 +39,7 @@ object AnalyticsQueries {
     "an_basket_pairs" -> anBasketPairs,
     "an_attribution" -> anAttribution,
     "an_stickiness" -> anStickiness,
+    "an_new_vs_returning" -> anNewVsReturning,
     "qa_null_profile" -> qaNullProfile
   )
 
@@ -128,6 +129,26 @@ object AnalyticsQueries {
         expr("CAST((CAST(sum_dau AS DECIMAL(38,0)) * 1000000) div (mau * n_days) AS BIGINT)")
           .as("stickiness_ppm"))
       .orderBy($"mo")
+  }
+
+  /** Daily acquisition split — each day's actives divided into NEW
+    * (first-ever-seen that day) and RETURNING: the growth-accounting
+    * ledger every DAU chart decomposes into. Grain drops to (user, day)
+    * first; the user's first day is a per-user min re-joined on the same
+    * key (co-partitioned, [[anRetention]]'s shape), so the split is one
+    * conditional aggregate over the day grain. New-user total ≡ distinct
+    * users, spec-pinned. */
+  private val anNewVsReturning: Q = (s, dir) => {
+    import s.implicits._
+    val ud = Tables(s, dir, "events")
+      .select($"user_id", $"ts".cast("date").as("day"))
+      .distinct()
+    val first = ud.groupBy($"user_id").agg(min($"day").as("first_day"))
+    ud.join(first, "user_id")
+      .groupBy($"day")
+      .agg(sum(when($"day" === $"first_day", 1L).otherwise(0L)).as("n_new"),
+        sum(when($"day" =!= $"first_day", 1L).otherwise(0L)).as("n_returning"))
+      .orderBy($"day")
   }
 
   /** Column-level data profile of the orders table — the dbt-docs /
@@ -664,6 +685,15 @@ object AnalyticsQueries {
         | CAST((CAST(sum_dau AS HUGEINT) * 1000000) // (mau * n_days) AS BIGINT)
         |   AS stickiness_ppm
         |FROM d JOIN m ON d.mo = m.mo ORDER BY d.mo""".stripMargin,
+
+    "an_new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id)
+        |SELECT day,
+        | CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        | CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+        |FROM ud JOIN f USING (user_id)
+        |GROUP BY day ORDER BY day""".stripMargin,
 
     "qa_null_profile" ->
       """WITH a AS (SELECT COUNT(*) AS n_rows,

@@ -27,8 +27,34 @@ object TimeSeriesQueries {
     "ts_streaks" -> tsStreaks,
     "ts_peak_concurrency" -> tsPeakConcurrency,
     "ts_forecast_naive" -> tsForecastNaive,
-    "ts_acf_lag7" -> tsAcfLag7
+    "ts_acf_lag7" -> tsAcfLag7,
+    "ts_session_stats" -> tsSessionStats
   )
+
+  /** Session depth/duration profile — the engagement histogram next to
+    * [[tsPeakConcurrency]]'s load profile, built from the SAME 30-min-gap
+    * sessions: sessions bucketed by event depth (capped at 10+), each
+    * bucket carrying count, exact summed duration-µs and the max. Output
+    * is ≤10 rows at any corpus size; the work is the one user-keyed
+    * window pass the gap sessionization always costs. */
+  private val tsSessionStats: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wUser = Window.partitionBy($"user_id").orderBy($"tus")
+    Tables(s, dir, "events")
+      .select($"user_id", expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tus"))
+      .withColumn("prev", lag($"tus", 1).over(wUser))
+      .withColumn("news",
+        ($"prev".isNull || $"tus" - $"prev" > GapUs).cast("long"))
+      .withColumn("sid", sum($"news").over(wUser))
+      .groupBy($"user_id", $"sid")
+      .agg(count(lit(1)).as("depth"), (max($"tus") - min($"tus")).as("dur_us"))
+      .groupBy(least($"depth", lit(10L)).as("depth_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($"dur_us").as("sum_duration_us"),
+        max($"dur_us").as("max_duration_us"))
+      .orderBy($"depth_bucket")
+  }
 
   /** Seasonal-naive forecast backtest — the baseline every demand model
     * must beat: predict day d with day d−7, score on exact integer cents
@@ -248,6 +274,23 @@ object TimeSeriesQueries {
          | FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          |SELECT user_id, n_events, ewma_x FROM e
          |WHERE rn = n_events ORDER BY user_id""".stripMargin,
+
+    "ts_session_stats" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |s1 AS (SELECT user_id, tus,
+        |  LAG(tus, 1) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+        | FROM ev),
+        |s2 AS (SELECT user_id, tus,
+        |  SUM(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY tus) AS sid
+        | FROM s1),
+        |sess AS (SELECT user_id, sid, COUNT(*) AS depth,
+        |  MAX(tus) - MIN(tus) AS dur_us FROM s2 GROUP BY 1, 2)
+        |SELECT LEAST(depth, 10) AS depth_bucket, COUNT(*) AS n_sessions,
+        | CAST(SUM(dur_us) AS BIGINT) AS sum_duration_us,
+        | CAST(MAX(dur_us) AS BIGINT) AS max_duration_us
+        |FROM sess GROUP BY 1 ORDER BY depth_bucket""".stripMargin,
 
     "ts_forecast_naive" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,

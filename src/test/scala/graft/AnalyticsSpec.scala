@@ -232,6 +232,20 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("an_new_vs_returning: new users sum to the user population") {
+    val rows = AnalyticsQueries.queries("an_new_vs_returning")(spark, sfDir).collect()
+    val nUsers = Tables(spark, sfDir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum == nUsers,
+      "every user must be new exactly once")
+    assert(rows.head.getAs[Long]("n_returning") == 0L,
+      "nobody can return on the first day of history")
+    val userDays = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("ts").cast("date")).distinct().count()
+    assert(rows.map(r => r.getAs[Long]("n_new") + r.getAs[Long]("n_returning")).sum
+      == userDays, "split must conserve user-days")
+  }
+
   test("qa_null_profile: distinct+null bounds hold and the PK profile is exact") {
     val rows = AnalyticsQueries.queries("qa_null_profile")(spark, sfDir).collect()
     assert(rows.length == 6)

@@ -154,6 +154,28 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ts_session_stats: buckets partition the sweep's session set") {
+    val rows = TimeSeriesQueries.queries("ts_session_stats")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val b = r.getAs[Long]("depth_bucket")
+      assert(b >= 1L && b <= 10L)
+      assert(r.getAs[Long]("max_duration_us") <= r.getAs[Long]("sum_duration_us")
+        || r.getAs[Long]("n_sessions") == 1L)
+      // a depth-1 session spans one instant: zero duration
+      if (b == 1L) assert(r.getAs[Long]("sum_duration_us") == 0L)
+    }
+    // total session count must equal the brute-force sweep's session count
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id"), expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val gap = 30L * 60 * 1000000
+    val nSessions = ev.groupBy(_._1).values.map { rs =>
+      val ts = rs.map(_._2).sorted
+      1 + ts.zip(ts.tail).count { case (a, b) => b - a > gap }
+    }.sum
+    assert(rows.map(_.getAs[Long]("n_sessions")).sum == nSessions.toLong)
+  }
+
   test("ts_cusum picks the max |deviation| day and it is never the last day") {
     val rows = TimeSeriesQueries.queries("ts_cusum")(spark, sfDir).collect()
     val types = Tables(spark, sfDir, "events")
