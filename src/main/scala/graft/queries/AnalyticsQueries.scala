@@ -40,6 +40,7 @@ object AnalyticsQueries {
     "an_attribution" -> anAttribution,
     "an_stickiness" -> anStickiness,
     "an_new_vs_returning" -> anNewVsReturning,
+    "an_gini" -> anGini,
     "qa_null_profile" -> qaNullProfile
   )
 
@@ -129,6 +130,31 @@ object AnalyticsQueries {
         expr("CAST((CAST(sum_dau AS DECIMAL(38,0)) * 1000000) div (mau * n_days) AS BIGINT)")
           .as("stickiness_ppm"))
       .orderBy($"mo")
+  }
+
+  /** Gini coefficient of customer spend — [[anPareto]]'s single-number
+    * summary, exact: with spend ranked ascending (ties broken by
+    * custkey), G = Σᵢ(2i−n−1)·xᵢ / (n·Σx). Both numerator and
+    * denominator ride as exact integers (the numerator is non-negative
+    * under ascending rank, so the widened floor-ppm is engine-safe), and
+    * the rank runs on the customer SUMMARY with the same
+    * counting-histogram escape hatch an_rfm documents. */
+  private val anGini: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val w = Window.orderBy($"cents".asc, $"o_custkey".asc)
+    per
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"cents").as("total_cents"),
+        sum(expr("(2 * CAST(i AS DECIMAL(38,0)) - 1) * cents")).as("wsum"))
+      .select($"n_customers", $"total_cents",
+        expr("""CAST(((wsum - CAST(n_customers AS DECIMAL(38,0)) * total_cents)
+              |  * 1000000) div (CAST(n_customers AS DECIMAL(38,0)) * total_cents)
+              |  AS BIGINT)""".stripMargin).as("gini_ppm"))
   }
 
   /** Daily acquisition split — each day's actives divided into NEW
@@ -685,6 +711,22 @@ object AnalyticsQueries {
         | CAST((CAST(sum_dau AS HUGEINT) * 1000000) // (mau * n_days) AS BIGINT)
         |   AS stickiness_ppm
         |FROM d JOIN m ON d.mo = m.mo ORDER BY d.mo""".stripMargin,
+
+    "an_gini" ->
+      """WITH per AS (SELECT o_custkey,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM orders GROUP BY o_custkey),
+        |r AS (SELECT cents,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY cents ASC, o_custkey ASC) AS BIGINT) AS i
+        | FROM per),
+        |a AS (SELECT COUNT(*) AS n_customers,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |  SUM((2 * CAST(i AS HUGEINT) - 1) * cents) AS wsum
+        | FROM r)
+        |SELECT n_customers, total_cents,
+        | CAST(((wsum - CAST(n_customers AS HUGEINT) * total_cents) * 1000000)
+        |   // (CAST(n_customers AS HUGEINT) * total_cents) AS BIGINT) AS gini_ppm
+        |FROM a""".stripMargin,
 
     "an_new_vs_returning" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

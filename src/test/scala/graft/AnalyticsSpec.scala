@@ -246,6 +246,24 @@ class AnalyticsSpec extends SparkSpec {
       == userDays, "split must conserve user-days")
   }
 
+  test("an_gini matches a BigInt replay and sits in [0, 1e6)") {
+    val r = AnalyticsQueries.queries("an_gini")(spark, sfDir).head()
+    val gini = r.getAs[Long]("gini_ppm")
+    assert(gini >= 0L && gini < 1000000L, s"gini $gini outside [0, 1e6)")
+    // replay with the exact engine ordering: (cents asc, custkey asc)
+    val ordered = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("c"))
+      .collect().map(x => (x.getLong(1), x.getLong(0)))
+      .sortBy(identity).map(_._1)
+    val n = BigInt(ordered.length)
+    val s2 = ordered.map(BigInt(_)).sum
+    val w = ordered.zipWithIndex.map { case (x, i) =>
+      (2 * BigInt(i + 1) - 1 - n) * x }.sum
+    val expected = (w * 1000000) / (n * s2)
+    assert(BigInt(gini) == expected, s"engine $gini != replay $expected")
+  }
+
   test("qa_null_profile: distinct+null bounds hold and the PK profile is exact") {
     val rows = AnalyticsQueries.queries("qa_null_profile")(spark, sfDir).collect()
     assert(rows.length == 6)
