@@ -272,6 +272,21 @@ class PlanAssertionsSpec extends SparkSpec {
       s"khop must never cross-join:\n$plan")
   }
 
+  test("new-family scans prune to exactly the touched columns") {
+    // events is 6 columns incl. a wide JSON props payload; lineitem is 16.
+    // A scan that drags the untouched columns through a 100 TB shuffle is
+    // the quiet way these keys would die at scale.
+    val funnel = planOf("an_funnel")
+    assert(!funnel.contains("props") && !funnel.contains("value"),
+      s"an_funnel reads columns it never touches:\n$funnel")
+    val basket = planOf("an_basket_pairs")
+    assert(!basket.contains("l_comment") && !basket.contains("l_quantity"),
+      s"an_basket_pairs drags untouched lineitem columns:\n$basket")
+    assert(basket.contains("PushedFilters: [IsNotNull(l_orderkey)")
+      || basket.contains("IsNotNull(l_orderkey)"),
+      s"basket join keys lost their pushed not-null filters:\n$basket")
+  }
+
   test("an_abtest: single-row readout is one aggregate pass, no join") {
     val plan = planOf("an_abtest")
     assert(!plan.contains("Join"), s"abtest readout must not join:\n$plan")
