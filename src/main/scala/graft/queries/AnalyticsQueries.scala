@@ -41,8 +41,31 @@ object AnalyticsQueries {
     "an_stickiness" -> anStickiness,
     "an_new_vs_returning" -> anNewVsReturning,
     "an_gini" -> anGini,
-    "qa_null_profile" -> qaNullProfile
+    "qa_null_profile" -> qaNullProfile,
+    "qa_key_skew" -> qaKeySkew
   )
+
+  /** Shuffle-key skew profile — the "does this key need salting?"
+    * diagnostic that pairs with j_salted (the cure) and graph_degree_dist
+    * (the graph-side signal): lineitem's join key hashed into 32
+    * engine-replayable buckets (md5-based, NOT Spark's internal hash, so
+    * DuckDB lands every row in the same bucket), each bucket flagged when
+    * it exceeds 2× the mean by exact cross-multiplication
+    * (bucket·32 > 2·total). One conditional aggregate; 32 output rows at
+    * any corpus size. A hot key shows as a flagged bucket long before it
+    * shows as a straggling task. */
+  private val qaKeySkew: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables(s, dir, "lineitem")
+      .select(pmod(graft.functions.Vectors.hash60(
+        concat(lit("skew_"), $"l_suppkey".cast("string"))), lit(32)).as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n_rows"))
+    b.withColumn("total", sum($"n_rows").over(Window.partitionBy()))
+      .select($"bucket", $"n_rows",
+        ($"n_rows" * 32 > $"total" * 2).as("hot"))
+      .orderBy($"bucket")
+  }
 
   /** Market-basket co-occurrence — the top-20 part pairs bought together
     * in one order, with each part's own support riding along (the inputs
@@ -711,6 +734,15 @@ object AnalyticsQueries {
         | CAST((CAST(sum_dau AS HUGEINT) * 1000000) // (mau * n_days) AS BIGINT)
         |   AS stickiness_ppm
         |FROM d JOIN m ON d.mo = m.mo ORDER BY d.mo""".stripMargin,
+
+    "qa_key_skew" ->
+      """WITH b AS (SELECT
+        |  CAST(CONCAT('0x', SUBSTR(md5(CONCAT('skew_', CAST(l_suppkey AS VARCHAR))),1,15)) AS BIGINT) % 32 AS bucket
+        | FROM lineitem),
+        |g AS (SELECT bucket, COUNT(*) AS n_rows FROM b GROUP BY bucket),
+        |t AS (SELECT *, SUM(n_rows) OVER () AS total FROM g)
+        |SELECT bucket, n_rows, n_rows * 32 > total * 2 AS hot
+        |FROM t ORDER BY bucket""".stripMargin,
 
     "an_gini" ->
       """WITH per AS (SELECT o_custkey,

@@ -246,6 +246,19 @@ class AnalyticsSpec extends SparkSpec {
       == userDays, "split must conserve user-days")
   }
 
+  test("qa_key_skew: buckets conserve rows and the 2x-mean flag is exact") {
+    val rows = AnalyticsQueries.queries("qa_key_skew")(spark, sfDir).collect()
+    assert(rows.length <= 32 && rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    val liCount = Tables(spark, sfDir, "lineitem").count()
+    assert(total == liCount, s"bucket total $total != lineitem rows $liCount")
+    rows.foreach { r =>
+      val expected = r.getAs[Long]("n_rows") * 32 > total * 2
+      assert(r.getAs[Boolean]("hot") == expected,
+        s"bucket ${r.getAs[Long]("bucket")} flag mismatch")
+    }
+  }
+
   test("an_gini matches a BigInt replay and sits in [0, 1e6)") {
     val r = AnalyticsQueries.queries("an_gini")(spark, sfDir).head()
     val gini = r.getAs[Long]("gini_ppm")
