@@ -232,9 +232,12 @@ object AnalyticsQueries {
     *
     *   10000·N·(c₁n₂ − c₂n₁)² > 38416·C·(N−C)·n₁·n₂
     *
-    * (C = c₁+c₂, N = n₁+n₂) — both sides DECIMAL(38,0)/HUGEINT, exact up
-    * to ~3·10¹⁰ users per arm, far past any realistic experiment. One
-    * shuffle to user grain, then a single conditional-aggregate row. */
+    * (C = c₁+c₂, N = n₁+n₂) — both sides DECIMAL(38,0)/HUGEINT. The RHS
+    * scales ~N⁴/16 (and the LHS can reach ~N³), so 38-digit precision
+    * holds to ~10⁸ users per arm in the worst case — still past any
+    * realistic experiment, and under ANSI mode an overflow ERRORS rather
+    * than silently mis-deciding. One shuffle to user grain, then a single
+    * conditional-aggregate row. */
   private val anAbtest: Q = (s, dir) => {
     import s.implicits._
     val users = Tables(s, dir, "events")

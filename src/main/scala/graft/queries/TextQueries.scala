@@ -334,8 +334,9 @@ object TextQueries {
   /** COUNT-MIN SKETCH frequency estimation — the fixed-memory complement
     * to the Misra–Gries pass ([[textHeavyHitters]] answers "which tokens
     * are frequent"; this answers "how frequent is ANY token" from d·w
-    * counters). The sketch is d=3 rows × w=512 md5-derived buckets built
-    * in ONE hash aggregate whose state is bounded at 1536 cells no matter
+    * counters). The sketch is d=[[CmsD]] rows × w=[[CmsW]] hash-derived
+    * buckets (3×32 = 96 cells here; see the sizing note above) built in
+    * ONE hash aggregate whose state is bounded at d·w cells no matter
     * the corpus (each token instance increments one bucket per row;
     * partial aggregation combines map-side). Estimates are
     * min_i(row_i[bucket_i(tok)]) via d broadcast joins of the tiny sketch
