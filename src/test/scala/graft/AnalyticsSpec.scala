@@ -199,6 +199,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(sup.head == counts.values.max, "top support != brute-force max")
   }
 
+  test("an_basket_pairs_topk: certified prefix equals the exact top-20") {
+    // At this sf the certification bound n/(K+1) < 1, so EVERY pair
+    // certifies and the bounded-state path must reproduce the exact
+    // key's full top-20 bit-for-bit (support ties included — MG
+    // completeness covers every tie at the boundary).
+    val exact = AnalyticsQueries.queries("an_basket_pairs")(spark, sfDir).collect()
+    val topk = AnalyticsQueries.queries("an_basket_pairs_topk")(spark, sfDir).collect()
+    assert(topk.nonEmpty, "no certified pairs at test sf")
+    assert(topk.length <= exact.length)
+    topk.zip(exact).foreach { case (a, b) =>
+      assert(a == b, s"certified prefix diverged: $a vs $b")
+    }
+    // the certified set is a PREFIX of the exact ranking: if fewer than
+    // 20 rows certify, they must be the first rows of the exact top-20
+    assert(topk.length == exact.length || topk.length < 20)
+  }
+
   test("an_attribution: floor-split credit conserves purchase mass") {
     val rows = AnalyticsQueries.queries("an_attribution")(spark, sfDir).collect()
     assert(rows.nonEmpty)
