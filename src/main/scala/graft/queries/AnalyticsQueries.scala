@@ -33,6 +33,7 @@ object AnalyticsQueries {
     "an_markov" -> anMarkov,
     "a_mode" -> aMode,
     "an_rfm" -> anRfm,
+    "an_rfm_hist" -> anRfmHist,
     "an_pareto" -> anPareto,
     "an_cohort_ltv" -> anCohortLtv,
     "an_abtest" -> anAbtest,
@@ -492,10 +493,9 @@ object AnalyticsQueries {
     * ntile(4) with a FULL deterministic order (metric, custkey) so bucket
     * edges are rerun- and engine-stable. The ntiles sort the CUSTOMER
     * summary, not the fact table — 4-5 orders of magnitude smaller than the
-    * orders it summarizes; were the dimension itself 100 TB-scale, the
-    * counting-histogram rank construction (layout_range_bounds /
-    * a_median_hist) replaces the sort. Output is the 64-cell segment
-    * matrix. */
+    * orders it summarizes; for a fact-scale dimension [[anRfmHist]] is the
+    * shipped counting-histogram path (hash-identical output, no global
+    * range-sort). Output is the 64-cell segment matrix. */
   private val anRfm: Q = (s, dir) => {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -508,6 +508,94 @@ object AnalyticsQueries {
       .withColumn("r_q", ntile(4).over(Window.orderBy($"last_dt".desc, $"o_custkey")))
       .withColumn("f_q", ntile(4).over(Window.orderBy($"freq".desc, $"o_custkey")))
       .withColumn("m_q", ntile(4).over(Window.orderBy($"cents".desc, $"o_custkey")))
+      .groupBy($"r_q", $"f_q", $"m_q")
+      .agg(count(lit(1)).as("n_customers"), sum($"cents").as("sum_cents"))
+      .orderBy($"r_q", $"f_q", $"m_q")
+  }
+
+  /** Exact ntile(4) over ascending (v, ck) WITHOUT a global range-sort —
+    * the counting-sort rank construction a_median_hist /
+    * train_curriculum_order proved, composed for BOTH domain regimes:
+    *
+    * Level A (fine domains, e.g. near-unique money totals): the value
+    * HISTOGRAM gets the two-level prefix sum — per-block subtotals
+    * (v div 2²⁰) cumulated in a tiny global window (block count =
+    * domain/2²⁰, driver-scale), then within-block cumulation partitioned
+    * by block. No task ever scans more than one block's cells.
+    *
+    * Level B (coarse domains, e.g. a ≤30-value order count, where one
+    * value's tie group is n/30 rows): within-value rank over ck is
+    * itself ck-BLOCKED — row_number partitioned by (v, ck-block) plus
+    * per-value block offsets from a (v, ckblk) count cumulated over the
+    * ≤domain/2²⁰ blocks of each value. A hot value parallelizes across
+    * its ck blocks instead of serializing through one task.
+    *
+    * rank = (#rows with v' < v) + within-value ck rank, then the exact
+    * ntile bucket formula (first n mod 4 buckets get ⌈n/4⌉) — bit-equal
+    * to `ntile(4) OVER (ORDER BY v, ck)` at any scale, with every
+    * window partitioned by a blocked key. `div` truncation on a negated
+    * v is monotone non-decreasing, which is all block ordering needs
+    * (blocks need not be equal-width around zero). */
+  private def histNtile4(d: DataFrame, n: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 4, s"histNtile4 needs >= 4 rows, got $n")
+    val blkW = 1L << 20
+    val hist = d.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("blk", expr(s"v div $blkW"))
+    val wBlkAll = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkOff = hist.groupBy(col("blk")).agg(sum(col("c")).as("bc"))
+      .withColumn("boff", coalesce(sum(col("bc")).over(wBlkAll), lit(0L)))
+      .select(col("blk"), col("boff"))
+    val wInBlk = Window.partitionBy(col("blk")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val less = hist.join(broadcast(blkOff), "blk")
+      .withColumn("nless", col("boff") + coalesce(sum(col("c")).over(wInBlk), lit(0L)))
+      .select(col("v"), col("nless"))
+    val ckb = d.withColumn("ckblk", expr(s"ck div $blkW"))
+    val wCkOff = Window.partitionBy(col("v")).orderBy(col("ckblk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ckOff = ckb.groupBy(col("v"), col("ckblk")).agg(count(lit(1)).as("cc"))
+      .withColumn("ckoff", coalesce(sum(col("cc")).over(wCkOff), lit(0L)))
+      .select(col("v"), col("ckblk"), col("ckoff"))
+    val wRn = Window.partitionBy(col("v"), col("ckblk")).orderBy(col("ck"))
+    val base = n / 4
+    val r = n % 4
+    ckb.join(ckOff, Seq("v", "ckblk"))
+      .withColumn("rin", col("ckoff") + row_number().over(wRn).cast("long"))
+      .join(less, "v")
+      .withColumn("rank", col("nless") + col("rin"))
+      .withColumn("q", expr(
+        s"""CASE WHEN rank <= ${r * (base + 1)}
+           | THEN (rank - 1) div ${base + 1} + 1
+           | ELSE $r + (rank - ${r * (base + 1)} - 1) div $base + 1
+           |END""".stripMargin).cast("int"))
+      .select(col("ck"), col("q"))
+  }
+
+  /** RFM segmentation at FACT-SCALE dimensions — [[anRfm]]'s output
+    * (hash-identical 64-cell matrix; the oracle replays ntile) with the
+    * three global ntile range-sorts replaced by [[histNtile4]] counting
+    * ranks (VERDICT r10 #3). ntile's (metric DESC, custkey) order maps to
+    * ascending (−metric, custkey); recency negates epoch-micros. The only
+    * range-sort in the plan is the 64-row presentation orderBy —
+    * plan-asserted, same contract as train_curriculum_order. */
+  private val anRfmHist: Q = (s, dir) => {
+    import s.implicits._
+    val per = Tables(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last_dt"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .persist()
+    val n = per.count()
+    def dim(v: org.apache.spark.sql.Column, as: String): DataFrame =
+      histNtile4(per.select($"o_custkey".as("ck"), v.as("v")), n)
+        .select($"ck".as("o_custkey"), $"q".as(as))
+    per
+      .join(dim(-unix_micros($"last_dt".cast("timestamp")), "r_q"), "o_custkey")
+      .join(dim(-$"freq", "f_q"), "o_custkey")
+      .join(dim(-$"cents", "m_q"), "o_custkey")
       .groupBy($"r_q", $"f_q", $"m_q")
       .agg(count(lit(1)).as("n_customers"), sum($"cents").as("sum_cents"))
       .orderBy($"r_q", $"f_q", $"m_q")
@@ -984,6 +1072,23 @@ object AnalyticsQueries {
         |  ntile(4) OVER (ORDER BY last_dt DESC, o_custkey) AS r_q,
         |  ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
         |  ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS m_q
+        | FROM per)
+        |SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+        | CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin,
+
+    // the histogram path must reproduce ntile bit-for-bit: the oracle IS
+    // the ntile replay (identical to an_rfm's, INT-cast to match Spark's
+    // ntile output type)
+    "an_rfm_hist" ->
+      """WITH per AS (SELECT o_custkey, MAX(o_orderdate) AS last_dt,
+        |  COUNT(*) AS freq,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM orders GROUP BY o_custkey),
+        |q AS (SELECT cents,
+        |  CAST(ntile(4) OVER (ORDER BY last_dt DESC, o_custkey) AS INT) AS r_q,
+        |  CAST(ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS INT) AS f_q,
+        |  CAST(ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS INT) AS m_q
         | FROM per)
         |SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
         | CAST(SUM(cents) AS BIGINT) AS sum_cents

@@ -199,6 +199,14 @@ class AnalyticsSpec extends SparkSpec {
     assert(sup.head == counts.values.max, "top support != brute-force max")
   }
 
+  test("an_rfm_hist: counting-rank segments hash-match ntile's") {
+    val exact = AnalyticsQueries.queries("an_rfm")(spark, sfDir).collect()
+    val hist = AnalyticsQueries.queries("an_rfm_hist")(spark, sfDir).collect()
+    assert(hist.nonEmpty)
+    assert(hist.toSeq == exact.toSeq,
+      "histogram quartiles diverged from ntile quartiles")
+  }
+
   test("an_basket_pairs_topk: certified prefix equals the exact top-20") {
     // At this sf the certification bound n/(K+1) < 1, so EVERY pair
     // certifies and the bounded-state path must reproduce the exact

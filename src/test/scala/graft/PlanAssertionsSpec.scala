@@ -197,6 +197,14 @@ class PlanAssertionsSpec extends SparkSpec {
       s"within-score rank must hash-partition by score:\n$plan")
   }
 
+  test("an_rfm_hist: no global range-sort beyond the presentation orderBy") {
+    val plan = planOf("an_rfm_hist")
+    // three ntile range-sorts replaced by counting ranks: the only
+    // rangepartitioning exchange left is the 64-row presentation sort
+    assert(countOf(plan, "Exchange rangepartitioning") === 1,
+      s"histogram quartiles must not range-sort the dimension:\n$plan")
+  }
+
   test("dynamic partition pruning fires on a partitioned fact joined to a filtered dim") {
     // The 100 TB idiom: facts land partitioned by a low-cardinality key
     // (here o_orderstatus); a selective dim-side filter must prune fact
