@@ -55,6 +55,7 @@ object RelationalQueries {
     "st_stream_parity" -> stStreamParity,
     "st_stream_dedup" -> stStreamDedup,
     "st_stream_session" -> stStreamSession,
+    "st_stream_session_ooo" -> stStreamSessionOoo,
     "st_stream_enrich" -> stStreamEnrich,
     "st_stream_join" -> stStreamJoin,
     "st_stream_left_join" -> stStreamLeftJoin,
@@ -674,6 +675,87 @@ object RelationalQueries {
       .orderBy($"user_id", $"session_start_ms")
   }
 
+  /** STREAMING sessionization under genuinely OUT-OF-ORDER multi-batch
+    * arrival (VERDICT r10 #5) — the key that grades the sibling-straggler
+    * emission contract end to end through the REAL engine, not a
+    * MemoryStream spec. The events table is split into a TWO-FILE source
+    * drained batch-by-batch (`maxFilesPerTrigger=1`; file mtimes pin the
+    * order): file 2 holds planted cross-batch stragglers — events BEHIND
+    * file 1's frontier (so batch 2 delivers them out of order) but ahead
+    * of batch 1's watermark (so none are late-dropped).
+    *
+    * The construction is chosen so the drain PROVABLY equals the global
+    * replay (same oracle as st_stream_session): stragglers are odd-hash
+    * users' events in the middle band (M−55 min, M−25 min], and a user
+    * with any event in the bridge-guard band (M−85 min, M−55 min] is
+    * ineligible. The guard is what makes it sound — a straggler B can
+    * bridge two batch-1 sessions only if some earlier session ends within
+    * gap (30 min) of B, i.e. after M−85 min; excluding those users means
+    * every straggler lands either > gap after anything already emitted
+    * (consistent new/early session) or within gap of the user's still-OPEN
+    * trailing session (merged in state — the widening, early-chain, and
+    * chain-bridge paths of sessionizeCents, exactly the code the r10 fix
+    * hardened). Batch-1 emissions are therefore never contradicted, and
+    * the final watermark (M − lateness) is unchanged because eligible
+    * users' newest events stay in file 1. */
+  private val stStreamSessionOoo: Q = (s0, dir) => {
+    val s = streamSession(s0)
+    import s.implicits._
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ev0 =
+      (if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw).withColumn("ts", col("ts").cast("timestamp"))
+    val withMs = ev0.select($"ts", $"user_id",
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+      expr("unix_millis(ts)").as("tms"))
+    val m = withMs.agg(max($"tms")).head().getLong(0)
+    val (guardLo, guardHi, midHi) =
+      (m - 85 * 60000L, m - 55 * 60000L, m - 25 * 60000L)
+    val eligible = withMs.groupBy($"user_id")
+      .agg(max(when($"tms" > guardLo && $"tms" <= guardHi, 1).otherwise(0))
+        .as("has_guard"))
+      .filter($"has_guard" === 0 &&
+        pmod(graft.functions.Vectors.hash60(
+          concat(lit("ooo_"), $"user_id".cast("string"))), lit(2)) === 1)
+      .select($"user_id")
+    val flagged = withMs.join(broadcast(eligible.withColumn("elig", lit(true))),
+        Seq("user_id"), "left")
+      .withColumn("straggler",
+        coalesce($"elig", lit(false)) && $"tms" > guardHi && $"tms" <= midHi)
+      .select($"ts", $"user_id", $"cents", $"straggler")
+    val root = java.nio.file.Files.createTempDirectory("st_ooo")
+    deleteRecursivelyOnExit(root)
+    val src = root.resolve("src")
+    java.nio.file.Files.createDirectory(src)
+    def writeBatchFile(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = root.resolve(name + "_tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = src.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis()
+    writeBatchFile(flagged.filter(!$"straggler").drop("straggler"), "b1.parquet", t0 - 60000)
+    writeBatchFile(flagged.filter($"straggler").drop("straggler"), "b2.parquet", t0)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cents",
+        org.apache.spark.sql.types.LongType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .as[graft.streaming.Streams.EventC]
+    val sess = graft.streaming.Streams.sessionizeCents(stream,
+      gapMs = 30 * 60 * 1000L, latenessMs = 60 * 60 * 1000L)
+    drainToTable(s, sess.toDF(), "st_stream_session_ooo", "append")
+      .orderBy($"user_id", $"session_start_ms")
+  }
+
   /** STREAMING stream-static enrichment — [[graft.streaming.Streams
     * .enrichWithDim]] through the REAL engine: the events file-stream
     * left-joins the customer dimension (re-read and BROADCAST per
@@ -886,6 +968,30 @@ object RelationalQueries {
   // ---------------------------------------------------------------------
   // DuckDB oracles — identical column names + ORDER BY as the Spark side.
   // ---------------------------------------------------------------------
+
+  private val SessionReplaySql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms,
+      |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+      |marks AS (SELECT user_id, tms, cents,
+      |  CASE WHEN lag(tms) OVER w IS NULL
+      |       OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+      | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+      |sess AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms
+      |                                    ROWS UNBOUNDED PRECEDING) AS sid
+      | FROM marks),
+      |agg AS (SELECT user_id, sid, MIN(tms) AS session_start_ms,
+      |         MAX(tms) AS session_end_ms,
+      |         COUNT(*) AS n_events,
+      |         CAST(SUM(cents) AS BIGINT) AS total_cents
+      |        FROM sess GROUP BY user_id, sid),
+      |lastsid AS (SELECT user_id, MAX(sid) AS max_sid FROM agg GROUP BY user_id),
+      |wm AS (SELECT MAX(epoch_ms(ts)) - 3600000 AS w FROM events)
+      |SELECT a.user_id, a.session_start_ms, a.session_end_ms,
+      | a.n_events, a.total_cents
+      |FROM agg a JOIN lastsid l ON a.user_id = l.user_id, wm
+      |WHERE a.sid < l.max_sid OR a.session_end_ms + 1800000 < wm.w
+      |ORDER BY a.user_id, a.session_start_ms""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1127,28 +1233,11 @@ object RelationalQueries {
     // whose timeout (end + gap) fell strictly behind the final watermark
     // (max event ms − lateness). Gap 30 min, lateness 60 min, all in the
     // same epoch-ms floor the engine's event-time bookkeeping uses.
-    "st_stream_session" ->
-      """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms,
-        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
-        |marks AS (SELECT user_id, tms, cents,
-        |  CASE WHEN lag(tms) OVER w IS NULL
-        |       OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
-        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
-        |sess AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms
-        |                                    ROWS UNBOUNDED PRECEDING) AS sid
-        | FROM marks),
-        |agg AS (SELECT user_id, sid, MIN(tms) AS session_start_ms,
-        |         MAX(tms) AS session_end_ms,
-        |         COUNT(*) AS n_events,
-        |         CAST(SUM(cents) AS BIGINT) AS total_cents
-        |        FROM sess GROUP BY user_id, sid),
-        |lastsid AS (SELECT user_id, MAX(sid) AS max_sid FROM agg GROUP BY user_id),
-        |wm AS (SELECT MAX(epoch_ms(ts)) - 3600000 AS w FROM events)
-        |SELECT a.user_id, a.session_start_ms, a.session_end_ms,
-        | a.n_events, a.total_cents
-        |FROM agg a JOIN lastsid l ON a.user_id = l.user_id, wm
-        |WHERE a.sid < l.max_sid OR a.session_end_ms + 1800000 < wm.w
-        |ORDER BY a.user_id, a.session_start_ms""".stripMargin,
+    // Shared with st_stream_session_ooo: its guard-band construction
+    // PROVES the multi-batch out-of-order drain emits the identical set,
+    // so both keys grade against the same globally-sorted replay.
+    "st_stream_session" -> SessionReplaySql,
+    "st_stream_session_ooo" -> SessionReplaySql,
 
     // batch replay of the per-micro-batch broadcast enrichment drain
     "st_stream_enrich" ->

@@ -105,10 +105,23 @@ object ScaleGen {
   }
 
   /** lineitem fans out of orders: Poisson(3)+1 lines (driver mean 4.08,
-    * max 17), part/supplier uniform, ship date ≤ ~95 days after order. */
-  def lineitem(orders: DataFrame, seed: Long, nParts: Long, nSuppliers: Long): DataFrame = {
+    * max 17), part/supplier uniform, ship date ≤ ~95 days after order.
+    * `hubSupp` (the `hub` mode) sends HALF of all lines to supplier 0
+    * (rest uniform) — the planted hot join key graph_pagerank_salted's
+    * decade evidence needs. The skew must be this extreme to matter: a
+    * hot key only drowns a reducer when its edge rows exceed the
+    * per-partition share, and a node's degree is capped by the opposite
+    * side's cardinality — a measured Zipf(1) supplier pick (~11% head)
+    * stays under 1/64 of the edges at this fan-out, hot in degree terms
+    * but below capacity in reducer terms. */
+  def lineitem(orders: DataFrame, seed: Long, nParts: Long, nSuppliers: Long,
+      hubSupp: Boolean = false): DataFrame = {
     val ok = col("l_orderkey")
     val ln = col("l_linenumber")
+    val suppPick =
+      if (hubSupp) when(u01(lit(seed + 7919), ok, ln) < 0.5, lit(0L))
+        .otherwise(pick(nSuppliers, lit(seed + 2), ok, ln))
+      else pick(nSuppliers, lit(seed + 2), ok, ln)
     orders.select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"),
         (DataGen.poisson(col("o_orderkey"), 3.0, seed, maxK = 20) + 1).as("__n"))
       .select(ok, col("o_orderdate"),
@@ -116,7 +129,7 @@ object ScaleGen {
       .withColumn("l_linenumber", col("__ln").cast("int"))
       .select(ok,
         pick(nParts, lit(seed + 1), ok, ln).as("l_partkey"),
-        pick(nSuppliers, lit(seed + 2), ok, ln).as("l_suppkey"),
+        suppPick.as("l_suppkey"),
         ln,
         (pick(50, lit(seed + 3), ok, ln) + 1).cast("double").as("l_quantity"),
         round((pick(50, lit(seed + 3), ok, ln) + 1).cast("double") *
@@ -257,12 +270,18 @@ object ScaleGen {
     val nPart = n(200000)
     val nSupp = n(10000)
     val docGen: (SparkSession, Long, Long) => DataFrame = vocabMode match {
-      case "fixed" => documents
+      case "fixed" | "hub" => documents
       case "zipf" => documentsZipf
       case other => throw new IllegalArgumentException(
-        s"vocab mode must be fixed|zipf, got '$other'")
+        s"mode must be fixed|zipf|hub, got '$other'")
     }
-    val ords = orders(spark, n(1500000), seed + 30, nCust)
+    // hub mode also SPARSIFIES the graph (1 order per customer instead of
+    // 10): with the default fan-out every node is below reducer capacity
+    // no matter how skewed the supplier pick — the planted hub only
+    // becomes a real straggler when edges-per-key can rival edges-per-
+    // partition.
+    val ords = orders(spark,
+      if (vocabMode == "hub") n(150000) else n(1500000), seed + 30, nCust)
     val tables: Seq[(String, DataFrame)] = Seq(
       "region" -> region(spark),
       "nation" -> nation(spark),
@@ -270,7 +289,8 @@ object ScaleGen {
       "customer" -> customer(spark, nCust, seed + 20),
       "part" -> part(spark, nPart, seed + 25),
       "orders" -> ords,
-      "lineitem" -> lineitem(ords, seed + 40, nPart, nSupp),
+      "lineitem" -> lineitem(ords, seed + 40, nPart, nSupp,
+        hubSupp = vocabMode == "hub"),
       // floor like n(): at tiny sf, nCust/10 = 0 would make pmod(hash, 0)
       // emit NULL user_ids and every user join silently empty
       "events" -> events(spark, n(1000000), seed + 50, math.max(1L, nCust / 10)),
@@ -284,7 +304,7 @@ object ScaleGen {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ScaleGen <outDir> <sf> [seed] [fixed|zipf] [table,table,...]")
+      "usage: ScaleGen <outDir> <sf> [seed] [fixed|zipf|hub] [table,table,...]")
     val spark = graft.GraftSession
       .builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

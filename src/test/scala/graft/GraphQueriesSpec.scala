@@ -30,6 +30,44 @@ class GraphQueriesSpec extends SparkSpec {
     assert(a == b, "two runs of the integer PageRank diverged")
   }
 
+  test("graph_pagerank_salted: bit-identical to the unsalted loop, here and on a planted hub") {
+    val plain = GraphQueries.queries("graph_pagerank")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val salted = GraphQueries.queries("graph_pagerank_salted")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(salted == plain, "salted ranks diverged on the uniform graph")
+    // planted hub (ScaleGen hub mode: sparse graph, half of all lines to
+    // supplier 0) — the graph where the capacity trigger actually fires
+    // and the hub share rows really replicate. The trigger compares hub
+    // degree against per-REDUCER capacity 2·|e|/P, so it is evaluated
+    // under the production partition width (32), not the 4-core test
+    // session's (where 4 fat reducers genuinely don't need salting and
+    // the trigger correctly stays off).
+    val dir = java.nio.file.Files.createTempDirectory("hubgraph").toString
+    graft.sources.ScaleGen.generate(spark, dir, 0.003, seed = 7,
+      vocabMode = "hub", only = Some(Set("orders", "lineitem")))
+    val s32 = spark.newSession()
+    s32.conf.set("spark.sql.shuffle.partitions", "32")
+    val p2 = GraphQueries.queries("graph_pagerank")(s32, dir)
+      .collect().map(_.toSeq).toSeq
+    val s2 = GraphQueries.queries("graph_pagerank_salted")(s32, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(s2 == p2, "salted ranks diverged on the planted-hub graph")
+    // the hub must actually be hot enough to engage the CAPACITY trigger —
+    // replicate the operator's own computation: degrees over the SYMMETRIC
+    // edge list, hub deg > 2·|e|/P
+    val e0 = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val deg = e0.select(col("a").as("n")).union(e0.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .agg(max(col("deg")).as("maxd"), sum(col("deg")).as("m"))
+      .head()
+    assert(deg.getLong(0) > math.max(32L, 2L * deg.getLong(1) / 32L),
+      "planted hub did not clear the salting trigger — test lost its point")
+  }
+
   test("graph_triangles equals a brute-force count on the collected edge set") {
     val got = GraphQueries.queries("graph_triangles")(spark, sfDir)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_triangles")).toMap

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, count, lit, min}
+import org.apache.spark.sql.functions.{col, concat, count, expr, lit, max, min, pmod, when}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Streams
 import graft.streaming.Streams.Event
@@ -342,6 +342,94 @@ class StreamsSpec extends SparkSpec {
       AttrEvent(uts("2024-01-01 18:00:00", 500), 3, "purchase", 62),
       AttrEvent(uts("2024-01-01 20:00:00", 900), 9, "purchase", 64)), "leftattr_b")
     assert(b === Set.empty, "ms-truncated strict boundary must hold back the 500µs purchase")
+  }
+
+  test("st_stream_session_ooo: multi-batch out-of-order drain equals the " +
+      "single-batch drain, with real stragglers riding batch 2") {
+    import graft.queries.RelationalQueries
+    // sf0.01: the guard-band construction plants a nonzero straggler set
+    // (sf0.001's 30-minute band is usually empty — too few events)
+    val dir = "/root/testdata/sf0.01"
+    val ooo = RelationalQueries.queries("st_stream_session_ooo")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val single = RelationalQueries.queries("st_stream_session")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(ooo == single,
+      "out-of-order 2-batch drain diverged from the single-batch drain")
+    // non-vacuity: replicate the straggler predicate and demand planted
+    // out-of-order traffic actually crossed the batch boundary
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"),
+        expr("unix_millis(CAST(ts AS TIMESTAMP))").as("tms"))
+    val m = ev.agg(max(col("tms"))).head().getLong(0)
+    val elig = ev.groupBy(col("user_id"))
+      .agg(max(when(col("tms") > m - 85 * 60000L && col("tms") <= m - 55 * 60000L,
+        1).otherwise(0)).as("has_guard"))
+      .filter(col("has_guard") === 0 &&
+        pmod(graft.functions.Vectors.hash60(
+          concat(lit("ooo_"), col("user_id").cast("string"))), lit(2)) === 1)
+      .select(col("user_id"))
+    val nStragglers = ev.join(elig, "user_id")
+      .filter(col("tms") > m - 55 * 60000L && col("tms") <= m - 25 * 60000L)
+      .count()
+    assert(nStragglers > 0, "no stragglers planted — the OOO drain is vacuous")
+  }
+
+  test("upsertSink: crash between temp-write and swap, then a lost batch " +
+      "commit, both converge to the global keep-latest state") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("upsert_crash").toString
+    val src = s"$root/src"
+    val target = s"$root/target"
+    val ckpt = s"$root/ckpt"
+    def drain(checkpoint: String): Unit = {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet").parquet(s"$src/*")
+      Streams.upsertSink(stream, target, checkpoint,
+        keys = Seq("user_id"), orderCols = Seq("ts"))
+    }
+    def state(): Set[(Long, Double)] = spark.read.parquet(target)
+      .select("user_id", "value").as[(Long, Double)].collect().toSet
+    def copyDir(from: String, to: String): Unit = {
+      import java.nio.file.{Files, Path, Paths}
+      val f = Paths.get(from)
+      Files.walk(f).forEach { p =>
+        val t = Paths.get(to).resolve(f.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t)
+      }
+    }
+    Seq(Event(ts("2024-01-01 01:00:00"), 1, "view", 1.0),
+      Event(ts("2024-01-01 02:00:00"), 2, "view", 5.0)).toDS()
+      .write.parquet(s"$src/w1")
+    drain(ckpt)
+    assert(state() === Set((1L, 1.0), (2L, 5.0)))
+    // snapshot the checkpoint BEFORE batch 2 — later replayed as the
+    // "target swapped but the commit was lost" crash
+    copyDir(ckpt, s"$root/ckpt_stale")
+    // crash window injection for batch 2 (the OperatorsSpec windows, now
+    // under the STREAMING sink): a stale half-written tmp AND the target
+    // moved aside mid-swap — on restart intoParquet must discard the tmp
+    // and restore the backup before merging
+    Seq(Event(ts("2024-01-01 09:00:00"), 9, "view", 0.0)).toDS()
+      .write.parquet(target + ".__tmp_upsert")
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(target),
+      new org.apache.hadoop.fs.Path(target + ".__bak_upsert")))
+    Seq(Event(ts("2024-01-01 03:00:00"), 1, "click", 9.0),
+      Event(ts("2024-01-01 03:00:00"), 3, "view", 7.0)).toDS()
+      .write.parquet(s"$src/w2")
+    drain(ckpt)
+    val want = Set((1L, 9.0), (2L, 5.0), (3L, 7.0))
+    assert(state() === want, "restart after mid-swap crash lost or duplicated rows")
+    // lost-commit replay: restart from the stale checkpoint — batch 2 is
+    // re-delivered against the already-merged target; the keyed merge must
+    // be idempotent (no duplicates, no regressions)
+    drain(s"$root/ckpt_stale")
+    assert(state() === want, "replayed batch was not idempotent")
   }
 
   test("st_stream_dedup drains to exactly the batch dedup state") {
