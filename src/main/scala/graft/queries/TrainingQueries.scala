@@ -498,6 +498,10 @@ object TrainingQueries {
     val rounds = (0 until BpeTrainRounds).map { r =>
       val pairs = seg
         .withColumn("u", filter(split($"seg", "\\|"), x => x =!= ""))
+        // a fully-merged word (one unit) yields NO pairs: sequence(1, 0)
+        // DESCENDS in Spark ([1,0] → ANSI index error) where the oracle's
+        // range(1, 1) is empty — filter matches the oracle's semantics
+        .filter(size($"u") >= 2)
         .select($"wc", explode(transform(sequence(lit(1), size($"u") - 1),
           i => concat(element_at($"u", i), lit("|"), element_at($"u", i + 1))))
           .as("pair"))
