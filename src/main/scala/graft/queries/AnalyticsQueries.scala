@@ -69,26 +69,44 @@ object AnalyticsQueries {
       .orderBy($"bucket")
   }
 
+  /** The (l_orderkey, l_partkey) collapse + per-order (part_a < part_b)
+    * pair stream both basket keys share: codegen'd hash-distinct, then a
+    * co-partitioned self-join per order key — fan-out bounded by order
+    * width (a ≤7-line order yields ≤21 pairs), never the parts² explosion
+    * a catalog-side self-join would risk.
+    *
+    * MEASURED dead end (r11): rewriting this as groupBy(order) →
+    * collect_set → combination-explode looked strictly better (one
+    * Exchange, no per-order sort) and WAS 2× faster at sf0.1gen/sf1 —
+    * then 2.7× SLOWER at sf10 (84 s vs 31 s). collect_set plans as
+    * ObjectHashAggregate, which exits whole-stage codegen and falls back
+    * to SORT-BASED aggregation past
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` in-memory
+    * keys — at sf10 that's an external sort of the whole fact table per
+    * pass; even with the threshold raised to never-fall-back it measured
+    * 50 s (object-agg's per-group array buffers + the codegen break).
+    * The distinct+self-join form keeps every operator inside
+    * WholeStageCodegen and reuses one Exchange for both join sides. */
+  private def orderPairs(li: DataFrame): DataFrame =
+    li.as("x")
+      .join(li.as("y"), col("x.l_orderkey") === col("y.l_orderkey")
+        && col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"))
+
   /** Market-basket co-occurrence — the top-20 part pairs bought together
     * in one order, with each part's own support riding along (the inputs
     * to confidence/lift, kept as EXACT counts; the consumer divides).
-    * Pair generation is bounded by ORDER width, not catalog size: a
-    * ≤7-line order yields ≤21 pairs, so the pair stream is a constant
-    * factor of lineitem — never the parts² explosion a catalog-side
-    * self-join would risk. One self-join per order key (co-partitioned),
-    * one pair aggregate, top-20 by support with a full deterministic
-    * tiebreak. The remaining 100 TB cost is the DISTINCT-pair aggregate
-    * itself (pair cardinality grows with the catalog; measured 19× for
-    * 100× data): this exact count is the baseline; [[anBasketPairsTopk]]
-    * is the shipped bounded-state scale path for top-k-only consumers. */
+    * One self-join per order key (co-partitioned), one pair aggregate,
+    * top-20 by support with a full deterministic tiebreak. The remaining
+    * 100 TB cost is the DISTINCT-pair aggregate itself (pair cardinality
+    * grows with the catalog; measured 19× for 100× data): this exact
+    * count is the baseline; [[anBasketPairsTopk]] is the shipped
+    * bounded-state scale path for top-k-only consumers. */
   private val anBasketPairs: Q = (s, dir) => {
     import s.implicits._
     val li = Tables(s, dir, "lineitem")
       .select($"l_orderkey", $"l_partkey").distinct()
-    val pairs = li.as("x")
-      .join(li.as("y"), col("x.l_orderkey") === col("y.l_orderkey")
-        && col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"))
+    val pairs = orderPairs(li)
       .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("support"))
     val single = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_orders"))
     pairs
@@ -100,7 +118,7 @@ object AnalyticsQueries {
   }
 
   /** Misra–Gries capacity for [[anBasketPairsTopk]]. The sketch state is
-    * ≤K (pair-string, count) entries ≈ tens of MB — five orders of
+    * ≤K (packed-long pair, count) entries ≈ tens of MB — five orders of
     * magnitude below a 100 TB pair table — and K is the certification
     * dial: everything with support > n/(K+1) is PROVABLY captured, so on
     * a Zipfian co-purchase corpus a much smaller K would certify the full
@@ -115,8 +133,9 @@ object AnalyticsQueries {
     * text_heavy_hitters:
     *
     * Pass 1 streams the order-width-bounded pair stream through ONE
-    * Misra–Gries aggregate ([[graft.functions.MisraGriesAgg]], native
-    * mergeable TypedImperativeAggregate): each partition ships a ≤K-entry
+    * Misra–Gries aggregate ([[graft.functions.MisraGriesLongAgg]], native
+    * mergeable TypedImperativeAggregate over the pair packed into one
+    * long): each partition ships a ≤K-entry
     * summary, never the pair table. Pass 2 recounts ONLY the candidates —
     * a broadcast-join filter (≤K keys is too many for `isin` codegen but
     * trivial to broadcast), so the recount groupBy shuffles at most K
@@ -136,15 +155,16 @@ object AnalyticsQueries {
     import s.implicits._
     val li = Tables(s, dir, "lineitem")
       .select($"l_orderkey", $"l_partkey").distinct()
-    def pairs = li.as("x")
-      .join(li.as("y"), col("x.l_orderkey") === col("y.l_orderkey")
-        && col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"))
-    val pairKey = concat($"part_a".cast("string"), lit("|"), $"part_b".cast("string"))
+    def pairs = orderPairs(li)
+    // pack the pair into one 64-bit key (part_a < part_b < 2³² — partkeys
+    // are catalog ordinals, 32 bits holds a 4-billion-part catalog): the
+    // sketch then hashes primitive longs instead of materialising a
+    // "a|b" java String per pair, and the recount joins on a long column
+    val pairKey = shiftleft($"part_a", 32) + $"part_b"
     val first = pairs.agg(
-      graft.functions.SketchAgg.misraGries(pairKey, BasketTopkK).as("cand"),
+      graft.functions.SketchAgg.misraGriesLong(pairKey, BasketTopkK).as("cand"),
       count(lit(1)).as("n_pairs")).head()
-    val cand = first.getSeq[String](0)
+    val cand = first.getSeq[Long](0)
     val nPairs = first.getLong(1)
     val candDf = s.createDataset(cand).toDF("pair_key")
     val recount = pairs
@@ -535,42 +555,48 @@ object AnalyticsQueries {
     * to `ntile(4) OVER (ORDER BY v, ck)` at any scale, with every
     * window partitioned by a blocked key. `div` truncation on a negated
     * v is monotone non-decreasing, which is all block ordering needs
-    * (blocks need not be equal-width around zero). */
+    * (blocks need not be equal-width around zero).
+    *
+    * The input carries a `dim` tag and ALL dimensions ride one pass:
+    * every window below just adds `dim` to its partitioning, so ranking
+    * the three RFM metrics costs one 3n-row stage chain instead of three
+    * n-row chains — same shape, one third the stages. `n` is the row
+    * count PER dim (every dim ranks the same population). */
   private def histNtile4(d: DataFrame, n: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 4, s"histNtile4 needs >= 4 rows, got $n")
     val blkW = 1L << 20
-    val hist = d.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val hist = d.groupBy(col("dim"), col("v")).agg(count(lit(1)).as("c"))
       .withColumn("blk", expr(s"v div $blkW"))
-    val wBlkAll = Window.orderBy(col("blk"))
+    val wBlkAll = Window.partitionBy(col("dim")).orderBy(col("blk"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val blkOff = hist.groupBy(col("blk")).agg(sum(col("c")).as("bc"))
+    val blkOff = hist.groupBy(col("dim"), col("blk")).agg(sum(col("c")).as("bc"))
       .withColumn("boff", coalesce(sum(col("bc")).over(wBlkAll), lit(0L)))
-      .select(col("blk"), col("boff"))
-    val wInBlk = Window.partitionBy(col("blk")).orderBy(col("v"))
+      .select(col("dim"), col("blk"), col("boff"))
+    val wInBlk = Window.partitionBy(col("dim"), col("blk")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val less = hist.join(broadcast(blkOff), "blk")
+    val less = hist.join(broadcast(blkOff), Seq("dim", "blk"))
       .withColumn("nless", col("boff") + coalesce(sum(col("c")).over(wInBlk), lit(0L)))
-      .select(col("v"), col("nless"))
+      .select(col("dim"), col("v"), col("nless"))
     val ckb = d.withColumn("ckblk", expr(s"ck div $blkW"))
-    val wCkOff = Window.partitionBy(col("v")).orderBy(col("ckblk"))
+    val wCkOff = Window.partitionBy(col("dim"), col("v")).orderBy(col("ckblk"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ckOff = ckb.groupBy(col("v"), col("ckblk")).agg(count(lit(1)).as("cc"))
+    val ckOff = ckb.groupBy(col("dim"), col("v"), col("ckblk")).agg(count(lit(1)).as("cc"))
       .withColumn("ckoff", coalesce(sum(col("cc")).over(wCkOff), lit(0L)))
-      .select(col("v"), col("ckblk"), col("ckoff"))
-    val wRn = Window.partitionBy(col("v"), col("ckblk")).orderBy(col("ck"))
+      .select(col("dim"), col("v"), col("ckblk"), col("ckoff"))
+    val wRn = Window.partitionBy(col("dim"), col("v"), col("ckblk")).orderBy(col("ck"))
     val base = n / 4
     val r = n % 4
-    ckb.join(ckOff, Seq("v", "ckblk"))
+    ckb.join(ckOff, Seq("dim", "v", "ckblk"))
       .withColumn("rin", col("ckoff") + row_number().over(wRn).cast("long"))
-      .join(less, "v")
+      .join(less, Seq("dim", "v"))
       .withColumn("rank", col("nless") + col("rin"))
       .withColumn("q", expr(
         s"""CASE WHEN rank <= ${r * (base + 1)}
            | THEN (rank - 1) div ${base + 1} + 1
            | ELSE $r + (rank - ${r * (base + 1)} - 1) div $base + 1
            |END""".stripMargin).cast("int"))
-      .select(col("ck"), col("q"))
+      .select(col("dim"), col("ck"), col("q"))
   }
 
   /** RFM segmentation at FACT-SCALE dimensions — [[anRfm]]'s output
@@ -589,13 +615,21 @@ object AnalyticsQueries {
         sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
       .persist()
     val n = per.count()
-    def dim(v: org.apache.spark.sql.Column, as: String): DataFrame =
-      histNtile4(per.select($"o_custkey".as("ck"), v.as("v")), n)
-        .select($"ck".as("o_custkey"), $"q".as(as))
-    per
-      .join(dim(-unix_micros($"last_dt".cast("timestamp")), "r_q"), "o_custkey")
-      .join(dim(-$"freq", "f_q"), "o_custkey")
-      .join(dim(-$"cents", "m_q"), "o_custkey")
+    // all three metrics explode into one (dim, v, ck) stream and share a
+    // single histNtile4 pass — ntile's (metric DESC, custkey) order is
+    // ascending (−metric, custkey)
+    val dims = per.select($"o_custkey".as("ck"), explode(array(
+      struct(lit("r").as("dim"),
+        (-unix_micros($"last_dt".cast("timestamp"))).as("v")),
+      struct(lit("f").as("dim"), (-$"freq").as("v")),
+      struct(lit("m").as("dim"), (-$"cents").as("v")))).as("s"))
+      .select($"s.dim".as("dim"), $"s.v".as("v"), $"ck")
+    val wide = histNtile4(dims, n)
+      .groupBy($"ck".as("o_custkey"))
+      .agg(max(when($"dim" === "r", $"q")).as("r_q"),
+        max(when($"dim" === "f", $"q")).as("f_q"),
+        max(when($"dim" === "m", $"q")).as("m_q"))
+    per.join(wide, "o_custkey")
       .groupBy($"r_q", $"f_q", $"m_q")
       .agg(count(lit(1)).as("n_customers"), sum($"cents").as("sum_cents"))
       .orderBy($"r_q", $"f_q", $"m_q")

@@ -293,6 +293,11 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(basket.contains("PushedFilters: [IsNotNull(l_orderkey)")
       || basket.contains("IsNotNull(l_orderkey)"),
       s"basket join keys lost their pushed not-null filters:\n$basket")
+    // the pair self-join must stay codegen'd hash-distinct + SMJ: the
+    // collect_set/ObjectHashAggregate formulation measured 2.7× worse at
+    // sf10 (see orderPairs scaladoc) and must not creep back
+    assert(!basket.contains("ObjectHashAggregate"),
+      s"an_basket_pairs regressed to object-agg pair generation:\n$basket")
   }
 
   test("an_abtest: single-row readout is one aggregate pass, no join") {

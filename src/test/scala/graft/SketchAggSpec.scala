@@ -74,4 +74,35 @@ class SketchAggSpec extends SparkSpec {
     assert(verified == Map("v0" -> 200L),
       s"exact recount must reject sketch over-counts: $verified")
   }
+
+  test("long-keyed variant: superset + size bound + two-pass exactness " +
+      "over random skewed long streams, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 10) {
+      val k = 4 + rnd.nextInt(12)
+      val nVals = 5 + rnd.nextInt(60)
+      // keys include a high-bit component so packing-scale magnitudes
+      // (the basket pair layout: a<<32|b) are exercised, not just tiny ints
+      val data = (0 until 400 + rnd.nextInt(400)).map { _ =>
+        val v = math.min((-math.log(rnd.nextDouble()) * 4).toLong, nVals - 1L)
+        (v << 32) | (v + 1L)
+      }
+      val n = data.size
+      val parts = 1 + rnd.nextInt(24)
+      val df = data.toDF("v").repartition(parts)
+      val cand = df.agg(SketchAgg.misraGriesLong($"v", k).as("c"))
+        .head().getSeq[Long](0)
+      assert(cand.size <= k, s"trial $trial: summary exceeded k=$k")
+      assert(cand == cand.sorted, s"trial $trial: eval must emit sorted keys")
+      val verified = df.filter($"v".isin(cand: _*))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * k > n)
+        .as[(Long, Long)].collect().toMap
+      val exact = data.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * k > n }.toMap
+      assert(verified === exact,
+        s"trial $trial (k=$k, parts=$parts, n=$n): $verified != $exact")
+    }
+  }
 }
