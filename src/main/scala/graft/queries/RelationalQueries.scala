@@ -583,6 +583,28 @@ object RelationalQueries {
     out
   }
 
+  /** Write each DataFrame as ONE parquet file in a fresh source dir, file
+    * mtimes pinning the batch order — the planted multi-batch file source
+    * the out-of-order and ingest-dedup streaming keys drain with
+    * `maxFilesPerTrigger=1`. The dir is deleted at JVM exit. */
+  private def plantBatchFiles(prefix: String, batches: Seq[DataFrame]): java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory(prefix)
+    deleteRecursivelyOnExit(root)
+    val src = root.resolve("src")
+    java.nio.file.Files.createDirectory(src)
+    val t0 = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = root.resolve(s"b${i}_tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = src.resolve(s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(t0 - 60000L * (batches.size - 1 - i))
+    }
+    src
+  }
+
   /** Register a temp directory for recursive deletion at JVM shutdown
     * (File.deleteOnExit only handles empty dirs). One hook, shared list. */
   private val exitDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
@@ -724,22 +746,9 @@ object RelationalQueries {
       .withColumn("straggler",
         coalesce($"elig", lit(false)) && $"tms" > guardHi && $"tms" <= midHi)
       .select($"ts", $"user_id", $"cents", $"straggler")
-    val root = java.nio.file.Files.createTempDirectory("st_ooo")
-    deleteRecursivelyOnExit(root)
-    val src = root.resolve("src")
-    java.nio.file.Files.createDirectory(src)
-    def writeBatchFile(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = root.resolve(name + "_tmp").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get
-      val dst = src.resolve(name)
-      java.nio.file.Files.move(part.toPath, dst)
-      dst.toFile.setLastModified(mtime)
-    }
-    val t0 = System.currentTimeMillis()
-    writeBatchFile(flagged.filter(!$"straggler").drop("straggler"), "b1.parquet", t0 - 60000)
-    writeBatchFile(flagged.filter($"straggler").drop("straggler"), "b2.parquet", t0)
+    val src = plantBatchFiles("st_ooo",
+      Seq(flagged.filter(!$"straggler").drop("straggler"),
+        flagged.filter($"straggler").drop("straggler")))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ts",
         org.apache.spark.sql.types.TimestampType),

@@ -34,9 +34,9 @@ object SimilarityQueries {
 
   private type Q = (SparkSession, String) => DataFrame
 
-  private val ShingleN = 3
-  private val Perms = 32
-  private val Bands = 8
+  private[queries] val ShingleN = 3
+  private[queries] val Perms = 32
+  private[queries] val Bands = 8
   private val JaccardT = 0.5
   // 4 bands × 15 bits over the 60-bit simhash: pigeonhole-complete for
   // hamming ≤ 3 (4 bands, ≤3 flipped bits ⇒ ≥1 band intact) with 2^15 =
