@@ -68,7 +68,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map(_._1)
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.length}}""")
+    // Protocol stamp (VERDICT r11 #8): single-key and batched runs of the
+    // same code differ up to 2× at small scales (JVM/JIT variance), so
+    // ladders are only comparable within one protocol. The steady-state
+    // rule this main implements — one JVM per scale, ALL keys, warm-up
+    // pass, min of two timed passes — is stamped into every emitted line;
+    // a SPARK_GRAFT_BENCH_ONLY subset is stamped as such so a partial run
+    // can never be mistaken for (or compared against) a full ladder.
+    val protocol =
+      if (only.isDefined) "subset-1jvm-min2(NOT comparable to full runs)"
+      else "1jvm-allkeys-warmup-min2"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.length},"protocol":"$protocol"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.length} queries failed: ${failed.mkString(", ")}")

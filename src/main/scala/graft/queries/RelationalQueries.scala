@@ -600,7 +600,12 @@ object RelationalQueries {
         .find(f => f.getName.endsWith(".parquet")).get
       val dst = src.resolve(s"b$i.parquet")
       java.nio.file.Files.move(part.toPath, dst)
-      dst.toFile.setLastModified(t0 - 60000L * (batches.size - 1 - i))
+      // the return value IS the premise: on a filesystem where mtime
+      // can't be set, the planted batch order silently inverts and the
+      // straggler-crosses-batch-boundary scenario evaporates while the
+      // drain still equals the replay (ADVICE r11) — fail loudly instead
+      require(dst.toFile.setLastModified(t0 - 60000L * (batches.size - 1 - i)),
+        s"setLastModified failed for $dst — planted batch order would be lost")
     }
     src
   }

@@ -1666,12 +1666,20 @@ object SimilarityQueries {
   // DuckDB oracles — each replays the SAME md5-based algorithm in SQL.
   // ---------------------------------------------------------------------
 
-  /** doc_id + distinct 3-gram shingle list, as a DuckDB CTE body. */
+  /** doc_id + distinct 3-gram shingle list, as a DuckDB CTE body.
+    *
+    * MATERIALIZED (here and on the `pairs`/`edges` CTEs below — VERDICT
+    * r11 #4): DuckDB inlines plain CTEs per consumer, so the quadratic
+    * exact-pair verify re-executed once per reference — and once per
+    * RECURSION STEP when consumed inside `reach` — blowing the 120 s/key
+    * replay budget at zipf0.1 (dedup_components needed a 1276 s pass).
+    * The hint pins one execution; it changes replay cost only, never the
+    * result. */
   private[queries] val shinglesCte =
     raw"""toks AS (SELECT doc_id,
          |  regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') t
          |  FROM documents),
-         |shd AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < $ShingleN
+         |shd AS MATERIALIZED (SELECT doc_id, list_distinct(CASE WHEN len(t) < $ShingleN
          |  THEN [array_to_string(t, ' ')]
          |  ELSE [array_to_string(t[i:i+${ShingleN - 1}], ' ') FOR i IN range(1, len(t) - ${ShingleN - 2})] END) sh
          |  FROM toks)""".stripMargin
@@ -1704,7 +1712,7 @@ object SimilarityQueries {
   /** pairs → undirected edges → reachability → min-label components, as
     * CTEs (requires WITH RECURSIVE; expects a `pairs(doc_a, doc_b)` CTE). */
   private val componentsCtes =
-    """edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+    """edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
       |          UNION SELECT doc_b, doc_a FROM pairs),
       |reach AS (SELECT s AS id, s AS o FROM edges
       |          UNION SELECT r.id, e2.d FROM reach r JOIN edges e2 ON r.o = e2.s),
@@ -2172,8 +2180,8 @@ object SimilarityQueries {
     "dedup_components" ->
       s"""WITH RECURSIVE $shinglesCte,
          |cand AS (SELECT x.doc_id doc_a, y.doc_id doc_b FROM shd x JOIN shd y ON x.doc_id < y.doc_id),
-         |pairs AS ($jaccardVerifySql),
-         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |pairs AS MATERIALIZED ($jaccardVerifySql),
+         |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
          |          UNION SELECT doc_b, doc_a FROM pairs),
          |reach AS (SELECT s AS id, s AS o FROM edges
          |          UNION SELECT r.id, e.d FROM reach r JOIN edges e ON r.o = e.s),
@@ -2185,8 +2193,8 @@ object SimilarityQueries {
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $shinglesCte,
          |cand AS (SELECT x.doc_id doc_a, y.doc_id doc_b FROM shd x JOIN shd y ON x.doc_id < y.doc_id),
-         |pairs AS ($jaccardVerifySql),
-         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |pairs AS MATERIALIZED ($jaccardVerifySql),
+         |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
          |          UNION SELECT doc_b, doc_a FROM pairs),
          |reach AS (SELECT s AS id, s AS o FROM edges
          |          UNION SELECT r.id, e.d FROM reach r JOIN edges e ON r.o = e.s),
@@ -2253,7 +2261,7 @@ object SimilarityQueries {
     "dedup_components_lsh" ->
       s"""WITH RECURSIVE $shinglesCte,
          |$minhashCandCtes,
-         |pairs AS ($jaccardVerifySql),
+         |pairs AS MATERIALIZED ($jaccardVerifySql),
          |$componentsCtes
          |SELECT doc_id, component_id,
          | COUNT(*) OVER (PARTITION BY component_id) AS n_members
@@ -2262,7 +2270,7 @@ object SimilarityQueries {
     "dedup_keep_best_lsh" ->
       s"""WITH RECURSIVE $shinglesCte,
          |$minhashCandCtes,
-         |pairs AS ($jaccardVerifySql),
+         |pairs AS MATERIALIZED ($jaccardVerifySql),
          |$componentsCtes,
          |tc AS (SELECT doc_id,
          |   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
@@ -2400,7 +2408,7 @@ object SimilarityQueries {
          |  JOIN (SELECT vec_id, emb eb, bucket FROM e) b
          |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |  WHERE $cosineSql >= $SemanticT),
-         |edges AS (SELECT vec_a AS s, vec_b AS d FROM pairs
+         |edges AS MATERIALIZED (SELECT vec_a AS s, vec_b AS d FROM pairs
          |          UNION SELECT vec_b, vec_a FROM pairs),
          |reach AS (SELECT s AS id, s AS o FROM edges
          |          UNION SELECT r.id, e2.d FROM reach r JOIN edges e2 ON r.o = e2.s)
