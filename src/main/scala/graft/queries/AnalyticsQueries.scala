@@ -87,7 +87,7 @@ object AnalyticsQueries {
     * 50 s (object-agg's per-group array buffers + the codegen break).
     * The distinct+self-join form keeps every operator inside
     * WholeStageCodegen and reuses one Exchange for both join sides. */
-  private def orderPairs(li: DataFrame): DataFrame =
+  private[graft] def orderPairs(li: DataFrame): DataFrame =
     li.as("x")
       .join(li.as("y"), col("x.l_orderkey") === col("y.l_orderkey")
         && col("x.l_partkey") < col("y.l_partkey"))

@@ -37,6 +37,19 @@ object ScaleGen {
     pmod(xxhash64(cols: _*), lit(M)).cast("double") / M.toDouble
   private def pick(n: Long, cols: Column*): Column = pmod(xxhash64(cols: _*), lit(n))
 
+  /** Zipf(1)-ish foreign-key pick over [0, n) — the `skew` mode's draw
+    * (VERDICT r11 #1: the zipf/hub modes only reshaped documents and the
+    * supplier edge; the RELATIONAL fan-out stayed near-flat, so the skew
+    * triggers and small-K certification stories were never tested where
+    * they matter). Same O(1) inverse-CDF approximation as [[zipfWordAt]]:
+    * rank r = ⌊n^u⌋ gives P(r = k) = ln((k+1)/k)/ln n ≈ 1/(k·ln n), so
+    * key 0 absorbs ln2/ln n of all picks (≈8 % at n = 10⁴, ≈6 % at
+    * n = 10⁶) and the frequency-vs-rank curve is a straight −1 slope —
+    * the canonical popularity law for customers, parts, and users. */
+  private def zipfPick(n: Long, cols: Column*): Column =
+    least(lit(n), greatest(lit(1L),
+      floor(pow(lit(n.toDouble), u01(cols: _*))).cast("long"))) - 1
+
   /** Per-(id, i) standard normal via Box–Muller on two keyed uniforms. */
   private def normal2(id: Column, i: Column, seed: Long): Column =
     sqrt(lit(-2.0) * log(u01(lit(seed), id, i) + lit(1.0 / M))) *
@@ -92,10 +105,14 @@ object ScaleGen {
   private val OrdersStartEpoch = java.sql.Timestamp.valueOf("1995-01-01 00:00:00").getTime / 1000
   private val OrdersDays = 2404L // → max 2001-08-01, matching the driver window
 
-  def orders(spark: SparkSession, n: Long, seed: Long, nCustomers: Long): DataFrame = {
+  def orders(spark: SparkSession, n: Long, seed: Long, nCustomers: Long,
+      skewCust: Boolean = false): DataFrame = {
     val id = col("id")
+    val custPick =
+      if (skewCust) zipfPick(nCustomers, lit(seed), id)
+      else pick(nCustomers, lit(seed), id)
     ids(spark, n).select(id.as("o_orderkey"),
-      pick(nCustomers, lit(seed), id).as("o_custkey"),
+      custPick.as("o_custkey"),
       DataGen.categorical(id, Seq("O", "P", "F"), Seq(1, 1, 1), seed + 1).as("o_orderstatus"),
       round(lit(1000.0) + u01(lit(seed + 2), id) * 499000.0, 2).as("o_totalprice"),
       timestamp_seconds(lit(OrdersStartEpoch) +
@@ -115,20 +132,23 @@ object ScaleGen {
     * stays under 1/64 of the edges at this fan-out, hot in degree terms
     * but below capacity in reducer terms. */
   def lineitem(orders: DataFrame, seed: Long, nParts: Long, nSuppliers: Long,
-      hubSupp: Boolean = false): DataFrame = {
+      hubSupp: Boolean = false, skewPart: Boolean = false): DataFrame = {
     val ok = col("l_orderkey")
     val ln = col("l_linenumber")
     val suppPick =
       if (hubSupp) when(u01(lit(seed + 7919), ok, ln) < 0.5, lit(0L))
         .otherwise(pick(nSuppliers, lit(seed + 2), ok, ln))
       else pick(nSuppliers, lit(seed + 2), ok, ln)
+    val partPick =
+      if (skewPart) zipfPick(nParts, lit(seed + 1), ok, ln)
+      else pick(nParts, lit(seed + 1), ok, ln)
     orders.select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"),
         (DataGen.poisson(col("o_orderkey"), 3.0, seed, maxK = 20) + 1).as("__n"))
       .select(ok, col("o_orderdate"),
         explode(sequence(lit(1), col("__n"))).as("__ln"))
       .withColumn("l_linenumber", col("__ln").cast("int"))
       .select(ok,
-        pick(nParts, lit(seed + 1), ok, ln).as("l_partkey"),
+        partPick.as("l_partkey"),
         suppPick.as("l_suppkey"),
         ln,
         (pick(50, lit(seed + 3), ok, ln) + 1).cast("double").as("l_quantity"),
@@ -146,12 +166,16 @@ object ScaleGen {
 
   private val EventsStartEpoch = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
 
-  def events(spark: SparkSession, n: Long, seed: Long, nUsers: Long): DataFrame = {
+  def events(spark: SparkSession, n: Long, seed: Long, nUsers: Long,
+      skewUser: Boolean = false): DataFrame = {
     val id = col("id")
+    val userPick =
+      if (skewUser) zipfPick(nUsers, lit(seed + 1), id)
+      else pick(nUsers, lit(seed + 1), id)
     ids(spark, n).select(id.as("event_id"),
       timestamp_seconds((lit(EventsStartEpoch).cast("double") +
         u01(lit(seed), id) * (30L * 86400)).cast("double")).as("ts"),
-      pick(nUsers, lit(seed + 1), id).as("user_id"),
+      userPick.as("user_id"),
       DataGen.categorical(id, Seq("click", "view", "purchase", "signup", "error"),
         Seq(1, 1, 1, 1, 1), seed + 2).as("event_type"),
       round(lit(-50.0) * log(u01(lit(seed + 3), id) + lit(1.0 / M)), 2).as("value"),
@@ -270,18 +294,24 @@ object ScaleGen {
     val nPart = n(200000)
     val nSupp = n(10000)
     val docGen: (SparkSession, Long, Long) => DataFrame = vocabMode match {
-      case "fixed" | "hub" => documents
+      case "fixed" | "hub" | "skew" => documents
       case "zipf" => documentsZipf
       case other => throw new IllegalArgumentException(
-        s"mode must be fixed|zipf|hub, got '$other'")
+        s"mode must be fixed|zipf|hub|skew, got '$other'")
     }
+    // skew mode: Zipf(1) popularity on every relational foreign key —
+    // customers (orders fan-in), parts (co-purchase supports), users
+    // (event sessions) — same row counts and value domains as `fixed`,
+    // so the an_*/graph_*/qa_* oracles re-grade on realistic key skew
+    val skew = vocabMode == "skew"
     // hub mode also SPARSIFIES the graph (1 order per customer instead of
     // 10): with the default fan-out every node is below reducer capacity
     // no matter how skewed the supplier pick — the planted hub only
     // becomes a real straggler when edges-per-key can rival edges-per-
     // partition.
     val ords = orders(spark,
-      if (vocabMode == "hub") n(150000) else n(1500000), seed + 30, nCust)
+      if (vocabMode == "hub") n(150000) else n(1500000), seed + 30, nCust,
+      skewCust = skew)
     val tables: Seq[(String, DataFrame)] = Seq(
       "region" -> region(spark),
       "nation" -> nation(spark),
@@ -290,10 +320,11 @@ object ScaleGen {
       "part" -> part(spark, nPart, seed + 25),
       "orders" -> ords,
       "lineitem" -> lineitem(ords, seed + 40, nPart, nSupp,
-        hubSupp = vocabMode == "hub"),
+        hubSupp = vocabMode == "hub", skewPart = skew),
       // floor like n(): at tiny sf, nCust/10 = 0 would make pmod(hash, 0)
       // emit NULL user_ids and every user join silently empty
-      "events" -> events(spark, n(1000000), seed + 50, math.max(1L, nCust / 10)),
+      "events" -> events(spark, n(1000000), seed + 50, math.max(1L, nCust / 10),
+        skewUser = skew),
       "documents" -> docGen(spark, n(50000), seed + 60),
       "embeddings" -> embeddings(spark, n(20000), seed + 70))
     tables.foreach { case (name, df) =>
@@ -304,7 +335,7 @@ object ScaleGen {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ScaleGen <outDir> <sf> [seed] [fixed|zipf|hub] [table,table,...]")
+      "usage: ScaleGen <outDir> <sf> [seed] [fixed|zipf|hub|skew] [table,table,...]")
     val spark = graft.GraftSession
       .builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
