@@ -182,12 +182,25 @@ object GraphQueries {
     * the node-grain share side broadcasts below the 8 MB threshold, the
     * receive-side SUM combines map-side, and past broadcast scale AQE
     * splits the skewed join partition — so the twin-join + salt-column
-    * overhead buys nothing a local bench can show. The operator stands
-    * as the explicit mechanism for cluster regimes AQE can't reach
-    * (e.g. a pre-partitioned edge layout where a runtime re-plan would
-    * forfeit the co-partitioning), with the capacity trigger keeping it
-    * honest; which nodes get salted cannot change the output either
-    * way — the union feeds the same commutative integer aggregate. */
+    * overhead buys nothing under a re-plannable shuffle.
+    *
+    * PAYOFF DEMONSTRATED (r12, `graft.HubLayoutBench`,
+    * bench/BENCH_hubbucket_r12_01.json): in the regime this mechanism is
+    * FOR — edges pre-BUCKETED by source (so the per-round join is
+    * zero-Exchange on the edge side and AQE's OptimizeSkewedJoin has no
+    * shuffle to split), rank side past the broadcast threshold — the
+    * salted layout (cold edges bucketed by `a`, hub edges bucketed by
+    * (`a`, baked salt)) wins once the hub meaningfully exceeds a
+    * reducer's share, and its wall stays FLAT as the hub grows while the
+    * plain loop scales with the straggler: parity at 3.6× a reducer
+    * share (the distinct-edge collapse caps the natural hub corpus
+    * there), 1.42× ahead at 10.8×, 2.22× at 16.2× — bit-identical ranks,
+    * both layouts plan-asserted exchange-free on every edge side. The
+    * capacity trigger here (>2× a reducer share) is therefore
+    * conservative-correct: below it salting loses the twin-join
+    * constant, past crossover the win grows with hub share unboundedly.
+    * Which nodes get salted cannot change the output either way — the
+    * union feeds the same commutative integer aggregate. */
   private val graphPagerankSalted: Q = (s, dir) => {
     import s.implicits._
     val e = edges(s, dir).persist()
