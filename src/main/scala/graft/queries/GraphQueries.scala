@@ -327,7 +327,7 @@ object GraphQueries {
     "graph_pagerank_salted" -> PagerankSql,
 
     "graph_triangles" ->
-      s"""WITH ${SimilarityQueries.shinglesCte},
+      s"""WITH ${SimilarityQueries.shinglesHashCte},
          |${SimilarityQueries.minhashCandCtes},
          |pairs AS (${SimilarityQueries.jaccardVerifySql}),
          |g0 AS (SELECT doc_a AS a, doc_b AS b FROM pairs),

@@ -1688,6 +1688,18 @@ object SimilarityQueries {
   private def hash60Sql(x: String): String =
     s"CAST(CONCAT('0x', SUBSTR(md5($x), 1, 15)) AS BIGINT)"
 
+  /** [[shinglesCte]] + hashed shingle sets for the exact-Jaccard verify:
+    * intersecting BIGINT lists is ~4× cheaper than 15-char string lists
+    * and the replay is quadratic in candidate count, so the constant IS
+    * the budget (VERDICT r11 #4). list_distinct keeps set semantics; a
+    * 60-bit collision would surface as a FAIL, never a silent pass.
+    * Kept OUT of [[shinglesCte]] because DuckDB 1.0 executes unused
+    * MATERIALIZED CTEs — only the verify-bearing oracles pay for it. */
+  private[queries] val shinglesHashCte =
+    s"""$shinglesCte,
+       |shh AS MATERIALIZED (SELECT doc_id,
+       |  list_distinct([${hash60Sql("s")} FOR s IN sh]) hs FROM shd)""".stripMargin
+
   /** MinHash signature → band CTEs over `shd` — shared by every
     * minhash-based oracle; candidate generation differs per key (all-pairs
     * banding vs one-sided incremental probing) and composes on top. */
@@ -1721,9 +1733,9 @@ object SimilarityQueries {
   private[queries] val jaccardVerifySql =
     """SELECT doc_a, doc_b, jaccard FROM (
       | SELECT c.doc_a, c.doc_b,
-      |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-      |    / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) jaccard
-      | FROM cand c JOIN shd x ON c.doc_a = x.doc_id JOIN shd y ON c.doc_b = y.doc_id)
+      |  CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+      |    / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) jaccard
+      | FROM cand c JOIN shh x ON c.doc_a = x.doc_id JOIN shh y ON c.doc_b = y.doc_id)
       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
   private def planeSql(seed: String, i: String): String =
@@ -2151,9 +2163,21 @@ object SimilarityQueries {
          |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
 
+    // The exact-family replays generate candidates from an INVERTED INDEX
+    // (pairs sharing >= 1 shingle, size-compatible) instead of all pairs:
+    // both are NECESSARY conditions of jaccard >= 0.5 (zero shared
+    // shingles means J = 0; J <= min/max means min >= max/2 — the same
+    // prefilter the Spark key plans at :358), so cand stays a superset of
+    // the qualifying pairs and the verify filter decides membership
+    // identically. Measured on zipf0.1: 675k probes vs 12.5M all-pairs
+    // (18x), max shingle df 336; on the fixed sf0.01 gate corpus 14k vs
+    // 125k (9x). The SPARK key remains the documented all-pairs baseline.
     "dedup_ngram_jaccard" ->
-      s"""WITH $shinglesCte,
-         |cand AS (SELECT x.doc_id doc_a, y.doc_id doc_b FROM shd x JOIN shd y ON x.doc_id < y.doc_id)
+      s"""WITH $shinglesHashCte,
+         |post AS (SELECT doc_id, len(hs) n, unnest(hs) h FROM shh),
+         |cand AS (SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+         |  FROM post x JOIN post y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  AND y.n * 2 >= x.n AND x.n * 2 >= y.n)
          |$jaccardVerifySql""".stripMargin,
 
     "dedup_substring_runs" ->
@@ -2178,8 +2202,11 @@ object SimilarityQueries {
            |FROM runs GROUP BY 1, 2 ORDER BY doc_id, dup_id""".stripMargin,
 
     "dedup_components" ->
-      s"""WITH RECURSIVE $shinglesCte,
-         |cand AS (SELECT x.doc_id doc_a, y.doc_id doc_b FROM shd x JOIN shd y ON x.doc_id < y.doc_id),
+      s"""WITH RECURSIVE $shinglesHashCte,
+         |post AS (SELECT doc_id, len(hs) n, unnest(hs) h FROM shh),
+         |cand AS (SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+         |  FROM post x JOIN post y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  AND y.n * 2 >= x.n AND x.n * 2 >= y.n),
          |pairs AS MATERIALIZED ($jaccardVerifySql),
          |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
          |          UNION SELECT doc_b, doc_a FROM pairs),
@@ -2191,8 +2218,11 @@ object SimilarityQueries {
          |FROM comp ORDER BY doc_id""".stripMargin,
 
     "dedup_keep_best" ->
-      s"""WITH RECURSIVE $shinglesCte,
-         |cand AS (SELECT x.doc_id doc_a, y.doc_id doc_b FROM shd x JOIN shd y ON x.doc_id < y.doc_id),
+      s"""WITH RECURSIVE $shinglesHashCte,
+         |post AS (SELECT doc_id, len(hs) n, unnest(hs) h FROM shh),
+         |cand AS (SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+         |  FROM post x JOIN post y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  AND y.n * 2 >= x.n AND x.n * 2 >= y.n),
          |pairs AS MATERIALIZED ($jaccardVerifySql),
          |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
          |          UNION SELECT doc_b, doc_a FROM pairs),
@@ -2211,7 +2241,7 @@ object SimilarityQueries {
          |FROM ranked GROUP BY component_id ORDER BY component_id""".stripMargin,
 
     "dedup_minhash_lsh" ->
-      s"""WITH $shinglesCte,
+      s"""WITH $shinglesHashCte,
          |$minhashCandCtes
          |$jaccardVerifySql""".stripMargin,
 
@@ -2259,7 +2289,7 @@ object SimilarityQueries {
          |FROM base b LEFT JOIN m USING (new_id) ORDER BY new_id""".stripMargin,
 
     "dedup_components_lsh" ->
-      s"""WITH RECURSIVE $shinglesCte,
+      s"""WITH RECURSIVE $shinglesHashCte,
          |$minhashCandCtes,
          |pairs AS MATERIALIZED ($jaccardVerifySql),
          |$componentsCtes
@@ -2268,7 +2298,7 @@ object SimilarityQueries {
          |FROM comp ORDER BY doc_id""".stripMargin,
 
     "dedup_keep_best_lsh" ->
-      s"""WITH RECURSIVE $shinglesCte,
+      s"""WITH RECURSIVE $shinglesHashCte,
          |$minhashCandCtes,
          |pairs AS MATERIALIZED ($jaccardVerifySql),
          |$componentsCtes,
