@@ -115,29 +115,36 @@ object PipelineQueries {
     * another engine). One shuffle, map-side partial sums. */
   private val aRegrFit: Q = (s, dir) => {
     import s.implicits._
-    val x = F.money($"l_quantity")
-    val y = F.money($"l_extendedprice")
+    // EXACT integer-cents sufficient statistics, then only
+    // contraction-immune double ops (r12: matching SQL token trees are
+    // NOT enough — DuckDB's vectorized executor contracted the old
+    // (d1·d1)/(d2·d3) shape and drifted r2 by one ulp on the skew
+    // corpus while Spark/strict-IEEE agreed). Every emitted double is
+    // either ONE division of two exactly-derived decimals or a product
+    // of two such quotients — no a·b±c shape survives for an FMA to
+    // fuse, so per-op IEEE equality is forced on any engine. The n²-
+    // scale cents statistics stay below 10³⁸ through ~sf 10⁵ (≈100 TB;
+    // the largest, sy·sxx ≈ 6·10³⁷ in cents³, is the documented bound).
+    val xc = expr("CAST(round(l_quantity * 100) AS BIGINT)").cast("decimal(19,0)")
+    val yc = expr("CAST(round(l_extendedprice * 100) AS BIGINT)").cast("decimal(19,0)")
     Tables(s, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        sum(x).cast("decimal(38,2)").as("sx"),
-        sum(y).cast("decimal(38,2)").as("sy"),
-        sum(x * x).cast("decimal(38,4)").as("sxx"),
-        sum(x * y).cast("decimal(38,4)").as("sxy"),
-        sum(y * y).cast("decimal(38,4)").as("syy"))
+        sum(xc).as("sx"), sum(yc).as("sy"),
+        sum(xc * xc).as("sxx"), sum(xc * yc).as("sxy"), sum(yc * yc).as("syy"))
       .select($"l_returnflag", $"n",
-        $"sx".cast("double").as("sxd"), $"sy".cast("double").as("syd"),
-        $"sxx".cast("double").as("sxxd"), $"sxy".cast("double").as("sxyd"),
-        $"syy".cast("double").as("syyd"))
-      // Expression trees below mirror the oracle SQL token-for-token —
-      // double ops are order-sensitive, so both engines must evaluate the
-      // identical tree to stay bit-exact.
+        ($"n" * $"sxy" - $"sx" * $"sy").as("d1"),
+        ($"n" * $"sxx" - $"sx" * $"sx").as("d2"),
+        ($"n" * $"syy" - $"sy" * $"sy").as("d3"),
+        ($"sy" * $"sxx" - $"sx" * $"sxy").as("ni"))
       .select($"l_returnflag", $"n",
-        (($"sxyd" - $"sxd" * $"syd" / $"n") / ($"sxxd" - $"sxd" * $"sxd" / $"n")).as("slope"),
-        ($"syd" / $"n" - ($"sxyd" - $"sxd" * $"syd" / $"n") / ($"sxxd" - $"sxd" * $"sxd" / $"n") * ($"sxd" / $"n")).as("intercept"),
-        ((($"sxyd" - $"sxd" * $"syd" / $"n") * ($"sxyd" - $"sxd" * $"syd" / $"n"))
-          / (($"sxxd" - $"sxd" * $"sxd" / $"n") * ($"syyd" - $"syd" * $"syd" / $"n"))).as("r2"))
+        ($"d1".cast("double") / $"d2".cast("double")).as("slope"),
+        // cents³/cents² = cents; the ×100 folds the dollars conversion
+        // into the denominator so intercept stays a single division
+        ($"ni".cast("double") / ($"d2" * 100).cast("double")).as("intercept"),
+        (($"d1".cast("double") / $"d2".cast("double")) *
+          ($"d1".cast("double") / $"d3".cast("double"))).as("r2"))
       .orderBy($"l_returnflag")
   }
 
@@ -493,20 +500,24 @@ object PipelineQueries {
         | array_to_string(list_sort(list_distinct(toks))[1:5], ',') AS first_tokens
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    // exact HUGEINT-cents statistics mirror the Spark decimals; every
+    // double is one division (or a product of two quotients) — no
+    // contractible a*b±c shape, see aRegrFit's scaladoc
     "a_regr_fit" ->
-      """WITH sums AS (SELECT l_returnflag, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sx,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sy,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sxx,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sxy,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS syy
-        | FROM lineitem GROUP BY 1)
+      """WITH c AS (SELECT l_returnflag,
+        |  CAST(round(l_quantity * 100) AS HUGEINT) xc,
+        |  CAST(round(l_extendedprice * 100) AS HUGEINT) yc FROM lineitem),
+        |sums AS (SELECT l_returnflag, COUNT(*) AS n, SUM(xc) sx, SUM(yc) sy,
+        |  SUM(xc*xc) sxx, SUM(xc*yc) sxy, SUM(yc*yc) syy FROM c GROUP BY 1),
+        |d AS (SELECT l_returnflag, n,
+        |  n*sxy - sx*sy AS d1, n*sxx - sx*sx AS d2, n*syy - sy*sy AS d3,
+        |  sy*sxx - sx*sxy AS ni FROM sums)
         |SELECT l_returnflag, n,
-        | (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) AS slope,
-        | CAST(sy AS DOUBLE) / n - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS intercept,
-        | ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n))
-        |  / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS r2
-        |FROM sums ORDER BY l_returnflag""".stripMargin,
+        | CAST(d1 AS DOUBLE) / CAST(d2 AS DOUBLE) AS slope,
+        | CAST(ni AS DOUBLE) / CAST(d2*100 AS DOUBLE) AS intercept,
+        | (CAST(d1 AS DOUBLE) / CAST(d2 AS DOUBLE))
+        |   * (CAST(d1 AS DOUBLE) / CAST(d3 AS DOUBLE)) AS r2
+        |FROM d ORDER BY l_returnflag""".stripMargin,
 
     "a_median" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,

