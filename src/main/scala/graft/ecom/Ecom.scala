@@ -618,24 +618,56 @@ object Ecom {
   /** ecom_marts/sales/fct_product_performance.sql:6-18 — product × month
     * sales/review rollup. Left-join chain keeps never-sold products (NULL
     * month); the reviews join on product_id alone fans out across that
-    * product's order items (reference semantics, kept). review_count is
-    * COUNT(DISTINCT review_score) — distinct scores, as written (:13). */
+    * product's order items (reference semantics, kept — units/revenue are
+    * review-count-inflated as the dbt model computes them). review_count
+    * is COUNT(DISTINCT review_score) — distinct scores, as written (:13).
+    *
+    * CLOSED-FORM FAN-OUT (r12): materializing the items × reviews product
+    * fan-out is QUADRATIC PER PRODUCT — on the Zipf skew corpus the hub
+    * part holds ~7 % of both order items and reviews, so at skew1 one
+    * product's join group is ~4·10⁵ × 3·10⁵ ≈ 10¹¹ rows through a single
+    * reducer and the model never finished deriving. The fan-out's
+    * aggregate is computable without the pair table: within a
+    * (product, month) group every item row repeats once per review row of
+    * the product, so units/revenue scale by the product's review-ROW
+    * count, distinct counts are unaffected, and AVG(score) is the plain
+    * review mean (the item replication factor cancels exactly — the same
+    * real quotient rounds to the same double, since both are ratios of
+    * exactly-representable integer sums). Two hash aggregates + one
+    * product-grain join replace the 10¹¹-row group; bit-identical to the
+    * fan-out (the DuckDB oracle still replays the literal fan-out). */
   def fctProductPerformance(productsEnriched: DataFrame, orderItemsInt: DataFrame,
-      ordersInt: DataFrame, reviewsEnriched: DataFrame): DataFrame =
-    productsEnriched.select(col("product_id"))
+      ordersInt: DataFrame, reviewsEnriched: DataFrame): DataFrame = {
+    val items = productsEnriched.select(col("product_id"))
       .join(orderItemsInt.select(col("product_id"), col("order_id"),
         col("quantity"), col("total_price")), Seq("product_id"), "left")
       .join(ordersInt.select(col("order_id"), col("order_date")),
         Seq("order_id"), "left")
-      .join(reviewsEnriched.select(col("product_id"), col("review_score")),
-        Seq("product_id"), "left")
       .groupBy(col("product_id"),
         date_trunc("month", col("order_date")).as("month"))
       .agg(countDistinct(col("order_id")).as("total_orders"),
-        sum(col("quantity")).as("units_sold"),
-        sum(col("total_price")).as("revenue"),
-        avg(col("review_score")).as("avg_rating"),
+        sum(col("quantity")).as("units_raw"),
+        sum(col("total_price")).as("rev_raw"))
+    // n_rows is the replication factor (every review row replicates each
+    // item row, null scores included); n_scored/score_sum feed the mean
+    // exactly as AVG skips nulls in the fan-out
+    val revs = reviewsEnriched.groupBy(col("product_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("review_score")).as("n_scored"),
+        sum(col("review_score")).as("score_sum"),
         countDistinct(col("review_score")).as("review_count"))
+    items.join(revs, Seq("product_id"), "left")
+      .select(col("product_id"), col("month"),
+        col("total_orders"),
+        when(col("n_rows").isNotNull, col("units_raw") * col("n_rows"))
+          .otherwise(col("units_raw")).as("units_sold"),
+        when(col("n_rows").isNotNull, col("rev_raw") * col("n_rows"))
+          .otherwise(col("rev_raw")).as("revenue"),
+        when(col("n_scored") > 0,
+          col("score_sum").cast("double") / col("n_scored").cast("double"))
+          .as("avg_rating"),
+        coalesce(col("review_count"), lit(0L)).as("review_count"))
+  }
 
   /** ecom_marts/sales/fct_product_interactions.sql:6-14 — product × day
     * event-type counts over customer_interactions. */

@@ -121,10 +121,19 @@ object AnalyticsQueries {
     * ≤K (packed-long pair, count) entries ≈ tens of MB — five orders of
     * magnitude below a 100 TB pair table — and K is the certification
     * dial: everything with support > n/(K+1) is PROVABLY captured, so on
-    * a Zipfian co-purchase corpus a much smaller K would certify the full
+    * a Zipfian co-purchase corpus a much smaller K certifies the full
     * top-20, while this synthetic catalog is nearly FLAT (sf0.1 measures
     * supports {3×2, 2×3571, 1×1.19M}), which needs K+1 > n/2 ≈ 600k for
-    * the support-2 tier to certify. 2²⁰ clears that with headroom. */
+    * the support-2 tier to certify. 2²⁰ clears that with headroom.
+    *
+    * MEASURED on Zipf(1) co-purchase data (r12, `graft.TopkProbe` on the
+    * ScaleGen `skew` corpora): the smallest certifying capacity
+    * k\* = ⌊n/s20⌋+1 is 681 / 1106 / 1678 across the skew0.01→skew1
+    * CENTURY (n = 105 k → 10.9 M pairs) — sub-linear growth, so one
+    * fixed K = 2¹² certifies the full top-20 at every scale, 256× below
+    * this flat-corpus K — and with K < k\* the operator emitted the
+    * certified PREFIX (17 of 20 rows at skew0.1/K=2¹⁰), the documented
+    * refusal-by-shrinkage, observed live. PERF.md §r12 has the table. */
   private val BasketTopkK = 1 << 20
 
   /** Top-20 co-purchase pairs WITHOUT materializing the full pair table —
@@ -203,34 +212,69 @@ object AnalyticsQueries {
 
   /** Linear multi-touch attribution — each purchase's credit split
     * equally (floor-ppm) across the user's view/click touches in the 7
-    * days strictly before it, rolled up per touch type. The pairing is a
-    * USER-KEYED, TIME-BOUNDED interval join (the batch twin of the
-    * watermarked stream-stream join st_stream_join runs): per-user
-    * activity bounds the pair fan-out, and the window that counts each
-    * purchase's touches runs on the pair table, partitioned by purchase —
-    * no global state. The floor split under-credits by < n_touches µppm
-    * per purchase; that remainder law is spec-pinned rather than hidden
-    * in float division. */
+    * days strictly before it, rolled up per touch type. The floor split
+    * under-credits by < n_touches µppm per purchase; that remainder law
+    * is spec-pinned rather than hidden in float division.
+    *
+    * SKEW-SAFE PREFIX-COUNT FORM (r12): the original user-keyed
+    * touch ⋈ purchase interval join is QUADRATIC IN THE HUB USER — on
+    * the Zipf skew corpus the head user holds ~7 % of all events, so at
+    * skew1 one user contributes ~290 k touches × 144 k purchases ≈ 10¹⁰
+    * pair combinations through one reducer and the key never finished a
+    * bench pass (>30 min, vs 2.15 s at skew0.1). The pair table was
+    * never needed: per purchase only (n_view, n_click) in the window
+    * matter, and those are PREFIX-COUNT DIFFERENCES. Two probe rows per
+    * purchase (at p and at p−7d, signs ±1) union with the touch stream;
+    * one per-user time-ordered window computes running view/click
+    * counts; probes sorted BEFORE touches at equal timestamps make the
+    * bounds exactly the oracle's t < p and t ≥ p−7d. Per-type outputs
+    * are then closed forms of (n_view, n_click): n_touches = Σ n_type,
+    * n_purchases = #{n_type > 0}, credit = Σ n_type·(10⁶ div n_total).
+    * Cost: one user-partition window (the hub user is a single LINEAR
+    * sorted task, ~n log n in its events, not n²) + a purchase-grain
+    * 2-row aggregate — same oracle, same hash. */
   private val anAttribution: Q = (s, dir) => {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    val W = 7L * 86400000000L
     val ev = Tables(s, dir, "events")
       .select($"user_id", $"event_id", $"event_type",
         expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tus"))
     val touches = ev.filter($"event_type".isin("view", "click"))
-      .select($"user_id", $"event_type".as("touch_type"), $"tus".as("t_tus"))
+      .select($"user_id", $"tus", lit(1).as("is_touch"),
+        lit(null).cast("long").as("purchase_id"), lit(0).as("sign"),
+        when($"event_type" === "view", 1L).otherwise(0L).as("v"),
+        when($"event_type" === "click", 1L).otherwise(0L).as("c"))
     val purchases = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"event_id".as("purchase_id"), $"tus".as("p_tus"))
-    val pairs = touches.join(purchases, Seq("user_id"))
-      .filter($"t_tus" < $"p_tus" && $"t_tus" >= $"p_tus" - lit(7L * 86400000000L))
-    val wP = Window.partitionBy($"purchase_id")
-    pairs
-      .withColumn("n_touch", count(lit(1)).over(wP))
-      .withColumn("credit_ppm", expr("1000000 div n_touch"))
+    def probe(at: org.apache.spark.sql.Column, sign: Int) =
+      purchases.select($"user_id", at.as("tus"), lit(0).as("is_touch"),
+        $"purchase_id", lit(sign).as("sign"),
+        lit(0L).as("v"), lit(0L).as("c"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"tus", $"is_touch") // probes first at equal tus → strict bounds
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counts = probe($"p_tus", 1)
+      .unionByName(probe($"p_tus" - W, -1))
+      .unionByName(touches)
+      .select($"purchase_id", $"sign",
+        sum($"v").over(w).as("pv"), sum($"c").over(w).as("pc"))
+      .filter($"sign" =!= 0)
+      .groupBy($"purchase_id")
+      .agg(sum($"sign" * $"pv").as("nv"), sum($"sign" * $"pc").as("nc"))
+      .filter($"nv" + $"nc" > 0)
+      .withColumn("credit_per", expr("1000000 div (nv + nc)"))
+    counts
+      .select(explode(array(
+        struct(lit("view").as("touch_type"), $"nv".as("k")),
+        struct(lit("click").as("touch_type"), $"nc".as("k")))).as("s"),
+        $"credit_per")
+      .select($"s.touch_type".as("touch_type"), $"s.k".as("k"), $"credit_per")
+      .filter($"k" > 0)
       .groupBy($"touch_type")
-      .agg(count(lit(1)).as("n_touches"),
-        countDistinct($"purchase_id").as("n_purchases"),
-        sum($"credit_ppm").as("credit_ppm_sum"))
+      .agg(sum($"k").as("n_touches"),
+        count(lit(1)).as("n_purchases"),
+        sum($"k" * $"credit_per").as("credit_ppm_sum"))
       .orderBy($"touch_type")
   }
 
