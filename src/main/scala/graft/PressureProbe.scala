@@ -55,9 +55,18 @@ object PressureProbe {
       val t0 = System.nanoTime()
       val (ok, fp) =
         try (true, Some(operators.Sync.fingerprint(fn(spark, dir))))
-        catch { case e: Throwable =>
-          System.err.println(s"[pressure] $key FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          (false, None)
+        catch {
+          // Fatal VM errors (OOM, stack overflow) leave the JVM in an
+          // undefined state — later keys' results and spill metrics in
+          // this run would be tainted, so rethrow and let the process
+          // die; probe one key per JVM when hunting the OOM floor
+          // (ADVICE r12). Non-fatal failures are per-key and reported.
+          case e: VirtualMachineError =>
+            System.err.println(s"[pressure] $key FATAL: ${e.getClass.getSimpleName} — aborting run")
+            throw e
+          case e: Throwable =>
+            System.err.println(s"[pressure] $key FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            (false, None)
         }
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()

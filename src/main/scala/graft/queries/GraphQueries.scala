@@ -208,7 +208,7 @@ object GraphQueries {
     val st = deg.agg(sum($"deg").as("m"), max($"deg").as("maxd")).head()
     val (m, maxd) = (st.getLong(0), st.getLong(1))
     val parts = s.conf.get("spark.sql.shuffle.partitions").toLong
-    val threshold = math.max(32L, 2L * m / math.max(parts, 1L))
+    val threshold = graft.operators.SaltedJoin.capacityThreshold(m, parts)
     val useSalt = maxd > threshold
     val hubs = deg.filter($"deg" > threshold).select($"a")
     val (eHot, eCold) =

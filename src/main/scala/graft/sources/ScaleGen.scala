@@ -45,7 +45,16 @@ object ScaleGen {
     * rank r = ⌊n^u⌋ gives P(r = k) = ln((k+1)/k)/ln n ≈ 1/(k·ln n), so
     * key 0 absorbs ln2/ln n of all picks (≈8 % at n = 10⁴, ≈6 % at
     * n = 10⁶) and the frequency-vs-rank curve is a straight −1 slope —
-    * the canonical popularity law for customers, parts, and users. */
+    * the canonical popularity law for customers, parts, and users.
+    *
+    * EFFECTIVE DOMAIN IS [0, n-2], not [0, n) (ADVICE r12): u01 < 1
+    * makes ⌊n^u⌋ ≤ n-1, so rank n (key n-1) has probability 0 — the
+    * least-popular id of each skewed dimension never appears as a
+    * foreign key. That is harmless here (the uniform modes cover the
+    * full domain, and a Zipf tail id's expected count is ≪ 1 row
+    * anyway) but callers must not assume skew-mode FK coverage of the
+    * last id; the `least(n, …)` clamp is retained purely as an
+    * overflow guard for the u→1 double edge. */
   private def zipfPick(n: Long, cols: Column*): Column =
     least(lit(n), greatest(lit(1L),
       floor(pow(lit(n.toDouble), u01(cols: _*))).cast("long"))) - 1
@@ -287,6 +296,22 @@ object ScaleGen {
 
   // ------------------------------------------------------------- main ----
 
+  /** Write with timezone-NAIVE parquet timestamps (isAdjustedToUTC=false),
+    * matching the driver corpus's repr at /root/testdata (VERDICT r12 #4:
+    * Spark's instant-typed TIMESTAMP writes isAdjustedToUTC=true, which
+    * made DuckDB read generated dirs tz-AWARE and forced a normalization
+    * shim into tools/oracle_check.py). Session tz is UTC (GraftSession),
+    * so the LTZ→NTZ cast is value-preserving: identical micros on disk,
+    * only the annotation changes. */
+  private def writeNaive(df: DataFrame, path: String): Unit = {
+    val naive = df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampType)
+        d.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
+      else d
+    }
+    naive.write.mode("overwrite").parquet(path)
+  }
+
   def generate(spark: SparkSession, outDir: String, sf: Double, seed: Long = 42,
       vocabMode: String = "fixed", only: Option[Set[String]] = None): Unit = {
     def n(perSf1: Long): Long = math.max(1L, (perSf1 * sf).toLong)
@@ -329,7 +354,7 @@ object ScaleGen {
       "embeddings" -> embeddings(spark, n(20000), seed + 70))
     tables.foreach { case (name, df) =>
       if (only.forall(_.contains(name)))
-        df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        writeNaive(df, s"$outDir/$name.parquet")
     }
   }
 

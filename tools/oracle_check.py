@@ -91,15 +91,9 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return v
-    # ScaleGen-dir artifact (r12): generated parquet carries
-    # isAdjustedToUTC, so DuckDB yields tz-AWARE datetimes while the
-    # Spark dump yields naive ones — same instant, different repr. The
-    # driver only grades /root/testdata (both sides naive there), so
-    # normalizing to naive UTC keeps this local replica byte-faithful to
-    # the driver on its corpus while removing pure-repr noise on ours.
-    if hasattr(v, "tzinfo") and v.tzinfo is not None and hasattr(v, "astimezone"):
-        import datetime as _dt
-        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    # No tz normalization: ScaleGen writes timezone-naive parquet
+    # timestamps (ScaleGen.writeNaive), so generated dirs carry the same
+    # naive repr as /root/testdata and both sides compare byte-strict.
     return v
 
 
