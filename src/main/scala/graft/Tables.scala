@@ -17,10 +17,15 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // TIMESTAMP(NANOS) columns arrive as long (see GraftSession nanosAsLong);
     // integer-divide to micros — same truncation DuckDB applies on its
-    // nanos→micros casts, so derived values stay oracle-comparable.
+    // nanos→micros casts, so derived values stay oracle-comparable. Cast to
+    // timestamp_ntz so driver-corpus events presents the SAME Spark type as
+    // ScaleGen.writeNaive output (value-preserving under the UTC session) —
+    // keeps Sync.fingerprint's schema string corpus-independent.
     if (name == "events"
         && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
     else df
   }
 

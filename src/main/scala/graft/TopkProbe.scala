@@ -62,6 +62,19 @@ object TopkProbe {
       println(s"""{"probe":"topk","k":$k,"sec":$sec,"certified_rows":${rows.length},""" +
         s""""full20":$full20,"prefix_ok":$prefixOk}""")
     }
+
+    // AUTO-K mode (VERDICT r13 #4): the probe derives K from the corpus's
+    // own support law — print the chosen capacity, wall, and whether the
+    // result is exactly the fixed-K output (the proof obligation)
+    val t2 = System.nanoTime()
+    val (kAuto, dfAuto) = queries.AnalyticsQueries.basketPairsTopkAutoK(spark, dir)
+    val rowsAuto = dfAuto.collect()
+    val secAuto = (System.nanoTime() - t2) / 1e9
+    spark.catalog.clearCache()
+    val fixed = queries.AnalyticsQueries.queries("an_basket_pairs_topk")(spark, dir).collect()
+    val sameAsFixed = rowsAuto.toSeq == fixed.toSeq
+    println(s"""{"probe":"topk_auto","k_chosen":$kAuto,"sec":$secAuto,""" +
+      s""""certified_rows":${rowsAuto.length},"same_as_fixed":$sameAsFixed}""")
     spark.stop()
   }
 }

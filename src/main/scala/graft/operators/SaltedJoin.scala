@@ -72,7 +72,12 @@ object SaltedJoin {
   def triggerDecision(df: DataFrame, c: Column, parts: Long): (Long, Long, Boolean) = {
     val r = df.groupBy(c.as("key")).agg(count(lit(1)).as("n"))
       .agg(sum(col("n")).as("total"), max(col("n")).as("maxn")).head()
-    val threshold = capacityThreshold(r.getLong(0), parts)
-    (threshold, r.getLong(1), r.getLong(1) > threshold)
+    // Zero groups → sum/max aggregate to NULL: an empty input has no hot
+    // key, so report the floor threshold and stay silent.
+    if (r.isNullAt(0)) (32L, 0L, false)
+    else {
+      val threshold = capacityThreshold(r.getLong(0), parts)
+      (threshold, r.getLong(1), r.getLong(1) > threshold)
+    }
   }
 }

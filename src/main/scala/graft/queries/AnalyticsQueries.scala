@@ -39,6 +39,7 @@ object AnalyticsQueries {
     "an_abtest" -> anAbtest,
     "an_basket_pairs" -> anBasketPairs,
     "an_basket_pairs_topk" -> anBasketPairsTopk,
+    "an_basket_pairs_topk_auto" -> anBasketPairsTopkAuto,
     "an_attribution" -> anAttribution,
     "an_stickiness" -> anStickiness,
     "an_new_vs_returning" -> anNewVsReturning,
@@ -209,6 +210,89 @@ object AnalyticsQueries {
       .limit(20)
       .select($"part_a", $"part_b", $"support", $"orders_a", $"orders_b")
   }
+
+  /** Probe capacity for [[basketPairsTopkAutoK]]'s support-law pass —
+    * small enough that the probe sketch is driver/executor-trivial
+    * (≤4096 packed-long entries), large enough that on any corpus with
+    * ≥20 meaningfully-supported pairs the MG state surfaces ≥20
+    * candidates to read the law from. */
+  private[graft] val BasketProbeK = 1 << 12
+
+  /** AUTO-K basket top-20 (VERDICT r12 #3 / r13 #4) — derives the
+    * Misra–Gries capacity from the corpus's own support law instead of
+    * hardcoding the flat-corpus worst case [[BasketTopkK]] = 2²⁰ (the
+    * documented 2 GiB OOM floor: 32 partitions × 2²⁰ sketch entries is
+    * what the r12 PressureProbe measured dying at 2 GiB).
+    *
+    * Pass 1 (probe): one MG sketch at [[BasketProbeK]] over the pair
+    * stream, then an exact recount of ONLY its ≤probeK candidates — no
+    * certification filter — and the 20th-highest exact support s′₂₀ is
+    * read off. Because the candidates are a SUBSET of all pairs and the
+    * recount is exact, s′₂₀ ≤ s₂₀ (the true 20th support), always.
+    *
+    * Pass 2: [[basketPairsTopkWith]] at K = 4·(⌊n/s′₂₀⌋+1) clamped to
+    * [2¹², 2²⁰]. PROVABLY the same output as fixed K = 2²⁰ on EVERY
+    * corpus (the shared oracle replays the fixed threshold):
+    *   - unclamped: K ≥ 4·(n/s′₂₀) ≥ 4·(n/s₂₀) > n/s₂₀, so every true
+    *     top-20 pair satisfies support·(K+1) > n — the certified set
+    *     contains the full true top-20, and both K's deterministic
+    *     (support desc, part_a, part_b) top-20 prefixes ARE the true
+    *     top-20;
+    *   - clamped high (flat corpus: s′₂₀ tiny → derived K ≥ 2²⁰), or
+    *     fewer than 20 probe candidates (degenerate corpus): runs
+    *     literally the fixed-K path.
+    * So the auto key shares `an_basket_pairs_topk`'s oracle SQL verbatim
+    * and is hash-graded against it; on Zipf co-purchase data (measured
+    * k\* = 681–1678 across the skew0.01→1 century, TopkProbe r12) it
+    * runs the whole pipeline at K ≈ 2¹², retiring the 2 GiB floor —
+    * BasketAutoKSpec pins the derivation and both clamp edges, TopkProbe
+    * `auto` mode measures it on the skew corpora. */
+  private[graft] def basketPairsTopkAutoK(s: SparkSession, dir: String,
+      probeK: Int = BasketProbeK): (Int, DataFrame) = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct().persist()
+    val pairKey = shiftleft($"part_a", 32) + $"part_b"
+    val summary = orderPairs(li).agg(
+      graft.functions.SketchAgg.misraGriesLong(pairKey, probeK).as("cand"),
+      count(lit(1)).as("n_pairs")).localCheckpoint()
+    val candDf = summary.select(explode($"cand").as("pair_key"))
+    // exact supports of the ≤probeK candidates — top-20 of a subset, so
+    // the 20th value LOWER-bounds the true s₂₀ (never over-certifies)
+    val top = orderPairs(li).withColumn("pair_key", pairKey)
+      .join(broadcast(candDf), "pair_key")
+      .groupBy($"pair_key").agg(count(lit(1)).as("support"))
+      .orderBy($"support".desc, $"pair_key")
+      .limit(20).select($"support").as[Long].collect()
+    val nPairs = summary.select($"n_pairs").as[Long].head()
+    li.unpersist()
+    val k =
+      if (top.length < 20 || top.last <= 0L) BasketTopkK
+      else {
+        val kStar = nPairs / top.last + 1L
+        math.min(BasketTopkK.toLong, math.max(BasketProbeK.toLong, 4L * kStar)).toInt
+      }
+    (k, basketPairsTopkWith(s, dir, k))
+  }
+
+  private val anBasketPairsTopkAuto: Q = (s, dir) =>
+    basketPairsTopkAutoK(s, dir)._2
+
+  private lazy val basketTopkOracleSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS (SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+      |  COUNT(*) AS support
+      | FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |   AND x.l_partkey < y.l_partkey
+      | GROUP BY 1, 2),
+      |n AS (SELECT CAST(SUM(support) AS BIGINT) AS n_pairs FROM p),
+      |s AS (SELECT l_partkey, COUNT(*) AS n_orders FROM li GROUP BY 1)
+      |SELECT part_a, part_b, support, sa.n_orders AS orders_a,
+      | sb.n_orders AS orders_b
+      |FROM p JOIN s sa ON p.part_a = sa.l_partkey
+      | JOIN s sb ON p.part_b = sb.l_partkey
+      |WHERE support * ${(BasketTopkK + 1).toLong} > (SELECT n_pairs FROM n)
+      |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin
 
   /** Linear multi-touch attribution — each purchase's credit split
     * equally (floor-ppm) across the user's view/click touches in the 7
@@ -990,21 +1074,11 @@ object AnalyticsQueries {
     // replays the CERTIFIED-prefix contract: MG guarantees completeness of
     // {support·(K+1) > n}, so the oracle computes that set exactly and
     // takes the same deterministic top-20
-    "an_basket_pairs_topk" ->
-      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |p AS (SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
-        |  COUNT(*) AS support
-        | FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
-        |   AND x.l_partkey < y.l_partkey
-        | GROUP BY 1, 2),
-        |n AS (SELECT CAST(SUM(support) AS BIGINT) AS n_pairs FROM p),
-        |s AS (SELECT l_partkey, COUNT(*) AS n_orders FROM li GROUP BY 1)
-        |SELECT part_a, part_b, support, sa.n_orders AS orders_a,
-        | sb.n_orders AS orders_b
-        |FROM p JOIN s sa ON p.part_a = sa.l_partkey
-        | JOIN s sb ON p.part_b = sb.l_partkey
-        |WHERE support * ${(BasketTopkK + 1).toLong} > (SELECT n_pairs FROM n)
-        |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "an_basket_pairs_topk" -> basketTopkOracleSql,
+    // the auto-K twin shares the fixed-K oracle VERBATIM — the scaladoc
+    // proof on basketPairsTopkAutoK is that the derived-K output equals
+    // the fixed-K output on every corpus, so one SQL grades both
+    "an_basket_pairs_topk_auto" -> basketTopkOracleSql,
 
     "an_stickiness" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

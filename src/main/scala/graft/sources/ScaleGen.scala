@@ -304,11 +304,27 @@ object ScaleGen {
     * so the LTZ→NTZ cast is value-preserving: identical micros on disk,
     * only the annotation changes. */
   private def writeNaive(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.types._
     val naive = df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.dataType == org.apache.spark.sql.types.TimestampType)
+      if (f.dataType == TimestampType)
         d.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
       else d
     }
+    // The rewrite above only reaches TOP-LEVEL timestamp columns; a
+    // timestamp nested in a struct/array/map would still write
+    // isAdjustedToUTC=true and silently reintroduce the tz-aware oracle
+    // mismatch — refuse loudly instead (no ScaleGen table nests one today).
+    def hasLtz(dt: DataType): Boolean = dt match {
+      case TimestampType => true
+      case s: StructType => s.fields.exists(f => hasLtz(f.dataType))
+      case a: ArrayType => hasLtz(a.elementType)
+      case m: MapType => hasLtz(m.keyType) || hasLtz(m.valueType)
+      case _ => false
+    }
+    val leaked = naive.schema.fields.filter(f => hasLtz(f.dataType)).map(_.name)
+    require(leaked.isEmpty,
+      s"writeNaive($path): nested instant-typed TIMESTAMP in ${leaked.mkString(", ")} — " +
+        "extend the rewrite to recurse before adding nested timestamps to ScaleGen")
     naive.write.mode("overwrite").parquet(path)
   }
 

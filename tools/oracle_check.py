@@ -22,8 +22,13 @@ def strict_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<null>"
     if isinstance(v, pd.Timestamp):
-        if v.tzinfo is not None:  # see norm_cell: generated-dir tz noise
-            v = v.tz_convert("UTC").tz_localize(None)
+        if v.tzinfo is not None:
+            # The strict path is the byte-faithful driver replica: a
+            # tz-aware timestamp means a scale dir written BEFORE
+            # ScaleGen.writeNaive (LTZ annotation) — regenerate it.
+            raise ValueError(
+                f"tz-aware timestamp {v!r} in strict compare: stale "
+                "pre-writeNaive generated dir — regenerate the scale dir")
         return v.isoformat()
     tn = type(v).__name__
     if tn in ("date", "datetime"):
