@@ -172,7 +172,31 @@ object AnalyticsQueries {
     * threshold in); `graft.TopkProbe` runs small K against a measured
     * Zipf support law to earn the K ≪ 2²⁰ story (VERDICT r11 #1). */
   private[graft] def basketPairsTopkWith(s: SparkSession, dir: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame = basketTopkCore(s, dir, k)._1
+
+  /** Candidate-count gate for the recount pass's part filter: when the
+    * sketch is small, the recount pair stream is pre-shrunk to orders'
+    * rows whose part appears in SOME candidate pair (a broadcast
+    * semi-join on ≤2K part ids). Candidate-pair counts are EXACTLY
+    * preserved — a candidate pair has both parts in the filter set, so
+    * every order row that could form it survives — the filter only stops
+    * regenerating the (measured 10×-per-decade, r14) pair mass between
+    * cold parts. Above the gate the broadcast of up to 2·2²⁰ part ids
+    * stops paying for itself on flat corpora, so the full-stream recount
+    * is kept (the fixed 2²⁰ path's plan is unchanged). */
+  private val RecountPartFilterMaxK = 1 << 16
+
+  /** Shared sketch→recount machinery for fixed-K, auto-K, and the probe:
+    * returns (certified top-20 result at threshold k+1, pair-stream
+    * length n, top-20 recounted-candidate supports BEFORE certification —
+    * the support law the auto mode reads s′₂₀ from). With
+    * `needLaw = false` (the fixed key) the law stays on the executors —
+    * n rides the 1-row summary into the certification filter and the
+    * returned (n, law) are (-1, empty); `needLaw = true` surfaces the two
+    * driver-side scalars the auto decision needs (a 1-row head and a
+    * 20-long collect — decision inputs, not data). */
+  private def basketTopkCore(s: SparkSession, dir: String,
+      k: Int, needLaw: Boolean = false): (DataFrame, Long, Array[Long]) = {
     import s.implicits._
     // the distinct order×part stream is order grain — far smaller than
     // the pair stream it fans into — and is scanned three times (sketch
@@ -180,7 +204,6 @@ object AnalyticsQueries {
     // two small checkpointed products below are materialized
     val li = Tables(s, dir, "lineitem")
       .select($"l_orderkey", $"l_partkey").distinct().persist()
-    def pairs = orderPairs(li)
     // pack the pair into one 64-bit key (part_a < part_b < 2³² — partkeys
     // are catalog ordinals, 32 bits holds a 4-billion-part catalog): the
     // sketch then hashes primitive longs instead of materialising a
@@ -188,35 +211,51 @@ object AnalyticsQueries {
     val pairKey = shiftleft($"part_a", 32) + $"part_b"
     // eager 1-row checkpoint: runs the sketch pass (populating the li
     // cache) and pins the ≤K summary + pair total on the executors
-    val summary = pairs.agg(
+    val summary = orderPairs(li).agg(
       graft.functions.SketchAgg.misraGriesLong(pairKey, k).as("cand"),
       count(lit(1)).as("n_pairs")).localCheckpoint()
     val candDf = summary.select(explode($"cand").as("pair_key"))
-    val recount = pairs
+    val liRecount =
+      if (k > RecountPartFilterMaxK) li
+      else li.join(broadcast(candDf.select(explode(array(
+          shiftright($"pair_key", 32),
+          $"pair_key".bitwiseAND(lit((1L << 32) - 1)))).as("l_partkey"))
+        .distinct()), Seq("l_partkey"), "left_semi")
+    // exact candidate supports, certification NOT yet applied — ≤K rows
+    val recount = orderPairs(liRecount)
       .withColumn("pair_key", pairKey)
       .join(broadcast(candDf), "pair_key")
       .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("support"))
-      .crossJoin(broadcast(summary.select($"n_pairs")))
-      .filter($"support" * lit((k + 1).toLong) > $"n_pairs")
-      .drop("n_pairs")
-      .localCheckpoint() // eager; ≤K certified rows
+      .localCheckpoint() // eager; ≤K rows
+    val (nPairs, law) =
+      if (!needLaw) (-1L, Array.empty[Long])
+      else (summary.select($"n_pairs").as[Long].head(),
+        recount.orderBy($"support".desc, $"part_a", $"part_b")
+          .limit(20).select($"support").as[Long].collect())
     val single = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_orders"))
       .localCheckpoint() // eager; part-catalog grain
     li.unpersist() // every li consumer is materialized above
-    recount
+    val result = recount
+      .crossJoin(broadcast(summary.select($"n_pairs")))
+      .filter($"support" * lit((k + 1).toLong) > $"n_pairs")
+      .drop("n_pairs")
       .join(single.select($"l_partkey".as("part_a"), $"n_orders".as("orders_a")), "part_a")
       .join(single.select($"l_partkey".as("part_b"), $"n_orders".as("orders_b")), "part_b")
       .orderBy($"support".desc, $"part_a", $"part_b")
       .limit(20)
       .select($"part_a", $"part_b", $"support", $"orders_a", $"orders_b")
+    (result, nPairs, law)
   }
 
-  /** Probe capacity for [[basketPairsTopkAutoK]]'s support-law pass —
-    * small enough that the probe sketch is driver/executor-trivial
-    * (≤4096 packed-long entries), large enough that on any corpus with
-    * ≥20 meaningfully-supported pairs the MG state surfaces ≥20
-    * candidates to read the law from. */
-  private[graft] val BasketProbeK = 1 << 12
+  /** Probe capacity for [[basketPairsTopkAutoK]]'s first pass — small
+    * enough that the MG state is trivial (2¹⁴ packed-long entries ≈
+    * 256 KB/partition, vs the 2²⁰ state behind the measured 2 GiB OOM
+    * floor), large enough that on Zipfian co-purchase data the probe
+    * pass itself already certifies the full top-20 (measured
+    * k\* = 681–2301 across the skew0.01→10 ladder — two decades of
+    * headroom below 2¹⁴) so auto stays ONE-pass on the corpora it
+    * exists for. */
+  private[graft] val BasketProbeK = 1 << 14
 
   /** AUTO-K basket top-20 (VERDICT r12 #3 / r13 #4) — derives the
     * Misra–Gries capacity from the corpus's own support law instead of
@@ -224,55 +263,47 @@ object AnalyticsQueries {
     * documented 2 GiB OOM floor: 32 partitions × 2²⁰ sketch entries is
     * what the r12 PressureProbe measured dying at 2 GiB).
     *
-    * Pass 1 (probe): one MG sketch at [[BasketProbeK]] over the pair
-    * stream, then an exact recount of ONLY its ≤probeK candidates — no
-    * certification filter — and the 20th-highest exact support s′₂₀ is
-    * read off. Because the candidates are a SUBSET of all pairs and the
-    * recount is exact, s′₂₀ ≤ s₂₀ (the true 20th support), always.
+    * Pass 1: [[basketTopkCore]] at [[BasketProbeK]] — one small-state
+    * sketch over the pair stream, one part-filtered exact recount. If
+    * the pass certifies a FULL top-20 at its own threshold
+    * (support·(probeK+1) > n for all 20), those rows are emitted
+    * directly: MG completeness at probeK makes them the true top-20,
+    * and certification at the TIGHTER probe threshold implies
+    * certification at the oracle's 2²⁰ threshold, so the fixed-K
+    * output is identical. ONE pass on any corpus whose law allows it.
     *
-    * Pass 2: [[basketPairsTopkWith]] at K = 4·(⌊n/s′₂₀⌋+1) clamped to
-    * [2¹², 2²⁰]. PROVABLY the same output as fixed K = 2²⁰ on EVERY
-    * corpus (the shared oracle replays the fixed threshold):
-    *   - unclamped: K ≥ 4·(n/s′₂₀) ≥ 4·(n/s₂₀) > n/s₂₀, so every true
-    *     top-20 pair satisfies support·(K+1) > n — the certified set
+    * Escalation (flat/degenerate corpora): K = 4·(⌊n/s′₂₀⌋+1) clamped
+    * to [2¹², 2²⁰], where s′₂₀ is the 20th-highest recounted candidate
+    * support — a LOWER bound on the true s₂₀ (candidates are a subset,
+    * recounts exact), or straight to the cap when the probe surfaced
+    * fewer than 20 candidates. PROVABLY the fixed-K output on every
+    * corpus:
+    *   - unclamped: K ≥ 4·(n/s′₂₀) > n/s₂₀, so the certified set
     *     contains the full true top-20, and both K's deterministic
     *     (support desc, part_a, part_b) top-20 prefixes ARE the true
-    *     top-20;
-    *   - clamped high (flat corpus: s′₂₀ tiny → derived K ≥ 2²⁰), or
-    *     fewer than 20 probe candidates (degenerate corpus): runs
-    *     literally the fixed-K path.
+    *     top-20 (an unclamped K also implies the 2²⁰ set has ≥20 rows:
+    *     4·(n/s₂₀) < 2²⁰ ⇒ s₂₀·(2²⁰+1) > n);
+    *   - clamped at the cap: literally the fixed-K path.
     * So the auto key shares `an_basket_pairs_topk`'s oracle SQL verbatim
-    * and is hash-graded against it; on Zipf co-purchase data (measured
-    * k\* = 681–1678 across the skew0.01→1 century, TopkProbe r12) it
-    * runs the whole pipeline at K ≈ 2¹², retiring the 2 GiB floor —
-    * BasketAutoKSpec pins the derivation and both clamp edges, TopkProbe
-    * `auto` mode measures it on the skew corpora. */
+    * and is hash-graded against it. BasketAutoKSpec pins the one-pass
+    * accept, both clamp edges, and the probe-underestimate overshoot;
+    * TopkProbe's `topk_auto` row measures it on the skew ladder. */
   private[graft] def basketPairsTopkAutoK(s: SparkSession, dir: String,
       probeK: Int = BasketProbeK): (Int, DataFrame) = {
-    import s.implicits._
-    val li = Tables(s, dir, "lineitem")
-      .select($"l_orderkey", $"l_partkey").distinct().persist()
-    val pairKey = shiftleft($"part_a", 32) + $"part_b"
-    val summary = orderPairs(li).agg(
-      graft.functions.SketchAgg.misraGriesLong(pairKey, probeK).as("cand"),
-      count(lit(1)).as("n_pairs")).localCheckpoint()
-    val candDf = summary.select(explode($"cand").as("pair_key"))
-    // exact supports of the ≤probeK candidates — top-20 of a subset, so
-    // the 20th value LOWER-bounds the true s₂₀ (never over-certifies)
-    val top = orderPairs(li).withColumn("pair_key", pairKey)
-      .join(broadcast(candDf), "pair_key")
-      .groupBy($"pair_key").agg(count(lit(1)).as("support"))
-      .orderBy($"support".desc, $"pair_key")
-      .limit(20).select($"support").as[Long].collect()
-    val nPairs = summary.select($"n_pairs").as[Long].head()
-    li.unpersist()
-    val k =
-      if (top.length < 20 || top.last <= 0L) BasketTopkK
-      else {
-        val kStar = nPairs / top.last + 1L
-        math.min(BasketTopkK.toLong, math.max(BasketProbeK.toLong, 4L * kStar)).toInt
-      }
-    (k, basketPairsTopkWith(s, dir, k))
+    val (probe, nPairs, law) = basketTopkCore(s, dir, probeK, needLaw = true)
+    // the probe pass proves its own completeness: 20 certified rows at
+    // threshold probeK+1 ⇒ they are the true top-20 ⇒ emit, one pass
+    if (law.length == 20 && law.last * (probeK + 1).toLong > nPairs)
+      (probeK, probe)
+    else {
+      val k =
+        if (law.length < 20 || law.last <= 0L) BasketTopkK
+        else {
+          val kStar = nPairs / law.last + 1L
+          math.min(BasketTopkK.toLong, math.max(1L << 12, 4L * kStar)).toInt
+        }
+      (k, basketPairsTopkWith(s, dir, k))
+    }
   }
 
   private val anBasketPairsTopkAuto: Q = (s, dir) =>

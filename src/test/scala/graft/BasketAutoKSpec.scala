@@ -39,14 +39,15 @@ class BasketAutoKSpec extends SparkSpec {
   private def fixedK(dir: String): Seq[org.apache.spark.sql.Row] =
     AnalyticsQueries.queries("an_basket_pairs_topk")(spark, dir).collect().toSeq
 
-  test("skew corpus: auto-K stays at the 2^12 floor and certifies the exact top-20") {
+  test("skew corpus: the probe pass certifies the exact top-20 in ONE pass") {
     // Zipf-ish law: pair i has support ~ 600/i — 25 distinct pairs,
-    // n = sum(supports); s20 = 30, k* = n/30 + 1 ≈ 93 → 4·k* ≪ 2¹² floor
+    // n = sum(supports) ≈ 2.3k; s20 = 30 and 30·(2¹⁴+1) ≫ n, so the
+    // probe pass proves its own completeness and no escalation runs
     val sups = (1 to 25).map(i => ((i.toLong, 1000L + i), math.max(600 / i, 3)))
     val dir = corpus("basket_skew", sups)
     val (k, df) = AnalyticsQueries.basketPairsTopkAutoK(spark, dir)
     assert(k == AnalyticsQueries.BasketProbeK,
-      s"derived K must clamp to the 2^12 floor on this law, got $k")
+      s"the probe capacity must be accepted one-pass on this law, got $k")
     val rows = df.collect().toSeq
     assert(rows.size == 20, s"must certify the FULL top-20, got ${rows.size}")
     assert(rows == exactTop20(dir), "auto output must be the exact top-20")
@@ -65,17 +66,22 @@ class BasketAutoKSpec extends SparkSpec {
       "clamped auto must emit exactly the fixed-K certified prefix")
   }
 
-  test("probe underestimate (tiny probeK) only grows K — still the exact top-20") {
-    // same skew law, but probeK = 8: the MG probe cannot hold all top
-    // pairs, so s′₂₀ underestimates s₂₀ and the derived K overshoots —
-    // certification must survive the overshoot by construction
+  test("probe underestimate (tiny probeK) escalates and still emits the exact top-20") {
+    // same skew law, probeK = 32: the probe can't certify at threshold 33
+    // (s₂₀·33 < n), so the escalation derives K from s′₂₀ ≤ s₂₀ — the
+    // overshoot direction — and the second pass must certify the full 20
     val sups = (1 to 25).map(i => ((i.toLong, 1000L + i), math.max(600 / i, 3)))
-    val dir = corpus("basket_probe8", sups)
+    val dir = corpus("basket_probe32", sups)
+    val (k32, df32) = AnalyticsQueries.basketPairsTopkAutoK(spark, dir, probeK = 32)
+    assert(k32 > 32 && k32 < (1 << 20),
+      s"must escalate past the probe capacity but stay below the cap, got $k32")
+    assert(df32.collect().toSeq == exactTop20(dir),
+      "escalated pass must certify the exact top-20")
+    // probeK = 8 can't even surface 20 candidates — straight to the cap,
+    // which is literally the fixed path
     val (k8, df8) = AnalyticsQueries.basketPairsTopkAutoK(spark, dir, probeK = 8)
-    val (kFull, _) = AnalyticsQueries.basketPairsTopkAutoK(spark, dir)
-    assert(k8 >= kFull, s"underestimated s′₂₀ must not shrink K ($k8 < $kFull)")
-    assert(df8.collect().toSeq == exactTop20(dir),
-      "overshoot path must still certify the exact top-20")
+    assert(k8 == (1 << 20), s"<20 probe candidates must fall back to the cap, got $k8")
+    assert(df8.collect().toSeq == exactTop20(dir))
   }
 
   test("degenerate corpus (<20 distinct pairs): falls back to the fixed path") {
