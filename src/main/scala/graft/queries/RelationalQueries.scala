@@ -559,28 +559,46 @@ object RelationalQueries {
     withTs.withColumn("ts", col("ts").cast("timestamp"))
   }
 
-  /** Drain a streaming DataFrame with `Trigger.AvailableNow` into a
-    * uniquely-named memory sink and return the sink table. The fresh name
-    * per invocation keeps warm-up passes from stacking append-mode rows;
-    * the sink view is dropped immediately (the returned DataFrame's plan
-    * is already resolved to the in-memory relation, so the catalog name is
-    * no longer needed) and the checkpoint dir is deleted on JVM exit — so
-    * repeated warm-up/bench passes don't accumulate cached sink tables or
-    * on-disk checkpoints for the life of the JVM. */
+  /** Drain a streaming DataFrame with `Trigger.AvailableNow` and return
+    * the drained table. APPEND-mode drains go to a parquet FILE sink in a
+    * fresh temp dir and are read back — executor-side end to end, so an
+    * unbounded output (the skew10 interval join emits >1 GB of matches)
+    * never rides task results to the driver (the memory sink did, and
+    * died on spark.driver.maxResultSize at skew10 — r14). COMPLETE-mode
+    * drains keep the memory sink: the file sink cannot replace a complete
+    * snapshot, and a complete-mode result is a groupBy aggregate that is
+    * small by construction. Fresh names/dirs per invocation keep warm-up
+    * passes from stacking rows; checkpoint and output dirs are deleted on
+    * JVM exit. */
   private def drainToTable(s: SparkSession, df: DataFrame, prefix: String,
       mode: String): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory(prefix + "_ckpt")
     deleteRecursivelyOnExit(ckpt)
-    val sink = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    df.writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-    val out = s.table(sink) // ofRows resolves the plan eagerly
-    s.catalog.dropTempView(sink)
-    out
+    if (mode == "append") {
+      val out = java.nio.file.Files.createTempDirectory(prefix + "_out")
+      deleteRecursivelyOnExit(out)
+      df.writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      // explicit schema: a drain with zero emitted rows leaves only the
+      // _spark_metadata log, and schema inference would throw
+      s.read.schema(df.schema).parquet(out.toString)
+    } else {
+      val sink = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      df.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val out = s.table(sink) // ofRows resolves the plan eagerly
+      s.catalog.dropTempView(sink)
+      out
+    }
   }
 
   /** Write each DataFrame as ONE parquet file in a fresh source dir, file

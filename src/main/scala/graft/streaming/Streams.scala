@@ -250,20 +250,53 @@ object Streams {
     * engine BOUND the buffered state: a view older than
     * watermark + interval can never match a future purchase and is evicted.
     * Without the range bounds this join would buffer both streams forever. */
-  def purchaseAttribution(events: DataFrame, interval: String = "1 hour",
-      watermark: String = "2 hours"): DataFrame = {
+  /** The two interval-join sides with the TIME-BUCKETED state key
+    * (r14 skew fix): Spark's streaming symmetric-hash join keys its state
+    * on the EQUALITY columns only — the range condition is a post-lookup
+    * filter — so a Zipf-hot user turns every arriving row into a scan of
+    * ALL buffered rows for that user (measured: st_stream_join went
+    * 2.4 s flat-sf0.1 → 121 s skew1 for 10× data while every other
+    * streaming key stayed 1–2×; the hub user's state is the quadratic).
+    * Adding the tumbling `interval` bucket of the event time to the join
+    * key shrinks each lookup from per-user state to per-(user, hour):
+    * a matching pair has p_ts ∈ [v_ts, v_ts + interval), so the
+    * purchase's bucket is the view's own or the next — each view is
+    * exploded into exactly those two probe buckets, every true pair
+    * coincides on exactly ONE of them (no duplicates, full coverage),
+    * and the exact range filter still decides membership. Views buffer
+    * ×2; purchases stay singular, so the left join still emits exactly
+    * one null row per unmatched purchase. Watermark semantics are
+    * untouched — v_ts/p_ts columns are unchanged and eviction still
+    * derives from the event-time range condition. */
+  private def intervalJoinSides(events: DataFrame, interval: String,
+      watermark: String): (DataFrame, DataFrame) = {
+    val iv = expr(s"INTERVAL $interval")
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("view_id"))
       .withWatermark("v_ts", watermark)
+      .select(col("v_user"), col("v_ts"), col("view_id"),
+        explode(array(
+          window(col("v_ts"), interval).getField("start"),
+          window(col("v_ts") + iv, interval).getField("start"))).as("v_bucket"))
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"))
       .withWatermark("p_ts", watermark)
-    purchases.join(views,
-        col("p_user") === col("v_user") &&
-          col("v_ts") > col("p_ts") - expr(s"INTERVAL $interval") &&
-          col("v_ts") <= col("p_ts"))
+      .withColumn("p_bucket", window(col("p_ts"), interval).getField("start"))
+    (purchases, views)
+  }
+
+  private def intervalJoinCond(interval: String) =
+    col("p_user") === col("v_user") &&
+      col("p_bucket") === col("v_bucket") &&
+      col("v_ts") > col("p_ts") - expr(s"INTERVAL $interval") &&
+      col("v_ts") <= col("p_ts")
+
+  def purchaseAttribution(events: DataFrame, interval: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val (purchases, views) = intervalJoinSides(events, interval, watermark)
+    purchases.join(views, intervalJoinCond(interval))
       .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
         col("p_ts"), col("v_ts"))
   }
@@ -281,19 +314,8 @@ object Streams {
     * checkpoint state) — the drain replay encodes that boundary. */
   def purchaseAttributionLeft(events: DataFrame, interval: String = "1 hour",
       watermark: String = "2 hours"): DataFrame = {
-    val views = events.filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
-        col("event_id").as("view_id"))
-      .withWatermark("v_ts", watermark)
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("event_id").as("purchase_id"))
-      .withWatermark("p_ts", watermark)
-    purchases.join(views,
-        col("p_user") === col("v_user") &&
-          col("v_ts") > col("p_ts") - expr(s"INTERVAL $interval") &&
-          col("v_ts") <= col("p_ts"),
-        "leftOuter")
+    val (purchases, views) = intervalJoinSides(events, interval, watermark)
+    purchases.join(views, intervalJoinCond(interval), "leftOuter")
       .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
         col("p_ts"), col("v_ts"))
   }
