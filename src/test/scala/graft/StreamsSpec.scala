@@ -344,6 +344,65 @@ class StreamsSpec extends SparkSpec {
     assert(b === Set.empty, "ms-truncated strict boundary must hold back the 500µs purchase")
   }
 
+  test("bucketed interval join: hub-user drain equals the batch join as a " +
+      "MULTISET (full coverage, no bucket-explode duplicates)") {
+    import spark.implicits._
+    import StreamsSpec.AttrEvent
+    // One hub user with dense traffic engineered around the hour-bucket
+    // edges the r14 state-key fix introduces: matches in the SAME bucket,
+    // matches CROSSING a bucket boundary (p in the view's next hour),
+    // the inclusive v_ts == p_ts tie, the exclusive v_ts == p_ts − 1h
+    // boundary, and interleaved cold users. A view exploded into two
+    // probe buckets could double-emit if the equality key were wrong —
+    // compare as a multiset so any duplicate fails, and against the
+    // BATCH interval join so any dropped pair fails.
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def at(ms: Long) = new Timestamp(base + ms)
+    val H = 3600L * 1000
+    val events =
+      // hub user 1: views every 10 min for 3 h, purchases every 25 min
+      (0 until 18).map(i => AttrEvent(at(i * 10 * 60000L), 1, "view", 100 + i)) ++
+      (0 until 7).map(i => AttrEvent(at(i * 25 * 60000L + 5000), 1, "purchase", 200 + i)) ++
+      Seq(
+        AttrEvent(at(4 * H), 1, "view", 300),            // exactly p_ts − nothing
+        AttrEvent(at(5 * H), 1, "purchase", 301),        // v_ts == p_ts − 1h: excluded
+        AttrEvent(at(5 * H), 1, "view", 302),            // v_ts == p_ts: included
+        AttrEvent(at(6 * H), 2, "view", 400),            // cold users
+        AttrEvent(at(6 * H + 1000), 2, "purchase", 401),
+        AttrEvent(at(6 * H), 3, "purchase", 402))        // purchase with no view
+    val dir = java.nio.file.Files.createTempDirectory("bucketjoin").toString
+    events.toDS().coalesce(1).write.parquet(s"$dir/in")
+    val in = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[AttrEvent]].schema)
+      .parquet(s"$dir/in")
+    Streams.purchaseAttribution(in)
+      .select(col("purchase_id"), col("view_id"))
+      .writeStream.format("memory").queryName("bucketattr")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val streamed = spark.table("bucketattr")
+      .as[(Long, Long)].collect().toSeq.sorted
+    val df = events.toDF()
+    val batch = df.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("pts"), $"event_id".as("purchase_id"))
+      .join(df.filter($"event_type" === "view")
+          .select($"user_id".as("vu"), $"ts".as("vts"), $"event_id".as("view_id")),
+        $"pu" === $"vu" && $"vts" > $"pts" - expr("INTERVAL 1 hour") && $"vts" <= $"pts")
+      .select($"purchase_id", $"view_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    // sanity: the hub construction really is dense — multiple views per
+    // purchase on average, so a double-emit or a drop would move the count
+    assert(batch.size >= 30, s"sanity: expected a dense match set, got ${batch.size}")
+    assert(streamed == batch,
+      s"streamed multiset (${streamed.size}) != batch interval join (${batch.size})")
+    // non-vacuity for the boundary cases the bucketing must respect
+    val set = batch.toSet
+    assert(!set.contains((301L, 300L)), "v_ts == p_ts − 1h must stay excluded")
+    assert(set.contains((301L, 302L)), "v_ts == p_ts must stay included")
+  }
+
   test("st_stream_session_ooo: multi-batch out-of-order drain equals the " +
       "single-batch drain, with real stragglers riding batch 2") {
     import graft.queries.RelationalQueries
