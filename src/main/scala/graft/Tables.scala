@@ -22,11 +22,19 @@ object Tables {
     // ScaleGen.writeNaive output (value-preserving under the UTC session) —
     // keeps Sync.fingerprint's schema string corpus-independent.
     if (name == "events"
-        && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        && df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      // The LTZ→NTZ hop below is value-preserving ONLY under a UTC session
+      // timezone; any other zone would silently shift every ts and break
+      // oracle parity — fail loudly instead (GraftSession pins UTC; this
+      // guards sessions built without it).
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"Tables(events): ts cast requires spark.sql.session.timeZone=UTC " +
+          s"(got '$tz') — a non-UTC session would shift every timestamp")
       df.withColumn("ts",
         org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
           .cast(org.apache.spark.sql.types.TimestampNTZType))
-    else df
+    } else df
   }
 
   /** Register every table as a temp view so `spark.sql` text matches the

@@ -6,6 +6,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // A space-separated key list would silently verify only args(2) and
+    // leave the rest looking like missing outputs — refuse loudly.
+    require(args.length <= 3,
+      s"usage: Verify <sfDir> <outDir> [comma,separated,keys] — got " +
+        s"${args.length} args (join key lists with commas, not spaces)")
     val (sfDir, outDir) = (args(0), args(1))
     // Optional 3rd arg: comma-separated query names (fast local iteration).
     val only: Option[Set[String]] =

@@ -74,7 +74,7 @@ object SaltedJoin {
       .agg(sum(col("n")).as("total"), max(col("n")).as("maxn")).head()
     // Zero groups → sum/max aggregate to NULL: an empty input has no hot
     // key, so report the floor threshold and stay silent.
-    if (r.isNullAt(0)) (32L, 0L, false)
+    if (r.isNullAt(0)) (capacityThreshold(0L, parts), 0L, false)
     else {
       val threshold = capacityThreshold(r.getLong(0), parts)
       (threshold, r.getLong(1), r.getLong(1) > threshold)

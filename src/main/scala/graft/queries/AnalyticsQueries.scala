@@ -186,6 +186,14 @@ object AnalyticsQueries {
     * is kept (the fixed 2²⁰ path's plan is unchanged). */
   private val RecountPartFilterMaxK = 1 << 16
 
+  /** K-independent inputs shared across [[basketTopkCore]] passes: the
+    * PERSISTED distinct order×part stream and its checkpointed per-part
+    * supports. Auto-K builds one and threads it through probe AND
+    * escalation so the escalated pass re-sketches from the cache instead
+    * of rebuilding the distinct stream and the part supports from parquet
+    * (the r14 flat-corpus toll). The holder owns `li`'s lifecycle. */
+  private final case class BasketShared(li: DataFrame, single: DataFrame)
+
   /** Shared sketch→recount machinery for fixed-K, auto-K, and the probe:
     * returns (certified top-20 result at threshold k+1, pair-stream
     * length n, top-20 recounted-candidate supports BEFORE certification —
@@ -194,16 +202,20 @@ object AnalyticsQueries {
     * n rides the 1-row summary into the certification filter and the
     * returned (n, law) are (-1, empty); `needLaw = true` surfaces the two
     * driver-side scalars the auto decision needs (a 1-row head and a
-    * 20-long collect — decision inputs, not data). */
+    * 20-long collect — decision inputs, not data). A caller-owned
+    * [[BasketShared]] replaces the per-call li build + part supports;
+    * the certified output is k-deterministic either way (every emitted
+    * row is exactly recounted), so sharing cannot change the result. */
   private def basketTopkCore(s: SparkSession, dir: String,
-      k: Int, needLaw: Boolean = false): (DataFrame, Long, Array[Long]) = {
+      k: Int, needLaw: Boolean = false,
+      shared: Option[BasketShared] = None): (DataFrame, Long, Array[Long]) = {
     import s.implicits._
     // the distinct order×part stream is order grain — far smaller than
     // the pair stream it fans into — and is scanned three times (sketch
     // pass, recount pass, per-part supports): cache it, release once the
     // two small checkpointed products below are materialized
-    val li = Tables(s, dir, "lineitem")
-      .select($"l_orderkey", $"l_partkey").distinct().persist()
+    val li = shared.map(_.li).getOrElse(Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct().persist())
     // pack the pair into one 64-bit key (part_a < part_b < 2³² — partkeys
     // are catalog ordinals, 32 bits holds a 4-billion-part catalog): the
     // sketch then hashes primitive longs instead of materialising a
@@ -232,9 +244,11 @@ object AnalyticsQueries {
       else (summary.select($"n_pairs").as[Long].head(),
         recount.orderBy($"support".desc, $"part_a", $"part_b")
           .limit(20).select($"support").as[Long].collect())
-    val single = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_orders"))
-      .localCheckpoint() // eager; part-catalog grain
-    li.unpersist() // every li consumer is materialized above
+    val single = shared.map(_.single).getOrElse(
+      li.groupBy($"l_partkey").agg(count(lit(1)).as("n_orders"))
+        .localCheckpoint()) // eager; part-catalog grain
+    if (shared.isEmpty)
+      li.unpersist() // every li consumer is materialized above
     val result = recount
       .crossJoin(broadcast(summary.select($"n_pairs")))
       .filter($"support" * lit((k + 1).toLong) > $"n_pairs")
@@ -287,23 +301,44 @@ object AnalyticsQueries {
     * So the auto key shares `an_basket_pairs_topk`'s oracle SQL verbatim
     * and is hash-graded against it. BasketAutoKSpec pins the one-pass
     * accept, both clamp edges, and the probe-underestimate overshoot;
-    * TopkProbe's `topk_auto` row measures it on the skew ladder. */
+    * TopkProbe's `topk_auto` row measures it on the skew ladder.
+    *
+    * Flat-corpus toll (VERDICT r14 nit #1): the escalation pass threads
+    * the probe's PERSISTED distinct order×part stream and checkpointed
+    * per-part supports ([[BasketShared]]) instead of rebuilding both
+    * from parquet — the escalated sketch re-scans the cache, so the toll
+    * shrinks to the probe's small-K sketch + part-filtered recount.
+    * Sharing cannot change the output: both passes read the identical
+    * distinct stream, and every emitted row is exactly recounted and
+    * certified, making the result K-deterministic. The final result
+    * references only localCheckpointed products, so unpersisting after
+    * either branch is safe. */
   private[graft] def basketPairsTopkAutoK(s: SparkSession, dir: String,
       probeK: Int = BasketProbeK): (Int, DataFrame) = {
-    val (probe, nPairs, law) = basketTopkCore(s, dir, probeK, needLaw = true)
-    // the probe pass proves its own completeness: 20 certified rows at
-    // threshold probeK+1 ⇒ they are the true top-20 ⇒ emit, one pass
-    if (law.length == 20 && law.last * (probeK + 1).toLong > nPairs)
-      (probeK, probe)
-    else {
-      val k =
-        if (law.length < 20 || law.last <= 0L) BasketTopkK
-        else {
-          val kStar = nPairs / law.last + 1L
-          math.min(BasketTopkK.toLong, math.max(1L << 12, 4L * kStar)).toInt
-        }
-      (k, basketPairsTopkWith(s, dir, k))
-    }
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct().persist()
+    try {
+      // eager: first li consumer — populates the cache both passes scan
+      val single = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_orders"))
+        .localCheckpoint()
+      val shared = Some(BasketShared(li, single))
+      val (probe, nPairs, law) =
+        basketTopkCore(s, dir, probeK, needLaw = true, shared)
+      // the probe pass proves its own completeness: 20 certified rows at
+      // threshold probeK+1 ⇒ they are the true top-20 ⇒ emit, one pass
+      if (law.length == 20 && law.last * (probeK + 1).toLong > nPairs)
+        (probeK, probe)
+      else {
+        val k =
+          if (law.length < 20 || law.last <= 0L) BasketTopkK
+          else {
+            val kStar = nPairs / law.last + 1L
+            math.min(BasketTopkK.toLong, math.max(1L << 12, 4L * kStar)).toInt
+          }
+        (k, basketTopkCore(s, dir, k, shared = shared)._1)
+      }
+    } finally li.unpersist()
   }
 
   private val anBasketPairsTopkAuto: Q = (s, dir) =>

