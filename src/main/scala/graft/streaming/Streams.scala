@@ -250,17 +250,20 @@ object Streams {
 
   /** Source bytes per state store for [[stateWidthFor]] — the slope that
     * decides when a drain outgrows the floor. CALIBRATED against the r15
-    * width ladder on the stream-stream interval join (min-of-2, one JVM
-    * per width, local[32]):
-    *   - 18 MB source (skew1):  w8 3.5 s, w16 4.2 s, w32 6.6 s → 8 best
-    *   - 169 MB source (skew10): w8 27.7 s, w11 19.4 s, w16 15.7 s,
+    * width ladders on the stream-stream interval join (min-of-2, one JVM
+    * per width, local[32], flat AND skewed at each volume):
+    *   - 18 MB source (skew1):   w8 3.5 s, w16 4.2 s, w32 6.6 s → 8 best
+    *   - 169 MB skewed (skew10): w8 27.7 s, w11 19.4 s, w16 15.7 s,
     *     w32 13.8 s, w64 17.4 s → ~32 best (w64's regression is the
     *     local 32-thread machine, not the math — on a real cluster
-    *     width beyond one machine's cores is the point).
-    * 5 MiB/store derives 8 at ≤18 MB and ~34 at 169 MB — the measured
-    * best at BOTH graded volumes (1.9× over the r14 fixed width at
-    * skew10). */
-  val StreamStateBytesPerStore: Long = 5L << 20
+    *     width beyond one machine's cores is the point)
+    *   - 191 MB flat (sf10):     w8 7.2 s, w16 6.5 s, w37 9.5 s → ~16
+    *     best (no hot key ⇒ per-store fixed cost re-dominates sooner).
+    * 12 MiB/store derives the floor at ≤18 MB, 16 at flat sf10 (the
+    * measured best) and 15 at skew10 (within 14% of the w32 best,
+    * still 1.8× over the old fixed 8) — the one-knob fit across both
+    * regimes, since skew is unknowable before the stream runs. */
+  val StreamStateBytesPerStore: Long = 12L << 20
 
   /** Volume-derived streaming state width (VERDICT r14 #3). Stateful
     * streaming operators instantiate one state store per shuffle
