@@ -32,8 +32,10 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    ordered.foreach { case (_, fn) =>
+    ordered.foreach { case (name, fn) =>
+      val w0 = System.nanoTime()
       try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      System.err.println(f"[bench] warmup $name ${(System.nanoTime() - w0) / 1e9}%.1fs")
       spark.catalog.clearCache()
     }
     // A failing query must be visible as a FAILURE, not recorded as a
@@ -57,6 +59,7 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       val t = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] timed $name $t%.1fs")
       spark.catalog.clearCache()
       (name, t, ok)
     }
