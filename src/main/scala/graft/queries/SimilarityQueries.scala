@@ -172,6 +172,32 @@ object SimilarityQueries {
         "graft.maxBruteForceRows to run the exact baseline deliberately.")
   }
 
+  // All-pairs envelope (the skew10 full-suite catch, r15): the row fence
+  // above is the right guard for the per-QUERY full scans (cost = queries·n,
+  // linear in the corpus), but an ALL-PAIRS baseline costs n²/2 — at the 1M
+  // row budget that is 5·10¹¹ dot products launched quietly. Measured on
+  // this machine: 2·10⁸ pairs ≈ 6 s (skew1, 20 k vectors), 2·10¹⁰ pairs =
+  // 1001 s (skew10, 200 k vectors) — two decades of data, two decades of
+  // wall per decade. The budget is therefore on PAIRS, not rows: the 2³⁰
+  // default admits every corpus the linear fences admit (sf0.1 gate 2·10⁶,
+  // skew1 2·10⁸ with 5× headroom) and refuses the measured quadratic,
+  // naming the banded scale paths. Same override contract as the other
+  // fences: `graft.maxBruteForcePairs` (session conf or -D) runs the exact
+  // baseline deliberately.
+  private[graft] def maxBruteForcePairs(s: SparkSession): Long =
+    envelope(s, "graft.maxBruteForcePairs", 1L << 30)
+  private def fenceAllPairs(name: String, s: SparkSession, dir: String): Unit = {
+    val budget = maxBruteForcePairs(s)
+    val n = corpusCount(s, dir)
+    val pairs = n * (n - 1) / 2
+    require(pairs <= budget,
+      s"$name: all-pairs baseline fenced at $budget candidate pairs " +
+        s"(corpus has $n vectors = $pairs pairs — O(n²) dot products). Use " +
+        "the bucketed scale paths (dedup_semantic / dedup_semdedup / " +
+        "ann_lsh_bucket), or raise graft.maxBruteForcePairs to run the " +
+        "exact baseline deliberately.")
+  }
+
   // Exact-index saturation fence (VERDICT r6 #1): the inverted shingle
   // index is exact but its self-join work is Σ bucket·(bucket−1)/2 — on a
   // bounded-vocabulary corpus the distinct-shingle space saturates and
@@ -672,10 +698,13 @@ object SimilarityQueries {
 
   /** Embedding near-dup: all pairs with cosine ≥ t (brute-force exact).
     * Norms are precomputed per ROW before the pair join (O(n) work), so the
-    * per-pair cost is a single fused dot product. */
+    * per-pair cost is a single fused dot product. Fenced on the PAIR
+    * budget, not rows — the only all-pairs caller in this family (the
+    * ann_* fences below guard per-query full scans, which are linear):
+    * see [[fenceAllPairs]] for the measured skew10 quadratic. */
   private val embNeardup: Q = (s, dir) => {
     import s.implicits._
-    fenceBruteForce("emb_neardup_cosine", s, dir)
+    fenceAllPairs("emb_neardup_cosine", s, dir)
     val emb = spread(Tables(s, dir, "embeddings"))
     val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"),
       Vectors.fnorm($"embedding").as("na"))

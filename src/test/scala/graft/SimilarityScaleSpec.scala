@@ -73,12 +73,26 @@ class SimilarityScaleSpec extends SparkSpec {
     // never see this test's narrowed envelope.
     val narrow = spark.newSession()
     narrow.conf.set("graft.maxBruteForceRows", "3")
-    for (q <- Seq("emb_neardup_cosine", "ann_cosine_topk")) {
-      val e = intercept[IllegalArgumentException](
-        SimilarityQueries.queries(q)(narrow, sfDir))
-      assert(e.getMessage.contains("brute-force") &&
-        e.getMessage.contains("ann_lsh_bucket"), s"unhelpful fence message: $e")
-    }
+    val e0 = intercept[IllegalArgumentException](
+      SimilarityQueries.queries("ann_cosine_topk")(narrow, sfDir))
+    assert(e0.getMessage.contains("brute-force") &&
+      e0.getMessage.contains("ann_lsh_bucket"), s"unhelpful fence message: $e0")
+    // the ALL-PAIRS baseline is fenced on the pair budget, not rows (r15:
+    // the row fence admitted a 200k-vector corpus = 2·10¹⁰ dot products);
+    // the refusal must show the quadratic (pair count) and name the
+    // banded scale paths
+    val narrowPairs = spark.newSession()
+    narrowPairs.conf.set("graft.maxBruteForcePairs", "3")
+    val e1 = intercept[IllegalArgumentException](
+      SimilarityQueries.queries("emb_neardup_cosine")(narrowPairs, sfDir))
+    assert(e1.getMessage.contains("all-pairs") &&
+      e1.getMessage.contains("dedup_semantic") &&
+      e1.getMessage.contains("graft.maxBruteForcePairs"),
+      s"unhelpful all-pairs fence message: $e1")
+    // the row knob no longer governs the all-pairs key — only the pair
+    // budget does (narrow has rows=3 but default pairs: must build fine)
+    assert(SimilarityQueries.queries("emb_neardup_cosine")(narrow, sfDir)
+      .columns.sameElements(Array("vec_a", "vec_b")))
     // a typo'd override must name the broken key, not throw a bare
     // NumberFormatException from somewhere inside plan construction
     val broken = spark.newSession()
