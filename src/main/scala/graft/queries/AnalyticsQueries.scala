@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -21,6 +21,7 @@ object AnalyticsQueries {
     "st_session_window" -> stSessionWindow,
     "st_sliding_window" -> stSlidingWindow,
     "p_percentile" -> pPercentile,
+    "p_percentile_hist" -> pPercentileHist,
     "pv_pivot" -> pvPivot,
     "a_stats_moments" -> aStatsMoments,
     "a_arg_minmax" -> aArgMinmax,
@@ -950,16 +951,91 @@ object AnalyticsQueries {
       .orderBy($"window_start")
   }
 
-  /** Exact percentiles (linear interpolation) per group. */
+  /** Exact percentiles (linear interpolation) per group.
+    *
+    * FENCED like a_median (r15, the skew10 full-suite catch): `percentile()`
+    * is the SAME value-buffering aggregate class as `median()` — a
+    * per-group value→count map rides the shuffle and merges on the
+    * reducer, so on a near-unique price domain the state IS the corpus
+    * (measured 109 s at skew10's 15 M orders vs 5.7 s at skew1 — the
+    * decade is in the map merge, not the math). The probe is one linear
+    * approx_count_distinct pass over exactly what the aggregate would
+    * buffer; the shared `graft.maxMedianStateRows` budget (2²¹) passes the
+    * driver sf0.1 gate and skew1 and refuses the skew10-density corpora,
+    * naming the bounded-state twin [[pPercentileHist]]. */
   private val pPercentile: Q = (s, dir) => {
     import s.implicits._
-    Tables(s, dir, "orders")
+    val budget = SimilarityQueries.envelope(s, "graft.maxMedianStateRows", 1L << 21)
+    val orders = Tables(s, dir, "orders")
+    val stateRows = orders
+      .agg(approx_count_distinct(struct($"o_orderstatus", $"o_totalprice")).as("d"))
+      .head().getLong(0)
+    require(stateRows <= budget,
+      s"p_percentile: value-buffering percentile() state is ~$stateRows " +
+        s"(group, value) entries (budget $budget) — data-proportional " +
+        "reducer memory. Use the bounded-state exact twin p_percentile_hist " +
+        "(counting-histogram quartiles, exact integer cells), or raise " +
+        "graft.maxMedianStateRows to run the buffering baseline deliberately.")
+    orders
       .groupBy($"o_orderstatus")
       .agg(
         expr("percentile(o_totalprice, 0.25)").as("p25"),
         expr("percentile(o_totalprice, 0.5)").as("median"),
         expr("percentile(o_totalprice, 0.75)").as("p75"),
         count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** EXACT quartiles at scale — [[pPercentile]]'s values with bounded
+    * state, the a_median_hist treatment applied to the interpolating
+    * quantile triple. One hash aggregate builds the (status, price-cents)
+    * counting histogram — state bounded by the VALUE DOMAIN, not the
+    * corpus — then the two-level distributed prefix sum (per-block
+    * offsets + within-block cumulative window, so no group's whole value
+    * domain serializes through one task) and the classic counting-sort
+    * rank pick at the three interpolation positions. Linear interpolation
+    * at position (n−1)·k/4 is kept integer-exact by emitting 4× the cent
+    * value: p_x4 = 4·v_lo + rem·(v_hi − v_lo) where rem = (n−1)·k mod 4 —
+    * every graded cell is a BIGINT, no float crosses the gate (divide by
+    * 400 to read dollars). */
+  private val pPercentileHist: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables(s, dir, "orders")
+      .select($"o_orderstatus",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      .groupBy($"o_orderstatus", $"v")
+      .agg(count(lit(1)).as("c"))
+    val hb = hist.withColumn("blk", expr(s"v div ${1L << 20}"))
+    val wBlk = Window.partitionBy($"o_orderstatus").orderBy($"blk")
+    val offsets = hb.groupBy($"o_orderstatus", $"blk")
+      .agg(sum($"c").as("bc"))
+      .withColumn("off", sum($"bc").over(wBlk) - $"bc")
+      .select($"o_orderstatus", $"blk", $"off")
+    val wIn = Window.partitionBy($"o_orderstatus", $"blk").orderBy($"v")
+    val totals = hist.groupBy($"o_orderstatus").agg(sum($"c").as("n"))
+    // v at 0-indexed rank r is the least v with cum >= r+1; for quartile k
+    // the interpolation pair sits at lo = (n-1)*k div 4 and lo+1 (only
+    // consulted when rem > 0, where lo+2 <= n always holds)
+    def vAt(offset: Int, k: Int) =
+      min(when($"cum" >= expr(s"((n - 1) * $k) div 4 + $offset"), $"v"))
+    def px4(k: Int, lo: Column, hi: Column) = {
+      val rem = pmod(($"n_orders" - 1) * k, lit(4))
+      when(rem === 0, lo * 4).otherwise(lo * 4 + rem * (hi - lo))
+    }
+    hb.withColumn("incum", sum($"c").over(wIn))
+      .join(broadcast(offsets), Seq("o_orderstatus", "blk"))
+      .withColumn("cum", $"incum" + $"off")
+      .join(broadcast(totals), Seq("o_orderstatus"))
+      .groupBy($"o_orderstatus")
+      .agg(max($"n").as("n_orders"),
+        vAt(1, 1).as("v1lo"), vAt(2, 1).as("v1hi"),
+        vAt(1, 2).as("v2lo"), vAt(2, 2).as("v2hi"),
+        vAt(1, 3).as("v3lo"), vAt(2, 3).as("v3hi"))
+      .select($"o_orderstatus", $"n_orders",
+        px4(1, $"v1lo", $"v1hi").as("p25_x4_cents"),
+        px4(2, $"v2lo", $"v2hi").as("med_x4_cents"),
+        px4(3, $"v3lo", $"v3hi").as("p75_x4_cents"))
       .orderBy($"o_orderstatus")
   }
 
@@ -1473,6 +1549,38 @@ object AnalyticsQueries {
         | quantile_cont(o_totalprice, 0.75) AS p75,
         | COUNT(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    // replays the counting-histogram rank pick: cumulative counts over the
+    // cent-value histogram, v at 0-indexed rank r = least v with cum >= r+1,
+    // quartile k interpolated at (n-1)*k/4 in exact quarter-cent units
+    "p_percentile_hist" ->
+      """WITH pph_hist AS (
+        | SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |        COUNT(*) AS c
+        | FROM orders GROUP BY 1, 2),
+        |pph_cum AS (
+        | SELECT o_orderstatus, v,
+        |        SUM(c) OVER (PARTITION BY o_orderstatus ORDER BY v) AS cum
+        | FROM pph_hist),
+        |pph_n AS (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1),
+        |pph_agg AS (
+        | SELECT c.o_orderstatus, MAX(n.n) AS n_orders,
+        |  MIN(CASE WHEN c.cum >= ((n.n - 1) * 1) // 4 + 1 THEN c.v END) AS v1lo,
+        |  MIN(CASE WHEN c.cum >= ((n.n - 1) * 1) // 4 + 2 THEN c.v END) AS v1hi,
+        |  MIN(CASE WHEN c.cum >= ((n.n - 1) * 2) // 4 + 1 THEN c.v END) AS v2lo,
+        |  MIN(CASE WHEN c.cum >= ((n.n - 1) * 2) // 4 + 2 THEN c.v END) AS v2hi,
+        |  MIN(CASE WHEN c.cum >= ((n.n - 1) * 3) // 4 + 1 THEN c.v END) AS v3lo,
+        |  MIN(CASE WHEN c.cum >= ((n.n - 1) * 3) // 4 + 2 THEN c.v END) AS v3hi
+        | FROM pph_cum c JOIN pph_n n USING (o_orderstatus)
+        | GROUP BY 1)
+        |SELECT o_orderstatus, n_orders,
+        | CASE WHEN (n_orders - 1) * 1 % 4 = 0 THEN v1lo * 4
+        |      ELSE v1lo * 4 + ((n_orders - 1) * 1 % 4) * (v1hi - v1lo) END AS p25_x4_cents,
+        | CASE WHEN (n_orders - 1) * 2 % 4 = 0 THEN v2lo * 4
+        |      ELSE v2lo * 4 + ((n_orders - 1) * 2 % 4) * (v2hi - v2lo) END AS med_x4_cents,
+        | CASE WHEN (n_orders - 1) * 3 % 4 = 0 THEN v3lo * 4
+        |      ELSE v3lo * 4 + ((n_orders - 1) * 3 % 4) * (v3hi - v3lo) END AS p75_x4_cents
+        |FROM pph_agg ORDER BY o_orderstatus""".stripMargin,
 
     "pv_pivot" ->
       """SELECT o_orderpriority,

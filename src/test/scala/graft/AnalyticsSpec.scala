@@ -383,4 +383,46 @@ class AnalyticsSpec extends SparkSpec {
       .select(col("c_nationkey"), col("richest_custkey"))
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
+
+  test("p_percentile fence: tiny budget refuses loudly, naming the hist twin") {
+    // same governance as a_median (r15: percentile() is the same
+    // value-buffering aggregate class, caught by the skew10 full suite)
+    val s2 = spark.newSession()
+    s2.conf.set("graft.maxMedianStateRows", "10")
+    val e = intercept[IllegalArgumentException] {
+      AnalyticsQueries.queries("p_percentile")(s2, sfDir).collect()
+    }
+    assert(e.getMessage.contains("p_percentile_hist"),
+      s"fence message must name the bounded-state twin: ${e.getMessage}")
+    assert(e.getMessage.contains("graft.maxMedianStateRows"),
+      s"fence message must name the override knob: ${e.getMessage}")
+    // the default budget passes the test corpus
+    assert(AnalyticsQueries.queries("p_percentile")(spark, sfDir).collect().nonEmpty)
+  }
+
+  test("p_percentile_hist equals an exact driver-side quartile replay") {
+    // brute-force the interpolating quantile in exact integer quarter-cent
+    // units from the sorted cent values — the hist path's two-level prefix
+    // sum and rank pick must reproduce it bit-for-bit
+    val byStatus = Tables(spark, sfDir, "orders")
+      .select(col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted }
+    def q4(vs: Array[Long], k: Int): Long = {
+      val pos4 = (vs.length - 1L) * k
+      val lo = (pos4 / 4).toInt
+      val rem = pos4 % 4
+      if (rem == 0) 4 * vs(lo) else 4 * vs(lo) + rem * (vs(lo + 1) - vs(lo))
+    }
+    val got = AnalyticsQueries.queries("p_percentile_hist")(spark, sfDir).collect()
+    assert(got.nonEmpty && got.length == byStatus.size)
+    got.foreach { r =>
+      val vs = byStatus(r.getString(0))
+      assert(r.getLong(1) == vs.length, s"${r.getString(0)}: n mismatch")
+      assert(r.getLong(2) == q4(vs, 1), s"${r.getString(0)}: p25 mismatch")
+      assert(r.getLong(3) == q4(vs, 2), s"${r.getString(0)}: median mismatch")
+      assert(r.getLong(4) == q4(vs, 3), s"${r.getString(0)}: p75 mismatch")
+    }
+  }
 }
