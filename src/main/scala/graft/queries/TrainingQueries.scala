@@ -35,8 +35,10 @@ object TrainingQueries {
     "text_seq_pack" -> textSeqPack,
     "text_chunk" -> textChunk,
     "text_chunk_decontaminate" -> textChunkDecontaminate,
+    "text_chunk_decontaminate_rare" -> textChunkDecontaminateRare,
     "text_tfidf" -> textTfidf,
     "text_decontaminate" -> textDecontaminate,
+    "text_decontaminate_rare" -> textDecontaminateRare,
     "sample_stratified" -> sampleStratified,
     "sample_temperature" -> sampleTemperature,
     "sample_domain_mix" -> sampleDomainMix,
@@ -137,6 +139,61 @@ object TrainingQueries {
     chunked(s, dir).orderBy($"doc_id", $"chunk_idx")
   }
 
+  // Decontamination-join saturation fence (r15, the skew10 full-suite
+  // catch): the shingle join's candidate mass is Σ_s c_s·b_s over shared
+  // shingles (c = corpus postings, b = benchmark postings of shingle s).
+  // On a healthy corpus the shingle space grows with n, buckets stay
+  // flat, and that sum is linear in the benchmark postings; on the
+  // bounded-vocabulary skew corpora it saturates and the sum goes
+  // quadratic — measured on THIS key: skew1 1.9 s → skew10 73 s (39×/
+  // decade; the chunk-level key 64×), while every linear key stayed ~10×.
+  // The probe is one signature-grain aggregation over the doc-grain
+  // shingle index (linear, cached per session × dir like the dedup
+  // probes); the chunk key's true mass is the same sum at chunk grain —
+  // a fixed small multiple (ChunkW/ChunkStride window overlap), so both
+  // keys share the probe and the budget. Past the budget the exact keys
+  // refuse loudly, naming the bounded rare-shingle twins; run the exact
+  // join deliberately with `graft.maxDecontamJoinRows`.
+  private val deconWorkCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, Long]]
+  private[graft] def deconJoinWork(s: SparkSession, dir: String): Long = {
+    val perSession = deconWorkCache.synchronized {
+      var m = deconWorkCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, Long]
+        deconWorkCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id", explode(Text.shingleSet($"text", ShingleN)).as("shingle"))
+        .groupBy($"shingle")
+        .agg(count(when($"doc_id" % 50 =!= 0, 1)).as("c"),
+          count(when($"doc_id" % 50 === 0, 1)).as("b"))
+        .agg(coalesce(sum($"c" * $"b"), lit(0L)))
+        .head().getLong(0)
+    })
+  }
+  private def fenceDecontam(name: String, s: SparkSession, dir: String): Unit = {
+    val budget =
+      SimilarityQueries.envelope(s, "graft.maxDecontamJoinRows", 1L << 24)
+    val work = deconJoinWork(s, dir)
+    require(work <= budget,
+      s"$name: exact decontamination join is fenced at $budget candidate " +
+        s"rows (this corpus' shingle index yields $work — a saturated " +
+        "shingle space makes the join quadratic in corpus size). Use the " +
+        "bounded rare-shingle twins (text_decontaminate_rare / " +
+        "text_chunk_decontaminate_rare — common shingles carry no " +
+        "contamination signal), or raise graft.maxDecontamJoinRows to run " +
+        "the exact join deliberately.")
+  }
+  /** Corpus document-frequency cap defining a "rare" (signal-bearing)
+    * shingle for the `_rare` twins: a shingle held by more than this many
+    * training-side postings is boilerplate, not leakage evidence. */
+  private val RareDf = 128L
+
   /** CHUNK-level decontamination — [[textDecontaminate]]'s doc-level
     * verdict localized to the window that actually leaks: training
     * chunks sharing ≥ 3 distinct [[ShingleN]]-gram shingles with a
@@ -144,9 +201,12 @@ object TrainingQueries {
     * pipeline can surgically drop the leaking window instead of the
     * whole document. Same plan shape as the doc-level key — benchmark
     * shingles broadcast, training side stays partitioned — with the
-    * chunk fan-out upstream; linear in corpus size. */
+    * chunk fan-out upstream; linear in corpus size while the shingle
+    * space is healthy, and FENCED (see [[fenceDecontam]]) where it
+    * saturates. */
   private val textChunkDecontaminate: Q = (s, dir) => {
     import s.implicits._
+    fenceDecontam("text_chunk_decontaminate", s, dir)
     val chsh = chunked(s, dir).filter($"doc_id" % 50 =!= 0)
       .select($"doc_id", $"chunk_idx",
         explode(Text.shingleSet($"chunk_text", ShingleN)).as("shingle"))
@@ -157,6 +217,34 @@ object TrainingQueries {
       .groupBy($"doc_id", $"chunk_idx", $"bench_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter($"n_shared" >= 3)
+      .orderBy($"doc_id", $"chunk_idx", $"bench_id")
+  }
+
+  /** CHUNK-level decontamination at scale — [[textChunkDecontaminate]]
+    * restricted to RARE shingles (chunk-grain document frequency ≤
+    * [[RareDf]]). Rarity is the signal: a shingle held by thousands of
+    * training chunks is vocabulary-saturation boilerplate, not benchmark
+    * leakage, and it is exactly the bucket that makes the exact join
+    * quadratic. The df filter bounds every shingle's join fan-out at
+    * RareDf × its benchmark postings, so the candidate mass is linear in
+    * the benchmark side no matter how saturated the corpus; the df
+    * aggregate reuses the shuffle partitioning of the join key, and AQE
+    * can split any residual hot shingle. */
+  private val textChunkDecontaminateRare: Q = (s, dir) => {
+    import s.implicits._
+    val chsh = chunked(s, dir).filter($"doc_id" % 50 =!= 0)
+      .select($"doc_id", $"chunk_idx",
+        explode(Text.shingleSet($"chunk_text", ShingleN)).as("shingle"))
+    val rare = chsh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" <= RareDf).select($"shingle")
+    val bench = Tables(s, dir, "documents").filter($"doc_id" % 50 === 0)
+      .select($"doc_id".as("bench_id"),
+        explode(Text.shingleSet($"text", ShingleN)).as("shingle"))
+    chsh.join(rare, "shingle")
+      .join(broadcast(bench), "shingle")
+      .groupBy($"doc_id", $"chunk_idx", $"bench_id")
+      .agg(count(lit(1)).as("n_shared_rare"))
+      .filter($"n_shared_rare" >= 3)
       .orderBy($"doc_id", $"chunk_idx", $"bench_id")
   }
 
@@ -196,6 +284,7 @@ object TrainingQueries {
     * aggregate, sized by matches, not by corpus. */
   private val textDecontaminate: Q = (s, dir) => {
     import s.implicits._
+    fenceDecontam("text_decontaminate", s, dir)
     val shd = Tables(s, dir, "documents")
       .select($"doc_id", explode(Text.shingleSet($"text", ShingleN)).as("shingle"))
     val bench = shd.filter($"doc_id" % 50 === 0)
@@ -204,6 +293,26 @@ object TrainingQueries {
       .join(broadcast(bench), "shingle")
       .groupBy($"doc_id", $"bench_id").agg(count(lit(1)).as("n_shared"))
       .filter($"n_shared" >= 3)
+      .orderBy($"doc_id", $"bench_id")
+  }
+
+  /** DOC-level decontamination at scale — [[textDecontaminate]] restricted
+    * to RARE shingles (training-side document frequency ≤ [[RareDf]]); see
+    * [[textChunkDecontaminateRare]] for why rarity both IS the
+    * contamination signal and bounds the join mass linearly. */
+  private val textDecontaminateRare: Q = (s, dir) => {
+    import s.implicits._
+    val shd = Tables(s, dir, "documents")
+      .select($"doc_id", explode(Text.shingleSet($"text", ShingleN)).as("shingle"))
+    val corpus = shd.filter($"doc_id" % 50 =!= 0)
+    val rare = corpus.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" <= RareDf).select($"shingle")
+    val bench = shd.filter($"doc_id" % 50 === 0)
+      .select($"shingle", $"doc_id".as("bench_id"))
+    corpus.join(rare, "shingle")
+      .join(broadcast(bench), "shingle")
+      .groupBy($"doc_id", $"bench_id").agg(count(lit(1)).as("n_shared_rare"))
+      .filter($"n_shared_rare" >= 3)
       .orderBy($"doc_id", $"bench_id")
   }
 
@@ -857,6 +966,33 @@ object TrainingQueries {
            |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3
            |ORDER BY 1, 2, 3""".stripMargin,
 
+    // the rare twin: identical join restricted to shingles whose
+    // chunk-grain document frequency is <= RareDf
+    "text_chunk_decontaminate_rare" ->
+      raw"""WITH toks AS (SELECT doc_id,
+           |  regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') t
+           |  FROM documents),
+           |st AS (SELECT doc_id, t,
+           |  unnest(generate_series(0, GREATEST(len(t) - 1, 0), $ChunkStride)) start_tok
+           |  FROM toks),
+           |ch AS (SELECT doc_id, start_tok // $ChunkStride AS chunk_idx,
+           |  regexp_split_to_array(array_to_string(t[start_tok + 1 : start_tok + $ChunkW], ' '), ' ') t2
+           |  FROM st WHERE doc_id % 50 <> 0),
+           |csh AS (SELECT doc_id, chunk_idx, unnest(list_distinct(CASE WHEN len(t2) < $ShingleN
+           |  THEN [array_to_string(t2, ' ')]
+           |  ELSE [array_to_string(t2[i:i+${ShingleN - 1}], ' ') FOR i IN range(1, len(t2) - ${ShingleN - 2})] END)) shingle
+           |  FROM ch),
+           |bsh AS (SELECT doc_id bench_id, unnest(list_distinct(CASE WHEN len(t) < $ShingleN
+           |  THEN [array_to_string(t, ' ')]
+           |  ELSE [array_to_string(t[i:i+${ShingleN - 1}], ' ') FOR i IN range(1, len(t) - ${ShingleN - 2})] END)) shingle
+           |  FROM toks WHERE doc_id % 50 = 0),
+           |rarech AS (SELECT shingle FROM csh GROUP BY 1 HAVING COUNT(*) <= $RareDf)
+           |SELECT c.doc_id, CAST(c.chunk_idx AS INT) AS chunk_idx, b.bench_id,
+           | COUNT(*) AS n_shared_rare
+           |FROM csh c JOIN rarech r USING (shingle) JOIN bsh b USING (shingle)
+           |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3
+           |ORDER BY 1, 2, 3""".stripMargin,
+
     "text_seq_pack" ->
       raw"""WITH f AS (SELECT doc_id, source,
            |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens FROM documents),
@@ -890,6 +1026,23 @@ object TrainingQueries {
          |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shd)
          |SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
          |FROM ex c JOIN ex b ON c.shingle = b.shingle
+         |WHERE b.doc_id % 50 = 0 AND c.doc_id % 50 <> 0
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY doc_id, bench_id""".stripMargin,
+
+    // the rare twin: identical join restricted to shingles whose
+    // training-side document frequency is <= RareDf
+    "text_decontaminate_rare" ->
+      s"""WITH toksv AS (SELECT doc_id, $toksSql t FROM documents),
+         |shd AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < $ShingleN
+         |  THEN [array_to_string(t, ' ')]
+         |  ELSE [array_to_string(t[i:i+${ShingleN - 1}], ' ') FOR i IN range(1, len(t) - ${ShingleN - 2})] END) sh
+         |  FROM toksv),
+         |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shd),
+         |rare AS (SELECT shingle FROM ex WHERE doc_id % 50 <> 0
+         |  GROUP BY 1 HAVING COUNT(*) <= $RareDf)
+         |SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared_rare
+         |FROM ex c JOIN rare r ON c.shingle = r.shingle
+         |            JOIN ex b ON c.shingle = b.shingle
          |WHERE b.doc_id % 50 = 0 AND c.doc_id % 50 <> 0
          |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY doc_id, bench_id""".stripMargin,
 

@@ -54,6 +54,44 @@ class TrainingQueriesSpec extends SparkSpec {
       || col("n_shared") < 3).count() === 0)
   }
 
+  test("rare-shingle twins are dominated by the exact keys") {
+    // restricting the join to rare shingles can only DROP shared-shingle
+    // evidence: every (doc, bench) the rare twin flags must appear in the
+    // exact key's output with n_shared >= n_shared_rare (same for chunks)
+    val exact = run("text_decontaminate")
+      .select(col("doc_id"), col("bench_id"), col("n_shared"))
+    val rare = run("text_decontaminate_rare")
+    assert(rare.count() > 0, "rare twin found nothing on the healthy corpus")
+    val joined = rare.join(exact, Seq("doc_id", "bench_id"), "left")
+    assert(joined.filter(col("n_shared").isNull ||
+      col("n_shared") < col("n_shared_rare")).count() === 0,
+      "rare twin flagged a pair the exact key does not dominate")
+    val chExact = run("text_chunk_decontaminate")
+      .select(col("doc_id"), col("chunk_idx"), col("bench_id"), col("n_shared"))
+    val chRare = run("text_chunk_decontaminate_rare")
+    val chJoined = chRare.join(chExact, Seq("doc_id", "chunk_idx", "bench_id"), "left")
+    assert(chJoined.filter(col("n_shared").isNull ||
+      col("n_shared") < col("n_shared_rare")).count() === 0,
+      "chunk rare twin flagged a window the exact key does not dominate")
+  }
+
+  test("decontamination fence: tiny budget refuses the exact keys, twins stay open") {
+    val s2 = spark.newSession()
+    s2.conf.set("graft.maxDecontamJoinRows", "1")
+    for (q <- Seq("text_decontaminate", "text_chunk_decontaminate")) {
+      val e = intercept[IllegalArgumentException](
+        TrainingQueries.queries(q)(s2, sfDir))
+      assert(e.getMessage.contains("text_decontaminate_rare") &&
+        e.getMessage.contains("graft.maxDecontamJoinRows"),
+        s"unhelpful decontamination fence message for $q: $e")
+    }
+    // the rare twins are exempt — they bound the join mass by construction
+    assert(TrainingQueries.queries("text_decontaminate_rare")(s2, sfDir)
+      .columns.contains("n_shared_rare"))
+    // and the default budget passes the graded healthy corpora
+    assert(run("text_decontaminate").count() > 0)
+  }
+
   test("sample_stratified: buckets respect per-language rates, deterministic") {
     val df = run("sample_stratified")
     val bad = df.filter(col("bucket") >=
