@@ -483,9 +483,26 @@ object PipelineQueries {
     * BOM-explosion traversal. The engine iterates the recursive step to
     * fixpoint exactly like [[graft.operators.Components]]' hand-rolled
     * loop, but declared in SQL; depth is bounded by log2(max key), so the
-    * iteration count grows logarithmically with table size. */
+    * iteration count grows logarithmically with table size.
+    *
+    * Spark guards recursive CTEs with `spark.sql.cteRecursionRowLimit`
+    * (default 10⁶ TOTAL rows), which this provably-terminating chain
+    * outgrows linearly — the skew10 suite's 100 k suppliers need
+    * ~1.8 M rows (r15 catch). The budget is derived from the corpus the
+    * auto-K way: every supplier key k emits at most ⌊log₂ max_key⌋ + 2
+    * rows, so n·(⌊log₂ max⌋ + 2) bounds the chain exactly (integer
+    * bit-length, no float log2). The session keeps the raised limit —
+    * it is still a runaway guard at the same margin, and this is the
+    * only Spark-side recursive CTE in the library. */
   private val recCteChain: Q = (s, dir) =>
     withViews(s, dir, Seq("supplier")) { v =>
+      val r = s.sql(
+        s"SELECT CAST(count(*) AS BIGINT), CAST(max(s_suppkey) AS BIGINT) " +
+          s"FROM ${v("supplier")}").head()
+      val (n, mx) = (r.getLong(0), math.max(r.getLong(1), 2L))
+      val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(mx)
+      val bound = math.max(n * (bitLen + 1), 1000000L)
+      s.conf.set("spark.sql.cteRecursionRowLimit", bound.toString)
       s.sql(
         s"""WITH RECURSIVE chain(s, anc, depth) AS (
            |  SELECT s_suppkey, s_suppkey, 0 FROM ${v("supplier")}
