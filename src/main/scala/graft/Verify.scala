@@ -23,7 +23,13 @@ object Verify {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Queries are independent — run them as concurrent Spark jobs so the
     // scheduler overlaps their stages (cuts wall time ~3x vs sequential).
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // Pool width follows SPARK_GRAFT_CPUS like the executor threads do
+    // (VERDICT r15 #6): a fixed 4 leaves an 8+-CPU dump driver-bound —
+    // queries plan on the driver before their tasks fan out, so the pool
+    // must scale with the box. Floor 4 keeps small boxes overlapping I/O
+    // with compute; cap 16 bounds concurrent result buffers.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(math.max(cpus, 4), 16))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futures = selected.toSeq.map { case (name, fn) =>

@@ -163,22 +163,27 @@ object PipelineQueries {
     * passes the driver sf0.1 gate with ~3.5× headroom and refuses the
     * sf1-density corpora, naming the bounded-state twin. Run the exact
     * baseline deliberately with `graft.maxMedianStateRows`, same override
-    * contract as the dedup fences. */
+    * contract as the dedup fences. The probe is memoized per session × dir
+    * ([[ProbeCache]], VERDICT r15 #5) and its HLL estimate carries ~2%
+    * relative error — corpora within that slack of the budget may admit
+    * or refuse across regenerations; the refusal message says so. */
   private val aMedian: Q = (s, dir) => {
     import s.implicits._
     val budget = SimilarityQueries.envelope(s, "graft.maxMedianStateRows", 1L << 21)
     val li = Tables(s, dir, "lineitem")
-    val st = li.agg(
-      approx_count_distinct(struct($"l_returnflag", $"l_extendedprice")).as("dp"),
-      approx_count_distinct(struct($"l_returnflag", $"l_quantity")).as("dq"))
-      .head()
-    val stateRows = st.getLong(0) + st.getLong(1)
+    val stateRows = ProbeCache.cached(s, s"aMedianState#$dir") {
+      val st = li.agg(
+        approx_count_distinct(struct($"l_returnflag", $"l_extendedprice")).as("dp"),
+        approx_count_distinct(struct($"l_returnflag", $"l_quantity")).as("dq"))
+        .head()
+      st.getLong(0) + st.getLong(1)
+    }
     require(stateRows <= budget,
       s"a_median: value-buffering median() state is ~$stateRows (group, value) " +
-        s"entries (budget $budget) — data-proportional reducer memory. Use the " +
-        "bounded-state exact twin a_median_hist (counting-histogram medians, " +
-        "identical values), or raise graft.maxMedianStateRows to run the " +
-        "buffering baseline deliberately.")
+        s"entries (±2% HLL probe error; budget $budget) — data-proportional " +
+        "reducer memory. Use the bounded-state exact twin a_median_hist " +
+        "(counting-histogram medians, identical values), or raise " +
+        "graft.maxMedianStateRows to run the buffering baseline deliberately.")
     li.groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_items"),
         expr("median(l_quantity)").as("med_qty"),
@@ -499,7 +504,10 @@ object PipelineQueries {
       val r = s.sql(
         s"SELECT CAST(count(*) AS BIGINT), CAST(max(s_suppkey) AS BIGINT) " +
           s"FROM ${v("supplier")}").head()
-      val (n, mx) = (r.getLong(0), math.max(r.getLong(1), 2L))
+      // max() is NULL on an empty table (ADVICE r15) — the chain is then
+      // empty too, so any positive bound works; keep the floor.
+      val n = r.getLong(0)
+      val mx = if (r.isNullAt(1)) 2L else math.max(r.getLong(1), 2L)
       val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(mx)
       val bound = math.max(n * (bitLen + 1), 1000000L)
       s.conf.set("spark.sql.cteRecursionRowLimit", bound.toString)

@@ -34,9 +34,9 @@ object SimilarityQueries {
 
   private type Q = (SparkSession, String) => DataFrame
 
-  private[queries] val ShingleN = 3
-  private[queries] val Perms = 32
-  private[queries] val Bands = 8
+  private[graft] val ShingleN = 3
+  private[graft] val Perms = 32
+  private[graft] val Bands = 8
   private val JaccardT = 0.5
   // 4 bands × 15 bits over the 60-bit simhash: pigeonhole-complete for
   // hamming ≤ 3 (4 bands, ≤3 flipped bits ⇒ ≥1 band intact) with 2^15 =
@@ -179,11 +179,15 @@ object SimilarityQueries {
   // this machine: 2·10⁸ pairs ≈ 6 s (skew1, 20 k vectors), 2·10¹⁰ pairs =
   // 1001 s (skew10, 200 k vectors) — two decades of data, two decades of
   // wall per decade. The budget is therefore on PAIRS, not rows: the 2³⁰
-  // default admits every corpus the linear fences admit (sf0.1 gate 2·10⁶,
-  // skew1 2·10⁸ with 5× headroom) and refuses the measured quadratic,
-  // naming the banded scale paths. Same override contract as the other
-  // fences: `graft.maxBruteForcePairs` (session conf or -D) runs the exact
-  // baseline deliberately.
+  // default admits every GRADED corpus the linear fences admit (sf0.1
+  // gate 2·10⁶ pairs, skew1 2·10⁸ with 5× headroom) and refuses the
+  // measured skew10 quadratic. It is deliberately TIGHTER than the old
+  // 10⁶-row fence for arbitrary corpora (ADVICE r15): 10⁶ rows is
+  // ~5·10¹¹ pairs, so corpora between ~46 k and 10⁶ vectors that the row
+  // fence would have admitted now refuse here — that admission was the
+  // 1001 s bug, not a capability. Same override contract as the other
+  // fences: `graft.maxBruteForcePairs` (session conf or -D) runs the
+  // exact baseline deliberately.
   private[graft] def maxBruteForcePairs(s: SparkSession): Long =
     envelope(s, "graft.maxBruteForcePairs", 1L << 30)
   private def fenceAllPairs(name: String, s: SparkSession, dir: String): Unit = {
@@ -309,10 +313,13 @@ object SimilarityQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_keep_best" -> dedupKeepBest,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_minhash_lsh_capped" -> dedupMinhashLshCapped,
+    "dedup_minhash_capped_recall" -> dedupMinhashCappedRecall,
     "dedup_minhash_estimate" -> dedupMinhashEstimate,
     "dedup_simhash" -> dedupSimhash,
     "dedup_components" -> dedupComponents,
     "dedup_components_lsh" -> dedupComponentsLsh,
+    "dedup_components_lsh_capped" -> dedupComponentsLshCapped,
     "dedup_keep_best_lsh" -> dedupKeepBestLsh,
     "emb_neardup_cosine" -> embNeardup,
     "ann_cosine_topk" -> annTopK,
@@ -486,17 +493,103 @@ object SimilarityQueries {
       .orderBy($"component_id")
   }
 
+  // ---- minhash-banded family: shared hashed-shingle pipeline ----------
+  // (VERDICT r15 → r16 #1.) BandMass (r16) measured the band-bucket
+  // candidate mass Σ_b c_b(c_b−1)/2 FLAT on every graded corpus — 0.09
+  // candidate pairs/doc from sf0.01 through skew10, max bucket 19 of
+  // 500 k docs — so the family's wall is NOT join mass; LshProfile traced
+  // 12.5 of its 15 s at skew10 to the shingle→md5→band computation, which
+  // the old pipeline repeated three times (banding + both verify-join
+  // sides) and whose 15-char shingle strings it shuffled through the
+  // verify joins. The fix is the one the DuckDB oracle made in r11
+  // (shinglesHashCte): hash the shingles ONCE into 60-bit longs,
+  // localCheckpoint that table, and band + verify off the hashes — the
+  // md5 pass runs once instead of three times and the verify shuffle
+  // carries 8-byte longs instead of strings. Jaccard over distinct hash
+  // sets is exactly what jaccardVerifySql has always graded, so outputs
+  // (and every oracle) are unchanged.
+
+  /** (doc_id, hs: distinct 60-bit shingle hashes) — ONE shingle+md5 pass
+    * serving banding and both exact-Jaccard verify sides, checkpointed so
+    * the three consumers don't recompute it. The Spark twin of the
+    * oracle's `shh` CTE. */
+  private def hashedShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shingled(s, dir)
+      .select($"doc_id", array_distinct(Text.shingleHashes($"sh")).as("hs"))
+      .localCheckpoint()
+  }
+
+  /** Candidate pairs → exact-Jaccard-verified pairs over the hashed
+    * shingle table (the oracle's jaccardVerifySql shape). */
+  private def jaccardVerify(cand: DataFrame, hsh: DataFrame): DataFrame = {
+    import hsh.sparkSession.implicits._
+    cand
+      .join(hsh.select($"doc_id".as("doc_a"), $"hs".as("hsa")), Seq("doc_a"))
+      .join(hsh.select($"doc_id".as("doc_b"), $"hs".as("hsb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect($"hsa", $"hsb")))
+      .select($"doc_a", $"doc_b",
+        ($"inter" / (size($"hsa") + size($"hsb") - $"inter")).as("jaccard"))
+      .filter($"jaccard" >= JaccardT)
+  }
+
+  // Band-join saturation fence (VERDICT r15 #1): the banded stream was the
+  // last exact family without mass governance. On every graded corpus the
+  // mass is flat (see above) and this fence never trips; it exists for the
+  // corpus class the synthetics can't produce — duplicate-saturated crawls
+  // where one band value collects a data-proportional bucket and the
+  // self-join goes quadratic. Same per-doc density discipline as
+  // fenceSimhash/fenceExactIndex: Σ c(c−1)/2 over band buckets per doc is
+  // scale-free — it trips on saturation, never on legitimate growth. The
+  // probe is one banding+aggregation pass, memoized per session × dir
+  // ([[ProbeCache]]); the 64 default clears the measured graded densities
+  // (0.09/doc) by ~700× and refuses a corpus whose hot buckets carry
+  // data-proportional pair work. Escape hatch: the hot-band-capped twin
+  // (dedup_minhash_lsh_capped / dedup_components_lsh_capped), or raise
+  // graft.maxBandPairsPerDoc to run the exact band join deliberately.
+  private val DefaultMaxBandPairsPerDoc = 64L
+  private[graft] def maxBandPairsPerDoc(s: SparkSession): Long =
+    envelope(s, "graft.maxBandPairsPerDoc", DefaultMaxBandPairsPerDoc)
+  /** Σ per-band-bucket candidate pairs for the minhash band join. */
+  private[graft] def minhashBandWork(s: SparkSession, dir: String): Long =
+    ProbeCache.cached(s, s"minhashBandWork#$dir") {
+      import s.implicits._
+      shingled(s, dir)
+        .select(explode(Text.minhashBands($"sh", Perms, Bands)).as("band"))
+        .groupBy($"band").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)))
+        .head().getLong(0)
+    }
+  private def fenceBandJoin(name: String, s: SparkSession, dir: String): Unit = {
+    val budget = maxBandPairsPerDoc(s)
+    val docs = docCount(s, dir)
+    val work = minhashBandWork(s, dir)
+    val perDoc = if (docs == 0) 0L else work / docs
+    require(perDoc <= budget,
+      s"$name: minhash band index is saturated — $work candidate pairs for " +
+        s"$docs docs ($perDoc/doc, budget $budget/doc). Hot band buckets " +
+        "carry data-proportional pair work, making the band self-join " +
+        "quadratic; use the hot-band-capped twins (dedup_minhash_lsh_capped " +
+        "/ dedup_components_lsh_capped — identical output wherever every " +
+        "bucket is under the cap, measured recall where not), or raise " +
+        "graft.maxBandPairsPerDoc to run the exact band join deliberately.")
+  }
+
   /** MinHash-banded candidates verified by exact Jaccard — the TEXT pair
     * generator that stays linear when the exact inverted index saturates
     * (a bounded shingle vocabulary caps distinct shingles, so exact-index
     * bucket sizes — and Σc² join work — grow with the corpus; band
-    * buckets stay ~constant). Shared by dedup_minhash_lsh and the
-    * grouping scale path dedup_components_lsh. */
+    * buckets stay ~constant). Shared by dedup_minhash_lsh, the grouping
+    * scale path dedup_components_lsh, keeper selection, and the triangle
+    * counter. FENCED on measured band-bucket density ([[fenceBandJoin]]);
+    * the capped twin [[minhashVerifiedPairsCapped]] is the governed path
+    * past the fence. */
   private[graft] def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val shd = shingled(s, dir)
-    val bands = shd.select($"doc_id",
-      explode(Text.minhashBands($"sh", Perms, Bands)).as("band"))
+    fenceBandJoin("dedup_minhash_lsh", s, dir)
+    val hsh = hashedShingles(s, dir)
+    val bands = hsh.select($"doc_id",
+      explode(graft.functions.HashExpr.minhashBandKeys($"hs", Perms, Bands)).as("band"))
     // Band buckets ARE clusters by construction (that's what LSH is for),
     // so pair generation must stream: a self-join emits pairs lazily and
     // AQE splits hot buckets. A per-bucket collect_list + combinations
@@ -508,13 +601,51 @@ object SimilarityQueries {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")),
       "dedup_minhash_lsh")
       .distinct()
-    cand
-      .join(shd.select($"doc_id".as("doc_a"), $"sh".as("sha")), Seq("doc_a"))
-      .join(shd.select($"doc_id".as("doc_b"), $"sh".as("shb")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect($"sha", $"shb")))
-      .select($"doc_a", $"doc_b",
-        ($"inter" / (size($"sha") + size($"shb") - $"inter")).as("jaccard"))
-      .filter($"jaccard" >= JaccardT)
+    jaccardVerify(cand, hsh)
+  }
+
+  /** Hot-band-capped twin of [[minhashVerifiedPairs]] — the governed path
+    * for duplicate-saturated corpora (VERDICT r15 #1). Band buckets at or
+    * under [[BandDfCap]] pair exactly as the exact generator does; docs in
+    * buckets OVER the cap pair only when their FULL 32-permutation
+    * signatures are identical (sub-banding the hot bucket with all
+    * remaining rows — the strictest extra-row split, and the one that is
+    * free to verify: 32/32 matching minima estimates J≈1, so those pairs
+    * are almost surely in the true output). Work is therefore bounded by
+    * cap·postings for cold buckets plus the output itself for hot ones —
+    * linear at ANY density. Candidates are a SUBSET of the exact
+    * generator's (a sig-identical pair shares every band, so it is banded
+    * too), making the dominance contract provable: capped ⊆ exact, with
+    * equality wherever no bucket exceeds the cap — which BandMass measured
+    * to be every graded corpus (max bucket 19 at skew10). Recall where
+    * buckets DO saturate is measured, not argued:
+    * dedup_minhash_capped_recall grades |capped ∩ exact| / |exact| the way
+    * ann_recall_at_k grades the ANN rungs. */
+  private[graft] val BandDfCap = 64L
+  private[graft] def minhashVerifiedPairsCapped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hsh = hashedShingles(s, dir)
+    val bands = hsh.select($"doc_id",
+      explode(graft.functions.HashExpr.minhashBandKeys($"hs", Perms, Bands)).as("band"))
+    val bc = bands.groupBy($"band").agg(count(lit(1)).as("c"))
+    val banded = bands.join(bc, Seq("band"))
+    val cold = banded.filter($"c" <= BandDfCap).select($"doc_id", $"band")
+    val coldPairs = cold.as("a").hint("shuffle_hash")
+      .join(cold.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sigs = hsh.select($"doc_id",
+      concat_ws("_", graft.functions.HashExpr.minhashSig($"hs", Perms)).as("sigkey"))
+    val hot = banded.filter($"c" > BandDfCap).select($"doc_id", $"band")
+      .join(sigs, Seq("doc_id"))
+    val hotPairs = hot.as("a").hint("shuffle_hash")
+      .join(hot.as("b"),
+        col("a.band") === col("b.band") && col("a.sigkey") === col("b.sigkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = probePairs(coldPairs.unionByName(hotPairs), "dedup_minhash_lsh_capped")
+      .distinct()
+    jaccardVerify(cand, hsh)
   }
 
   /** MinHash + LSH banding: 32 md5-permutations, 8 bands × 4 rows; band
@@ -522,6 +653,47 @@ object SimilarityQueries {
   private val dedupMinhashLsh: Q = (s, dir) => {
     import s.implicits._
     minhashVerifiedPairs(s, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The governed twin ([[minhashVerifiedPairsCapped]]): identical output
+    * wherever no band bucket exceeds [[BandDfCap]] — every graded corpus —
+    * and work linear at any density. */
+  private val dedupMinhashLshCapped: Q = (s, dir) => {
+    import s.implicits._
+    minhashVerifiedPairsCapped(s, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Recall contract for the capped twin, graded the way ann_recall_at_k
+    * grades the ANN rungs: the exact banded pairs are the truth (so this
+    * key inherits the band fence — on a corpus the fence refuses, the
+    * truth itself is the quadratic), the capped pairs are the probe, and
+    * the output is the integer triple a dominance check needs. capped ⊆
+    * exact by construction, so n_common = n_capped always, and recall =
+    * n_common / n_exact is 1.0 wherever every bucket is under the cap. */
+  private val dedupMinhashCappedRecall: Q = (s, dir) => {
+    import s.implicits._
+    val exact = minhashVerifiedPairs(s, dir)
+      .select($"doc_a", $"doc_b").withColumn("e", lit(1))
+    val capped = minhashVerifiedPairsCapped(s, dir)
+      .select($"doc_a", $"doc_b").withColumn("c", lit(1))
+    exact.join(capped, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(coalesce($"e", lit(0))).as("n_exact"),
+        sum(coalesce($"c", lit(0))).as("n_capped"),
+        sum(when($"e" === 1 && $"c" === 1, 1).otherwise(0)).as("n_common"))
+  }
+
+  /** Duplicate grouping over the CAPPED pair graph — the grouping
+    * consumer's governed twin (dedup_components_lsh refuses past the band
+    * fence naming this). Same components algorithm, same output schema. */
+  private val dedupComponentsLshCapped: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = minhashVerifiedPairsCapped(s, dir)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+    graft.operators.Components.connectedComponents(pairs)
+      .select($"id".as("doc_id"), $"component".as("component_id"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy($"component_id")))
+      .orderBy($"doc_id")
   }
 
   /** MinHash ESTIMATION-ACCURACY rung — the dedup family's analog of
@@ -542,23 +714,23 @@ object SimilarityQueries {
     * dedup keys pay (their saturated-corpus decade envelope applies). */
   private val dedupMinhashEstimate: Q = (s, dir) => {
     import s.implicits._
-    val shd = shingled(s, dir)
-    // one feature row per doc (shingles + full signature): a single join
-    // per pair side instead of separate sig/shingle joins
-    val feat = shd.select($"doc_id",
-      graft.functions.HashExpr.minhashSig(
-        Text.shingleHashes($"sh"), Perms).as("sig"), $"sh")
-    val bands = shd.select($"doc_id",
-      explode(Text.minhashBands($"sh", Perms, Bands)).as("band"))
+    fenceBandJoin("dedup_minhash_estimate", s, dir)
+    val hsh = hashedShingles(s, dir)
+    // one feature row per doc (hashed shingles + full signature): a single
+    // join per pair side instead of separate sig/shingle joins
+    val feat = hsh.select($"doc_id",
+      graft.functions.HashExpr.minhashSig($"hs", Perms).as("sig"), $"hs")
+    val bands = hsh.select($"doc_id",
+      explode(graft.functions.HashExpr.minhashBandKeys($"hs", Perms, Bands)).as("band"))
     val cand = bands.as("a").hint("shuffle_hash")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(feat.select($"doc_id".as("doc_a"), $"sig".as("siga"), $"sh".as("sha")),
+      .join(feat.select($"doc_id".as("doc_a"), $"sig".as("siga"), $"hs".as("sha")),
         Seq("doc_a"))
-      .join(feat.select($"doc_id".as("doc_b"), $"sig".as("sigb"), $"sh".as("shb")),
+      .join(feat.select($"doc_id".as("doc_b"), $"sig".as("sigb"), $"hs".as("shb")),
         Seq("doc_b"))
       .withColumn("inter", size(array_intersect($"sha", $"shb")))
       .select(
@@ -589,9 +761,9 @@ object SimilarityQueries {
   private val dedupMinhashIncremental: Q = (s, dir) => {
     import s.implicits._
     val split = 3L * docCount(s, dir) / 4L
-    val shd = shingled(s, dir)
-    val bands = shd.select($"doc_id",
-      explode(Text.minhashBands($"sh", Perms, Bands)).as("band"))
+    val hsh = hashedShingles(s, dir)
+    val bands = hsh.select($"doc_id",
+      explode(graft.functions.HashExpr.minhashBandKeys($"hs", Perms, Bands)).as("band"))
     val incoming = bands.filter($"doc_id" >= split)
       .select($"doc_id".as("new_id"), $"band")
     val index = bands.filter($"doc_id" < split)
@@ -601,13 +773,13 @@ object SimilarityQueries {
     val cand = incoming.hint("shuffle_hash").join(index, Seq("band"))
       .select($"new_id", $"dup_of").distinct()
     val matches = cand
-      .join(shd.select($"doc_id".as("new_id"), $"sh".as("sha")), Seq("new_id"))
-      .join(shd.select($"doc_id".as("dup_of"), $"sh".as("shb")), Seq("dup_of"))
+      .join(hsh.select($"doc_id".as("new_id"), $"hs".as("sha")), Seq("new_id"))
+      .join(hsh.select($"doc_id".as("dup_of"), $"hs".as("shb")), Seq("dup_of"))
       .withColumn("inter", size(array_intersect($"sha", $"shb")))
       .filter(($"inter" / (size($"sha") + size($"shb") - $"inter")) >= JaccardT)
       .groupBy($"new_id")
       .agg(min($"dup_of").as("dup_of"), count(lit(1)).as("n_matches"))
-    shd.filter($"doc_id" >= split).select($"doc_id".as("new_id"))
+    hsh.filter($"doc_id" >= split).select($"doc_id".as("new_id"))
       .join(matches, Seq("new_id"), "left")
       .select($"new_id", $"dup_of", coalesce($"n_matches", lit(0L)).as("n_matches"))
       .orderBy($"new_id")
@@ -1750,6 +1922,36 @@ object SimilarityQueries {
        |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Hot-band-capped candidate pairs ([[minhashVerifiedPairsCapped]]):
+    * buckets ≤ [[BandDfCap]] pair fully; hot-bucket docs pair only on
+    * identical full signatures. Replays the twin bit-for-bit. */
+  private[queries] val cappedCandCtes =
+    s"""$minhashSigBandCtes,
+       |bc AS (SELECT band, COUNT(*) AS c FROM bands GROUP BY band),
+       |bd AS (SELECT b.doc_id, b.band, bc.c FROM bands b JOIN bc USING (band)),
+       |sk AS (SELECT doc_id, array_to_string(sig, '_') AS sigkey FROM sig),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id
+       |    WHERE a.c <= $BandDfCap
+       |  UNION ALL
+       |  SELECT a.doc_id, b.doc_id
+       |    FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id
+       |    JOIN sk x ON x.doc_id = a.doc_id
+       |    JOIN sk y ON y.doc_id = b.doc_id
+       |    WHERE a.c > $BandDfCap AND x.sigkey = y.sigkey))""".stripMargin
+
+  /** Exact-Jaccard pair set (doc_a, doc_b only) over a named candidate
+    * CTE — the jaccardVerifySql arithmetic, reusable where two candidate
+    * sets must verify in one oracle (the recall key). */
+  private def verifiedPairsSql(cand: String): String =
+    s"""SELECT doc_a, doc_b FROM (
+       | SELECT c.doc_a, c.doc_b,
+       |  CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+       |    / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) jaccard
+       | FROM $cand c JOIN shh x ON c.doc_a = x.doc_id JOIN shh y ON c.doc_b = y.doc_id)
+       |WHERE jaccard >= 0.5""".stripMargin
+
   /** pairs → undirected edges → reachability → min-label components, as
     * CTEs (requires WITH RECURSIVE; expects a `pairs(doc_a, doc_b)` CTE). */
   private val componentsCtes =
@@ -2273,6 +2475,47 @@ object SimilarityQueries {
       s"""WITH $shinglesHashCte,
          |$minhashCandCtes
          |$jaccardVerifySql""".stripMargin,
+
+    "dedup_minhash_lsh_capped" ->
+      s"""WITH $shinglesHashCte,
+         |$cappedCandCtes
+         |$jaccardVerifySql""".stripMargin,
+
+    "dedup_minhash_capped_recall" ->
+      s"""WITH $shinglesHashCte,
+         |$minhashSigBandCtes,
+         |ecand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |bc AS (SELECT band, COUNT(*) AS c FROM bands GROUP BY band),
+         |bd AS (SELECT b.doc_id, b.band, bc.c FROM bands b JOIN bc USING (band)),
+         |sk AS (SELECT doc_id, array_to_string(sig, '_') AS sigkey FROM sig),
+         |ccand AS (SELECT DISTINCT doc_a, doc_b FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |    FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id
+         |    WHERE a.c <= $BandDfCap
+         |  UNION ALL
+         |  SELECT a.doc_id, b.doc_id
+         |    FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id
+         |    JOIN sk x ON x.doc_id = a.doc_id
+         |    JOIN sk y ON y.doc_id = b.doc_id
+         |    WHERE a.c > $BandDfCap AND x.sigkey = y.sigkey)),
+         |ep AS (${verifiedPairsSql("ecand")}),
+         |cp AS (${verifiedPairsSql("ccand")})
+         |SELECT CAST(COUNT(e.doc_a) AS BIGINT) AS n_exact,
+         |  CAST(COUNT(c.doc_a) AS BIGINT) AS n_capped,
+         |  CAST(SUM(CASE WHEN e.doc_a IS NOT NULL AND c.doc_a IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+         |FROM ep e FULL JOIN cp c
+         |  ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b""".stripMargin,
+
+    "dedup_components_lsh_capped" ->
+      s"""WITH RECURSIVE $shinglesHashCte,
+         |$cappedCandCtes,
+         |pairs AS MATERIALIZED (${verifiedPairsSql("cand")}),
+         |$componentsCtes
+         |SELECT doc_id, component_id,
+         | COUNT(*) OVER (PARTITION BY component_id) AS n_members
+         |FROM comp ORDER BY doc_id""".stripMargin,
 
     // positional signature compare aggregated per estimate level:
     // n_match counts equal minima across the permutations; exact summed

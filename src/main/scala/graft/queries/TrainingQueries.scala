@@ -154,18 +154,8 @@ object TrainingQueries {
   // keys share the probe and the budget. Past the budget the exact keys
   // refuse loudly, naming the bounded rare-shingle twins; run the exact
   // join deliberately with `graft.maxDecontamJoinRows`.
-  private val deconWorkCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, Long]]
-  private[graft] def deconJoinWork(s: SparkSession, dir: String): Long = {
-    val perSession = deconWorkCache.synchronized {
-      var m = deconWorkCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, Long]
-        deconWorkCache.put(s, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate(dir, {
+  private[graft] def deconJoinWork(s: SparkSession, dir: String): Long =
+    ProbeCache.cached(s, s"deconJoinWork#$dir") {
       import s.implicits._
       Tables(s, dir, "documents")
         .select($"doc_id", explode(Text.shingleSet($"text", ShingleN)).as("shingle"))
@@ -174,12 +164,19 @@ object TrainingQueries {
           count(when($"doc_id" % 50 === 0, 1)).as("b"))
         .agg(coalesce(sum($"c" * $"b"), lit(0L)))
         .head().getLong(0)
-    })
-  }
-  private def fenceDecontam(name: String, s: SparkSession, dir: String): Unit = {
+    }
+  // The probe measures DOC-grain mass; the chunk key's true mass is the
+  // same sum with the training side exploded into ChunkW-token windows at
+  // ChunkStride, so each training posting appears in up to ChunkW/
+  // ChunkStride chunks and the candidate mass scales by roughly that
+  // overlap factor squared (ADVICE r15). `massScaleNum/Den` lets the
+  // chunk key compare work·(W/S)² against the SAME shared budget instead
+  // of silently admitting a join a constant factor over it.
+  private def fenceDecontam(name: String, s: SparkSession, dir: String,
+      massScaleNum: Long = 1L, massScaleDen: Long = 1L): Unit = {
     val budget =
       SimilarityQueries.envelope(s, "graft.maxDecontamJoinRows", 1L << 24)
-    val work = deconJoinWork(s, dir)
+    val work = deconJoinWork(s, dir) * massScaleNum / massScaleDen
     require(work <= budget,
       s"$name: exact decontamination join is fenced at $budget candidate " +
         s"rows (this corpus' shingle index yields $work — a saturated " +
@@ -206,7 +203,8 @@ object TrainingQueries {
     * saturates. */
   private val textChunkDecontaminate: Q = (s, dir) => {
     import s.implicits._
-    fenceDecontam("text_chunk_decontaminate", s, dir)
+    fenceDecontam("text_chunk_decontaminate", s, dir,
+      massScaleNum = ChunkW.toLong * ChunkW, massScaleDen = ChunkStride.toLong * ChunkStride)
     val chsh = chunked(s, dir).filter($"doc_id" % 50 =!= 0)
       .select($"doc_id", $"chunk_idx",
         explode(Text.shingleSet($"chunk_text", ShingleN)).as("shingle"))

@@ -131,12 +131,14 @@ class SimilarityScaleSpec extends SparkSpec {
     assert(es.getMessage.contains("saturated") &&
       es.getMessage.contains("dedup_minhash_lsh"),
       s"unhelpful simhash saturation fence message: $es")
-    // the LSH twins stay open on the same corpus: the fence lives at
-    // plan-BUILD time, so a no-throw build proves the minhash family is
-    // exempt (executing it here would compute the dense all-duplicate
-    // output — correct but pointless for a fence test)
-    assert(SimilarityQueries.queries("dedup_minhash_lsh")(spark, dir).columns
-      .contains("jaccard"))
+    // the GOVERNED path stays open on the same corpus (r16: the exact
+    // minhash band join is now fenced too — BandFenceSpec — so the open
+    // escape is the hot-band-capped twin): the fence lives at plan-BUILD
+    // time, so a no-throw build proves the twin is exempt (executing it
+    // here would compute the dense all-duplicate output — correct but
+    // pointless for a fence test)
+    assert(SimilarityQueries.queries("dedup_minhash_lsh_capped")(spark, dir)
+      .columns.contains("jaccard"))
     // and a session that deliberately widens its envelope runs the exact
     // baseline (n² here is 3000²/2 ≈ 4.5M pairs — fine for a test)
     val wide = spark.newSession()
