@@ -58,6 +58,7 @@ object RelationalQueries {
     "st_stream_session_ooo" -> stStreamSessionOoo,
     "st_stream_enrich" -> stStreamEnrich,
     "st_stream_join" -> stStreamJoin,
+    "st_stream_join_last" -> stStreamJoinLast,
     "st_stream_left_join" -> stStreamLeftJoin,
     "st_stream_upsert" -> stStreamUpsert,
     "s9_catalog_counts" -> s9CatalogCounts,
@@ -865,12 +866,90 @@ object RelationalQueries {
     * append mode, the emitted match set equals the batch interval join,
     * which the DuckDB replay hash-certifies. */
   private val stStreamJoin: Q = (s0, dir) => {
+    fenceStreamJoin("st_stream_join", s0, dir)
     val s = streamSession(s0, streamWidth(s0, dir, "events"))
     import s.implicits._
     val joined = graft.streaming.Streams
       .purchaseAttribution(eventsStream(s, dir))
       .select($"user_id", $"purchase_id", $"view_id")
     drainToTable(s, joined, "st_stream_join", "append")
+      .orderBy($"user_id", $"purchase_id", $"view_id")
+  }
+
+  // Interval-join saturation fence (VERDICT r15 #3 — the skew100 rung's
+  // cliff): the exact interval joins emit EVERY (purchase, view) pair in
+  // the hour window, and on a fixed-span stream that output is quadratic
+  // in the corpus — per-event candidate mass measured at 1.17 (skew1) →
+  // 7.67 (skew10) → 53.65 (skew100); the skew100 left-join drain emitted
+  // ~2.6 G rows and exhausted a 60 GB disk. Same per-row density
+  // discipline as the dedup/decontamination fences: Σ over (user, hour
+  // bucket) of views×purchases — computed with the join's own two-bucket
+  // explode, so it is exactly the pair work the bucketed state key admits
+  // — divided by the event count is scale-free; it trips on density
+  // saturation, never on legitimate growth. One aggregation pass over the
+  // events table, memoized per session × dir ([[ProbeCache]]). Escape
+  // hatch: the bounded-output twin st_stream_join_last (last-touch
+  // attribution, O(purchases) output at any density), or raise
+  // graft.maxStreamJoinPairsPerEvent to run the pair join deliberately.
+  private val DefaultMaxStreamJoinPairsPerEvent = 16L
+  private[graft] def streamJoinPairWork(s: SparkSession, dir: String): Long =
+    ProbeCache.cached(s, s"streamJoinPairWork#$dir") {
+      import s.implicits._
+      val e = Tables(s, dir, "events")
+      val v = e.filter($"event_type" === "view")
+        .select($"user_id", explode(array(
+          window($"ts", "1 hour").getField("start"),
+          window($"ts" + expr("INTERVAL 1 HOUR"), "1 hour").getField("start")))
+          .as("b"))
+        .groupBy($"user_id", $"b").agg(count(lit(1)).as("nv"))
+      val p = e.filter($"event_type" === "purchase")
+        .select($"user_id", window($"ts", "1 hour").getField("start").as("b"))
+        .groupBy($"user_id", $"b").agg(count(lit(1)).as("np"))
+      v.join(p, Seq("user_id", "b"))
+        .agg(coalesce(sum($"nv" * $"np"), lit(0L))).head().getLong(0)
+    }
+  private def fenceStreamJoin(name: String, s: SparkSession, dir: String): Unit = {
+    val budget = SimilarityQueries.envelope(
+      s, "graft.maxStreamJoinPairsPerEvent", DefaultMaxStreamJoinPairsPerEvent)
+    val events = ProbeCache.cached(s, s"eventCount#$dir") {
+      Tables(s, dir, "events").count()
+    }
+    val work = streamJoinPairWork(s, dir)
+    val perEvent = if (events == 0) 0L else work / events
+    require(perEvent <= budget,
+      s"$name: interval-join candidate mass is saturated — $work " +
+        s"(user, hour)-bucketed view×purchase pairs for $events events " +
+        s"($perEvent/event, budget $budget/event). On a fixed-span stream " +
+        "the pair output grows quadratically with density; use the " +
+        "bounded-output twin st_stream_join_last (last-touch attribution, " +
+        "one row per matched purchase at any density), or raise " +
+        "graft.maxStreamJoinPairsPerEvent to emit every pair deliberately.")
+  }
+
+  /** STREAMING last-touch attribution — the bounded-output twin of
+    * [[stStreamJoin]] past the saturation fence:
+    * [[graft.streaming.Streams.lastTouchAttribution]] through the REAL
+    * engine (custom (user, hour-bucket) state, EventTimeTimeout
+    * resolution). Each purchase credits the single most recent qualifying
+    * view — argmax (v_ts, view_id) over v_ts ∈ (p_ts − 1 h, p_ts] — so
+    * output is O(purchases) and cell work O((V+P) log V) at ANY density,
+    * while the exact join's pair output is quadratic on saturated
+    * streams. Emission rides the session key's timeout contract: a
+    * purchase emits only once the watermark passes its hour-bucket end,
+    * so purchases in the final watermark+bucket horizon stay provisional
+    * in state — the DuckDB replay encodes exactly that boundary
+    * (bucket_end strictly below the ms-floored final watermark over the
+    * view∪purchase stream). Twin containment: every emitted row is a row
+    * of the exact join's output (the argmax member of the purchase's pair
+    * set) — spec-pinned alongside the boundary replay. */
+  private val stStreamJoinLast: Q = (s0, dir) => {
+    val s = streamSession(s0, streamWidth(s0, dir, "events"))
+    import s.implicits._
+    val attributed = graft.streaming.Streams
+      .lastTouchAttribution(eventsStream(s, dir))
+      .toDF()
+      .select($"user_id", $"purchase_id", $"view_id")
+    drainToTable(s, attributed, "st_stream_join_last", "append")
       .orderBy($"user_id", $"purchase_id", $"view_id")
   }
 
@@ -889,6 +968,7 @@ object RelationalQueries {
     * certifies state EVICTION (not just retention) is correct — the
     * property that bounds the join's memory at 100 TB. */
   private val stStreamLeftJoin: Q = (s0, dir) => {
+    fenceStreamJoin("st_stream_left_join", s0, dir)
     val s = streamSession(s0, streamWidth(s0, dir, "events"))
     import s.implicits._
     val joined = graft.streaming.Streams
@@ -1328,6 +1408,30 @@ object RelationalQueries {
         |  ON v.user_id = p.user_id AND v.event_type = 'view'
         | AND v.ts > p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
         |WHERE p.event_type = 'purchase'
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // replay of the last-touch drain's full emission contract: one row per
+    // matched purchase — the argmax (v_ts, view_id) qualifying view — but
+    // only for purchases whose hour bucket TIMED OUT, i.e. bucket end
+    // strictly below the final ms-floored watermark over the view∪purchase
+    // stream (the session key's strict-timeout rule; the twin's stream has
+    // ONE watermark node over the filtered union, hence GREATEST not LEAST)
+    "st_stream_join_last" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts
+        |  FROM events WHERE event_type = 'view'),
+        |wm AS (SELECT GREATEST((SELECT MAX(epoch_ms(ts)) FROM p),
+        |  (SELECT MAX(epoch_ms(ts)) FROM v)) - 7200000 AS wm_ms),
+        |emit AS (SELECT p.* FROM p, wm
+        |  WHERE (epoch_ms(p.ts) // 3600000) * 3600000 + 3600000 < wm_ms),
+        |ranked AS (
+        | SELECT e.user_id, e.event_id AS purchase_id, v.event_id AS view_id,
+        |  ROW_NUMBER() OVER (PARTITION BY e.user_id, e.event_id
+        |    ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        | FROM emit e JOIN v ON v.user_id = e.user_id
+        |  AND v.ts > e.ts - INTERVAL 1 HOUR AND v.ts <= e.ts)
+        |SELECT user_id, purchase_id, view_id FROM ranked WHERE rn = 1
         |ORDER BY 1, 2, 3""".stripMargin,
 
     // replay of the left-outer drain's full emission contract: matched

@@ -367,6 +367,108 @@ object Streams {
         col("p_ts"), col("v_ts"))
   }
 
+  /** Buffered rows of one (user, hour-bucket) attribution cell: parallel
+    * (ts-MICROS, event-id) arrays for each side — µs, not ms, because the
+    * DuckDB oracle's argmax compares raw timestamps and the generated
+    * events carry sub-millisecond precision. Primitive arrays keep the
+    * state encoder flat — no per-row object graph on the state-store
+    * wire. */
+  final case class AttrState(vTs: Array[Long], vId: Array[Long],
+      pTs: Array[Long], pId: Array[Long])
+  /** One LAST-TOUCH attribution verdict: the purchase and the single view
+    * that wins argmax (v_ts, view_id) among views in (p_ts − interval,
+    * p_ts]. */
+  final case class Attribution(user_id: Long, purchase_id: Long, view_id: Long)
+
+  /** Bounded-output twin of [[purchaseAttribution]] (VERDICT r15 #3 —
+    * the skew100 rung): LAST-TOUCH attribution. The exact interval join's
+    * OUTPUT is every (purchase, view) pair inside the hour window, and on
+    * a fixed-span stream whose per-(user, hour) density grows with the
+    * corpus that output is quadratic — measured on the skew ladder at
+    * 1.17 → 7.67 → 53.65 candidate pairs per event across skew1/10/100
+    * (the skew100 drain emits ~2.6 G rows and exhausted a 60 GB disk).
+    * Last-touch keeps the industry attribution semantics — each purchase
+    * credits the single most recent qualifying view, ties on (v_ts,
+    * view_id) — with O(purchases) output and O(n log n) work at ANY
+    * density.
+    *
+    * Mechanics mirror [[sessionize]] (the proven custom-state drain):
+    * rows are keyed by (user, hour bucket) with views REPLICATED into
+    * their own and the next bucket — a purchase's qualifying views
+    * (v_ts ∈ (p_ts − 1 h, p_ts]) all land in the purchase's own bucket,
+    * each true winner exactly once — buffered in state, and resolved on
+    * EventTimeTimeout with a per-purchase binary search over the cell's
+    * ts-sorted views. State is one cell's rows: bounded by the
+    * watermark-horizon slice of one (user, hour), the same boundedness
+    * class as the engine's own join state, but the resolve work is
+    * O((V+P)·log V) per cell instead of V×P pairs. Emission boundary =
+    * the session key's: a cell emits only when the watermark passes its
+    * bucket end (timeout strictly below the final watermark) — cells
+    * still provisional at query end stay in the checkpoint, and the
+    * DuckDB oracle replays that boundary exactly. */
+  def lastTouchAttribution(events: DataFrame, interval: String = "1 hour",
+      watermark: String = "2 hours"): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    val iv = expr(s"INTERVAL $interval")
+    val ivMs = 3600000L // keep in lockstep with the default interval
+    val ivUs = ivMs * 1000L
+    require(interval == "1 hour", "ivMs hardcodes the 1-hour default")
+    def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+    val rows = events.filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("event_type") === "view").as("is_view"),
+        explode(when(col("event_type") === "view",
+          array(window(col("ts"), interval).getField("start"),
+            window(col("ts") + iv, interval).getField("start")))
+          .otherwise(array(window(col("ts"), interval).getField("start"))))
+          .as("bucket"))
+      .withWatermark("ts", watermark)
+    rows.as[(Long, java.sql.Timestamp, Long, Boolean, java.sql.Timestamp)]
+      .groupByKey { case (u, _, _, _, b) => (u, b.getTime) }
+      .flatMapGroupsWithState[AttrState, Attribution](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((user, bucketMs), it, state) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            // sort views by (ts, id): the LAST entry ≤ (p_ts, +∞) is the
+            // argmax qualifying view iff it is inside the hour window
+            val order = Array.range(0, st.vTs.length).sortBy(i => (st.vTs(i), st.vId(i)))
+            val vTs = order.map(st.vTs)
+            val vId = order.map(st.vId)
+            st.pTs.indices.iterator.flatMap { pi =>
+              val pt = st.pTs(pi)
+              var lo = 0; var hi = vTs.length
+              while (lo < hi) {
+                val m = (lo + hi) >>> 1
+                if (vTs(m) <= pt) lo = m + 1 else hi = m
+              }
+              val i = lo - 1
+              if (i >= 0 && vTs(i) > pt - ivUs)
+                Iterator.single(Attribution(user, st.pId(pi), vId(i)))
+              else Iterator.empty
+            }
+          } else {
+            val st0 = state.getOption.getOrElse(
+              AttrState(Array.empty, Array.empty, Array.empty, Array.empty))
+            val vT = Array.newBuilder[Long]; val vI = Array.newBuilder[Long]
+            val pT = Array.newBuilder[Long]; val pI = Array.newBuilder[Long]
+            vT ++= st0.vTs; vI ++= st0.vId; pT ++= st0.pTs; pI ++= st0.pId
+            it.foreach { case (_, ts, id, isView, _) =>
+              if (isView) { vT += micros(ts); vI += id }
+              else { pT += micros(ts); pI += id }
+            }
+            state.update(AttrState(vT.result(), vI.result(), pT.result(), pI.result()))
+            // same floor discipline as sessionize: EventTimeTimeout must
+            // sit strictly beyond the current watermark
+            val floor = state.getCurrentWatermarkMs() + 1
+            state.setTimeoutTimestamp(math.max(floor, bucketMs + ivMs))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming keyed upsert sink — the reference's delete-then-insert
     * warehouse load (SURVEY §2.10) as a continuous query: each micro-batch
     * is deduped to its latest row per key, then merged into the parquet
