@@ -915,11 +915,14 @@ object RelationalQueries {
       Tables(s, dir, "events").count()
     }
     val work = streamJoinPairWork(s, dir)
-    val perEvent = if (events == 0) 0L else work / events
-    require(perEvent <= budget,
-      s"$name: interval-join candidate mass is saturated — $work " +
+    // exact at the boundary (ADVICE r16): compare mass against the scaled
+    // budget — `work / events` truncates, so a density in (budget,
+    // budget+1) would slip under an integer-divided fence
+    val perEvent = if (events == 0) 0.0 else work.toDouble / events
+    require(work <= budget * events,
+      f"$name: interval-join candidate mass is saturated — $work " +
         s"(user, hour)-bucketed view×purchase pairs for $events events " +
-        s"($perEvent/event, budget $budget/event). On a fixed-span stream " +
+        f"($perEvent%.2f/event, budget $budget/event). On a fixed-span stream " +
         "the pair output grows quadratically with density; use the " +
         "bounded-output twin st_stream_join_last (last-touch attribution, " +
         "one row per matched purchase at any density), or raise " +
@@ -945,8 +948,13 @@ object RelationalQueries {
   private val stStreamJoinLast: Q = (s0, dir) => {
     val s = streamSession(s0, streamWidth(s0, dir, "events"))
     import s.implicits._
+    // explicit literals, not defaults: the DuckDB replay for this key
+    // hardcodes the 1 h window and the 7 200 000 ms watermark delay — a
+    // drift here must be a visible diff at the call site, not a silent
+    // default change (ADVICE r16; the engine itself is width-general)
     val attributed = graft.streaming.Streams
-      .lastTouchAttribution(eventsStream(s, dir))
+      .lastTouchAttribution(eventsStream(s, dir),
+        interval = "1 hour", watermark = "2 hours")
       .toDF()
       .select($"user_id", $"purchase_id", $"view_id")
     drainToTable(s, attributed, "st_stream_join_last", "append")

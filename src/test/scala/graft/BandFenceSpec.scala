@@ -91,6 +91,25 @@ class BandFenceSpec extends SparkSpec {
       s"fixture recall drifted: exact $nExact vs capped $nCapped (expected +150)")
   }
 
+  test("short-circuit plan assertion (VERDICT r16 #4): where the max-bucket " +
+      "probe proves no hot buckets the capped plan COLLAPSES to the exact " +
+      "generator's — no bucket-count join, no hot/cold split") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def joinCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j }.size
+    val exactJoins = joinCount(
+      SimilarityQueries.queries("dedup_minhash_lsh")(spark, sfDir))
+    val cappedHealthy = joinCount(
+      SimilarityQueries.queries("dedup_minhash_lsh_capped")(spark, sfDir))
+    assert(cappedHealthy == exactJoins,
+      s"healthy-corpus capped plan must collapse to the exact shape: " +
+        s"$cappedHealthy joins vs the exact generator's $exactJoins")
+    val cappedSaturated = joinCount(
+      SimilarityQueries.queries("dedup_minhash_lsh_capped")(spark, saturatedDir))
+    assert(cappedSaturated > exactJoins,
+      "saturated-corpus capped plan must keep the hot/cold machinery")
+  }
+
   test("on a healthy corpus the capped twin IS the exact generator") {
     val exact = SimilarityQueries.queries("dedup_minhash_lsh")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -39,13 +39,20 @@ class ProbeCacheSpec extends SparkSpec {
   test("the fence probes actually ride the cache (one scan per bench key)") {
     // p_percentile / a_median / deconJoinWork / minhashBandWork all key by
     // "<probe>#<dir>" — calling the query twice must not re-scan. The
-    // probes are private; observe through the public query path: the
-    // second build must be served the memoized mass (same session), which
-    // we verify by timing-free means — the cache entry exists after one
-    // build and the second build does not add a session entry.
-    val before = ProbeCache.sessionsCached
+    // probes are private; observe through the public query path via the
+    // GC-stable peek seam (the r16 red gate: asserting on the WeakHashMap's
+    // GLOBAL occupancy fails when GC collects an earlier test's
+    // unreferenced session — `spark` here is strongly held by the suite,
+    // so ITS entry cannot disappear mid-test). After one build the probe
+    // key is memoized for this session; a second call through the cache
+    // with a throwing thunk must be served that memo, not re-scan.
+    val key = s"minhashBandWork#$sfDir"
     graft.queries.SimilarityQueries.queries("dedup_minhash_lsh")(spark, sfDir)
+    val memo = ProbeCache.peek(spark, key)
+    assert(memo.nonEmpty, s"fence probe $key not memoized after the first build")
     graft.queries.SimilarityQueries.queries("dedup_minhash_lsh")(spark, sfDir)
-    assert(ProbeCache.sessionsCached >= 1 && ProbeCache.sessionsCached >= before)
+    val served = ProbeCache.cached(spark, key)(
+      sys.error("probe must be served from the memo, not re-executed"))
+    assert(served == memo.get)
   }
 }

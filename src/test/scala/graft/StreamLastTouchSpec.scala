@@ -19,14 +19,16 @@ class StreamLastTouchSpec extends SparkSpec {
     val t = Timestamp.valueOf(s); t.setNanos(t.getNanos + micros * 1000); t
   }
 
-  private def drain(events: Seq[AttrEvent], tag: String): Set[(Long, Long, Long)] = {
+  private def drain(events: Seq[AttrEvent], tag: String,
+      interval: String = "1 hour",
+      watermark: String = "2 hours"): Set[(Long, Long, Long)] = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory(tag).toString
     events.toDS().coalesce(1).write.parquet(s"$dir/in")
     val in = spark.readStream
       .schema(implicitly[org.apache.spark.sql.Encoder[AttrEvent]].schema)
       .parquet(s"$dir/in")
-    Streams.lastTouchAttribution(in)
+    Streams.lastTouchAttribution(in, interval, watermark)
       .writeStream.format("memory").queryName(tag)
       .option("checkpointLocation", s"$dir/ckpt")
       .outputMode("append")
@@ -79,6 +81,52 @@ class StreamLastTouchSpec extends SparkSpec {
     assert(drain(shifted, "lt_boundary") === Set(
       (1L, 101L, 13L), (2L, 102L, 22L), (3L, 103L, 32L), (4L, 104L, 42L),
       (6L, 106L, 61L)))
+  }
+
+  test("lastTouchAttribution generalizes past the 1-hour default: 15-minute " +
+      "window semantics + the watermark-boundary flip (VERDICT r16 #5)") {
+    // wm delay 30 min; the 12:00 anchor puts the final watermark at 11:30
+    val fixture = Seq(
+      AttrEvent(ts("2024-01-01 12:00:00"), 9, "view", 99),
+      // user 1: two qualifying views in (9:55, 10:10] — latest (10:05) wins
+      AttrEvent(ts("2024-01-01 10:02:00"), 1, "view", 11),
+      AttrEvent(ts("2024-01-01 10:05:00"), 1, "view", 12),
+      AttrEvent(ts("2024-01-01 10:10:00"), 1, "purchase", 101),
+      // user 3: CROSS-BUCKET at the 15-min grid — view 10:13 (bucket
+      // 10:00) replicated into the purchase's 10:15 bucket, wins over the
+      // earlier 10:06 view that also rode the replication
+      AttrEvent(ts("2024-01-01 10:06:00"), 3, "view", 31),
+      AttrEvent(ts("2024-01-01 10:13:00"), 3, "view", 32),
+      AttrEvent(ts("2024-01-01 10:20:00"), 3, "purchase", 103),
+      // user 5: view at exactly p_ts − 15 min — EXCLUSIVE lower bound at
+      // the generalized width: no row
+      AttrEvent(ts("2024-01-01 10:05:00"), 5, "view", 51),
+      AttrEvent(ts("2024-01-01 10:20:00"), 5, "purchase", 105),
+      // user 6: purchase in the [11:15, 11:30) bucket — bucket end 11:30
+      // == wm is NOT strictly below it: withheld
+      AttrEvent(ts("2024-01-01 11:18:00"), 6, "view", 61),
+      AttrEvent(ts("2024-01-01 11:20:00"), 6, "purchase", 106))
+    assert(drain(fixture, "lt15_semantics", "15 minutes", "30 minutes") === Set(
+      (1L, 101L, 12L), (3L, 103L, 32L)))
+    // anchor 1 ms later: wm = 11:30:00.001 > bucket end — user 6 emits
+    val shifted = fixture.map {
+      case e if e.event_id == 99 => e.copy(ts = uts("2024-01-01 12:00:00", 1000))
+      case e => e
+    }
+    assert(drain(shifted, "lt15_boundary", "15 minutes", "30 minutes") === Set(
+      (1L, 101L, 12L), (3L, 103L, 32L), (6L, 106L, 61L)))
+  }
+
+  test("durationMs parses the streaming duration subset and rejects garbage " +
+      "loudly (ADVICE r16)") {
+    assert(Streams.durationMs("1 hour") === 3600000L)
+    assert(Streams.durationMs("2 hours") === 7200000L)
+    assert(Streams.durationMs("15 minutes") === 900000L)
+    assert(Streams.durationMs("90 seconds") === 90000L)
+    assert(Streams.durationMs("1 day") === 86400000L)
+    intercept[IllegalArgumentException](Streams.durationMs("1 fortnight"))
+    intercept[IllegalArgumentException](Streams.durationMs("1h"))
+    intercept[IllegalArgumentException](Streams.durationMs("hour"))
   }
 
   test("twin containment on driver data: every last-touch row is a row of " +

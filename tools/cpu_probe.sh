@@ -30,4 +30,8 @@ for o in "${outs[@]}"; do
 done
 st1=$(awk '/^cpu /{print $9}' /proc/stat)
 mhz=$(awk -F: '/cpu MHz/{print $2; exit}' /proc/cpuinfo | tr -d ' ')
-echo "{\"single_thread_sec\": $t1, \"mt32_max_sec\": $tm, \"steal_ticks\": $((st1-st0)), \"cpu_mhz\": \"$mhz\", \"nproc\": $(nproc)}"
+# the burn loop is pure Python bytecode, so the fingerprint also varies
+# with the interpreter build — record it so a probe delta can be screened
+# for interpreter changes before being attributed to hardware (ADVICE r16)
+pyv=$(python3 -c 'import platform; print(platform.python_version())')
+echo "{\"single_thread_sec\": $t1, \"mt32_max_sec\": $tm, \"steal_ticks\": $((st1-st0)), \"cpu_mhz\": \"$mhz\", \"nproc\": $(nproc), \"python_version\": \"$pyv\"}"

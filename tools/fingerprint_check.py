@@ -8,11 +8,14 @@ For each <dump_dir>/<key> parquet directory (written by graft.Dump) with
 an oracle in <dump_dir>/oracle_sql.json OR the repo's committed
 oracle_sql (falls back to running graft.Verify's map via the sibling
 verify out dir's oracle_sql.json passed as dump_dir/oracle_sql.json):
-computes (count, SUM(hash(c1||'|'||c2||...)) with '<null>' sentinels,
-columns sorted by name) over BOTH the Spark parquet and the oracle SQL
-replay on the sf tables, and reports OK/MISMATCH. Floats are fingerprinted
-at their round-trip repr; use only for integer/string/timestamp outputs
-(every key this gates emits exact types by design).
+computes (count, SUM(hash(list_value(c1, c2, ...))), columns sorted by
+name) over BOTH the Spark parquet and the oracle SQL replay on the sf
+tables, and reports OK/MISMATCH. The LIST hash keeps column boundaries
+and NULLs first-class (ADVICE r16: the old '|'-concat with a '<null>'
+sentinel could alias rows whose strings contain the separator or the
+sentinel). Floats are fingerprinted at their round-trip repr; use only
+for integer/string/timestamp outputs (every key this gates emits exact
+types by design).
 """
 import sys, os, json
 import duckdb
@@ -22,9 +25,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def fingerprint_sql(cols, src):
-    expr = " || '|' || ".join(
-        f"COALESCE(CAST(\"{c}\" AS VARCHAR), '<null>')" for c in sorted(cols))
-    return f"SELECT COUNT(*) AS n, COALESCE(SUM(hash({expr})), 0) AS h FROM {src}"
+    expr = ", ".join(f'CAST("{c}" AS VARCHAR)' for c in sorted(cols))
+    return (f"SELECT COUNT(*) AS n, "
+            f"COALESCE(SUM(hash(list_value({expr}))), 0) AS h FROM {src}")
 
 
 def main():
