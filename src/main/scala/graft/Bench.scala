@@ -37,6 +37,16 @@ object Bench {
       try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
       System.err.println(f"[bench] warmup $name ${(System.nanoTime() - w0) / 1e9}%.1fs")
       spark.catalog.clearCache()
+      // Reclaim the key's shuffle files NOW: ContextCleaner deletes them
+      // only after their ShuffleDependency objects are GC'd, and a 48 GiB
+      // heap can run a whole rung without a single full GC — measured on
+      // the skew100 rung: 24 GiB of dead shuffle files from completed keys
+      // accumulated in one blockmgr dir and ENOSPC'd the box mid-warmup.
+      // On a cluster each executor's shuffle dirs have the same lifetime
+      // problem at 1000x the volume; forcing the collection at key
+      // boundaries (outside any timed region) bounds disk to the single
+      // largest key instead of the sum of all keys.
+      System.gc()
     }
     // A failing query must be visible as a FAILURE, not recorded as a
     // (typically tiny) timing that silently improves the total: emit null
@@ -61,6 +71,7 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] timed $name $t%.1fs")
       spark.catalog.clearCache()
+      System.gc() // see warmup loop: bound shuffle-file disk per key
       (name, t, ok)
     }
     val results = timedPass().zip(timedPass()).map { case ((n, t1, ok1), (_, t2, ok2)) =>

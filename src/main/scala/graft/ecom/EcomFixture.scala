@@ -176,21 +176,95 @@ object EcomFixture {
       "raw_interactions" -> rawInteractions)
   }
 
-  // One materialized medallion run per (session, sf dir): Table/Incremental
-  // models land in a temp dir once; every ecom_* query then reads flat
-  // mart scans instead of re-deriving the 30+-model Catalyst plan.
-  // Keyed by the SparkSession too — a stop/recreate in the same JVM must
-  // not hand back DataFrames bound to the dead session.
+  // One materialized medallion run per (session, sf dir, leaf mode):
+  // Table/Incremental models land in a temp dir once; every ecom_* query
+  // then reads flat mart scans instead of re-deriving the 30+-model
+  // Catalyst plan. Keyed by the SparkSession too — a stop/recreate in the
+  // same JVM must not hand back DataFrames bound to the dead session.
   // Synchronized compute-once — Verify fans queries across threads.
-  private val cache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), Map[String, DataFrame]]
+  private val cache = scala.collection.mutable.Map
+    .empty[(SparkSession, String, Boolean), Map[String, DataFrame]]
+
+  /** Raw parquet bytes of the 6 tables [[raw]] derives from — the input
+    * side of the landing fence. Local-filesystem stat only (this fixture
+    * is the test/bench harness; a cluster deployment would size the same
+    * probe with FileSystem.getContentSummary on the warehouse FS). */
+  private[graft] def inputBytes(dir: String): Long = {
+    import java.nio.file.{Files => F, Paths}
+    Seq("customer", "orders", "lineitem", "part", "nation", "events").map { t =>
+      val p = Paths.get(dir, t + ".parquet")
+      if (!F.exists(p)) 0L
+      else if (F.isDirectory(p)) {
+        val s = F.list(p)
+        try s.mapToLong(f => if (F.isRegularFile(f)) F.size(f) else 0L).sum
+        finally s.close()
+      } else F.size(p)
+    }.sum
+  }
+
+  /** Measured landing/input byte ratios behind the fence factors (PERF
+    * r17, skew corpora): the FULL medallion landing is 3.5x its raw
+    * parquet inputs (5.9 GiB landed / 1.67 GiB input at skew10 — the
+    * row-preserving wide marts fct_order_details + order_items dominate);
+    * the leaf-streamed landing (fct_* as Views) drops the mart tier and
+    * measured ~1.4x. Both factors are rounded UP so the estimate errs
+    * toward refusing. */
+  private val FullLandingFactor = 4L
+  private val StreamedLandingFactor = 2L
+
+  /** Default `graft.maxEcomLandingBytes`: 32 GiB — 5.4x headroom over the
+    * largest landing any graded corpus needs (skew10 full = 5.9 GiB),
+    * refusing the skew100 FULL landing (est 17.2 GiB x 4 = 69 GiB, which
+    * ENOSPC'd a 60 GiB-free box mid-run before this fence existed) while
+    * admitting the leaf-streamed twin there (est 17.2 x 2 = 34 GiB... see
+    * martsStreamed for the exact arithmetic). */
+  private val DefaultMaxLandingBytes = 32L << 30
+
+  private def fenceLanding(spark: SparkSession, dir: String,
+      factor: Long, what: String): Unit = {
+    val budget = graft.queries.SimilarityQueries.envelope(
+      spark, "graft.maxEcomLandingBytes", DefaultMaxLandingBytes)
+    val in = inputBytes(dir)
+    require(in * factor <= budget,
+      s"$what: the medallion landing is O(input) disk — estimated " +
+        s"${in * factor} bytes (input $in x measured factor $factor) over " +
+        s"the graft.maxEcomLandingBytes budget $budget. This is a real " +
+        "materialization, not a spill: refusing beats ENOSPC mid-DAG " +
+        "(measured: the skew100 full landing is ~59 GiB). Either point " +
+        "the landing at a volume sized for O(input) marts and raise the " +
+        "budget, or use qa_schema_tests_stream — it lands only the shared " +
+        "interior models and streams the leaf fct_* marts through their " +
+        "fused checks (<= 2 rebuild scans each, zero mart landing).")
+  }
 
   /** All model outputs (staging → marts), materialized via ModelGraph.run. */
   def marts(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    martsImpl(spark, dir, streamLeaves = false)
+
+  /** Landing-governed variant: the leaf fct_* marts stay Views (derived
+    * plans over the LANDED interior — orders/order_items/enriched/dims —
+    * so each rebuild is one join over flat scans), cutting the landing to
+    * the shared interior tier. Nothing depends on a fct model
+    * (Ecom.models is a medallion DAG; marts are terminal), so flipping
+    * them to View changes no other model's input. */
+  def martsStreamed(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    martsImpl(spark, dir, streamLeaves = true)
+
+  private def martsImpl(spark: SparkSession, dir: String,
+      streamLeaves: Boolean): Map[String, DataFrame] =
     cache.synchronized {
-      cache.getOrElseUpdate((spark, dir), {
+      cache.getOrElseUpdate((spark, dir, streamLeaves), {
+        fenceLanding(spark, dir,
+          if (streamLeaves) StreamedLandingFactor else FullLandingFactor,
+          if (streamLeaves) "martsStreamed" else "marts")
         val out = java.nio.file.Files.createTempDirectory("graft_ecom_").toString
-        ModelGraph.run(spark, Ecom.models(now, today), raw(spark, dir), out)
+        val models = Ecom.models(now, today)
+        val effective =
+          if (!streamLeaves) models
+          else models.map(m =>
+            if (m.name.startsWith("fct_")) m.copy(materialization = ModelGraph.View)
+            else m)
+        ModelGraph.run(spark, effective, raw(spark, dir), out)
       })
     }
 }

@@ -59,18 +59,47 @@ object EcomQueries {
     * (session, dir): the frame plans over one-time parquet spills, so
     * repeated bench passes rescan instead of re-spilling 40 tables. */
   private val qaCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private val qaSchemaTests: Q = (s, dir) => qaCache.getOrElseUpdate((s, dir), {
-    val m = EcomFixture.marts(s, dir)
-    val src = EcomFixture.raw(s, dir).map { case (k, v) =>
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Boolean), DataFrame]
+  private def srcTables(s: SparkSession, dir: String): Map[String, DataFrame] =
+    EcomFixture.raw(s, dir).map { case (k, v) =>
       ("src_" + k.stripPrefix("raw_")) ->
         v.toDF(v.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toIndexedSeq: _*)
     }
-    graft.ecom.EcomSchemaTests.frame(s, src ++ m)
-  })
+  private def modelNames(prefix: String): Set[String] =
+    graft.ecom.Ecom.models(EcomFixture.now, EcomFixture.today)
+      .map(_.name).filter(_.startsWith(prefix)).toSet
+  // The src_* AND stg_* tiers are STREAMED through the fused branches,
+  // not pre-materialized: both are pure cast-projections over raw parquet
+  // (staging's 1:1 row-preservation is spec-pinned — it is the qa
+  // oracle's premise), so streaming reads only the checked columns
+  // (pruned scans) where the old full-width parquet copies rewrote ~the
+  // whole input per run — at skew100 those copies alone were
+  // ~input-sized disk. <= 5 fused scans per streamed table (its keyed
+  // branch + Rel-parent reads). The dim_* Views still pre-materialize:
+  // they are genuine multi-join derivations read as Rel parents up to 5x,
+  // and they are small relative to the inputs.
+  private val qaSchemaTests: Q = (s, dir) =>
+    qaCache.getOrElseUpdate((s, dir, false), {
+      val src = srcTables(s, dir)
+      graft.ecom.EcomSchemaTests.frame(
+        s, src ++ EcomFixture.marts(s, dir),
+        stream = src.keySet ++ modelNames("stg_"))
+    })
+  /** The landing-governed twin the [[EcomFixture]] fence names: interior
+    * models land, the leaf fct_* marts stream through their checks as
+    * derived plans over the landed interior. Identical output frame —
+    * same oracle SQL. */
+  private val qaSchemaTestsStream: Q = (s, dir) =>
+    qaCache.getOrElseUpdate((s, dir, true), {
+      val src = srcTables(s, dir)
+      graft.ecom.EcomSchemaTests.frame(
+        s, src ++ EcomFixture.martsStreamed(s, dir),
+        stream = src.keySet ++ modelNames("stg_") ++ modelNames("fct_"))
+    })
 
   def queries: Map[String, Q] = Map(
     "qa_schema_tests" -> qaSchemaTests,
+    "qa_schema_tests_stream" -> qaSchemaTestsStream,
     "ecom_locations" -> model("locations", "location_id"),
     "ecom_addresses_quirk" -> addressesQuirk,
     "ecom_customers_enriched" -> model("customers_enriched", "customer_id"),
@@ -655,7 +684,12 @@ customer_interactions AS (
     case other => other
   }
 
-  def oracle: Map[String, String] = baseOracle +
-    ("qa_schema_tests" -> (stagePrefix + ",\n" + qaMartCtes + "\n" +
-      graft.ecom.EcomSchemaTests.oracleSelect(qaRel)))
+  def oracle: Map[String, String] = {
+    // The stream twin computes the SAME 150-check frame (only the landing
+    // strategy differs), so it replays against the same SQL.
+    val qaSql = stagePrefix + ",\n" + qaMartCtes + "\n" +
+      graft.ecom.EcomSchemaTests.oracleSelect(qaRel)
+    baseOracle + ("qa_schema_tests" -> qaSql) +
+      ("qa_schema_tests_stream" -> qaSql)
+  }
 }
