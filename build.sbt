@@ -29,4 +29,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] at sf0.1 runs 32 concurrent tasks + broadcasts in this one
   // heap; 8g GC-thrashes (per-query times vary 10-500x). Box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 32 tasks decompressing parquet hold JNI critical regions that block
+  // GC (GCLocker); at the default retry count of 2 a high allocation
+  // rate turns that contention into a SPURIOUS OutOfMemoryError — tasks
+  // observed dying "allocating 5 words" with 40 GiB free (JDK-8192647,
+  // hit on the 600 M-row skew100 corpus). Retrying the allocation until
+  // the locker drains is the documented mitigation.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )
