@@ -17,8 +17,11 @@ object Explain {
     names.foreach { n =>
       (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
-        val c = SparkEntry.queries(n)(spark, sfDir).count()
-        println(f"[explain] $n run$i: $c rows in ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        // noop terminal, NOT count(): a bare count lets Catalyst prune
+        // cardinality-preserving subtrees, timing a lighter query than the
+        // bench measures (guide §1.4; the Bench scaladoc has the numbers).
+        Bench.exec(SparkEntry.queries(n)(spark, sfDir))
+        println(f"[explain] $n run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     }
     spark.stop()
