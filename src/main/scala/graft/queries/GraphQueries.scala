@@ -48,18 +48,12 @@ object GraphQueries {
     * to end, so the curve replays exactly through the unrolled CTEs. */
   private val graphPagerankDelta: Q = (s, dir) => {
     import s.implicits._
-    val e = edges(s, dir).persist()
-    val deg = e.groupBy($"a").agg(count(lit(1)).as("deg"))
-    var mass = deg.select($"a".as("node"), lit(1000000L).as("mass"))
+    val (ewd, deg) = edgesWithDeg(s, dir)
+    var mass = deg.select($"node", lit(1000000L).as("mass"))
     val rounds = Seq.newBuilder[DataFrame]
     var prev = mass
     for (r <- 1 to 3) {
-      val share = mass.join(deg.withColumnRenamed("a", "node"), "node")
-        .select($"node".as("a"), expr("(mass * 85) div (100 * deg)").as("c"))
-      mass = e.join(share, "a")
-        .groupBy($"b".as("node"))
-        .agg((lit(150000L) + sum($"c")).as("mass"))
-        .localCheckpoint()
+      mass = rankRound(ewd, mass)
       rounds += prev.select($"node", $"mass".as("m_prev"))
         .join(mass.select($"node", $"mass".as("m_cur")), Seq("node"), "full_outer")
         .select(abs(coalesce($"m_cur", lit(150000L))
@@ -68,7 +62,6 @@ object GraphQueries {
           sum(when($"d" > 0, 1L).otherwise(0L)).as("n_moved"))
       prev = mass
     }
-    e.unpersist()
     rounds.result().reduce(_ unionByName _).orderBy($"round")
   }
 
@@ -104,14 +97,56 @@ object GraphQueries {
   /** The symmetric customer↔supplier edge list. Distinct collapses the
     * lineitem fan-in (a customer ordering 40 lines from one supplier is ONE
     * edge), so the edge table is bounded by |cust|·|supp| overlap, far
-    * below the fact table it derives from. */
+    * below the fact table it derives from.
+    *
+    * The directed half is `localCheckpoint`ed BEFORE the symmetric union
+    * (r17, guide §2.4): Catalyst does no common-subexpression elimination
+    * across union branches, so the un-checkpointed form computed the
+    * orders⋈lineitem join + distinct once PER BRANCH — StageProbe measured
+    * the 12 MB parquet join re-running 3× inside one pagerank pass (two
+    * union branches + a cache-population race on the persisted union).
+    * After the checkpoint the union is a narrow re-read of the
+    * materialized half; every consumer (4 keys) inherits the fix. */
   private def edges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e0 = Tables(s, dir, "orders")
       .join(Tables(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
       .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
       .distinct()
+      .localCheckpoint()
     e0.union(e0.select($"b".as("a"), $"a".as("b")))
+  }
+
+  /** One-time inputs for the rank loops: the symmetric edge list with the
+    * SOURCE's out-degree attached at edge grain, plus the node-grain
+    * degree table, both checkpointed. With `deg` riding every edge, a
+    * rank round is ONE broadcast join (edges ⋈ mass on `a`) + one hash
+    * aggregate — the old shape paid a second node-grain mass ⋈ deg join
+    * per round AND recomputed the degree aggregation over the full edge
+    * list each round because `deg` was never materialized (guide §2.4:
+    * two operations keyed the same way share one exchange; here the
+    * shared work is hoisted out of the loop entirely). The per-edge
+    * share floor((mass·85)/(100·deg)) is byte-identical to the old
+    * per-node-then-ship form — same integers, and the DuckDB oracle
+    * already computes it per edge. */
+  private def edgesWithDeg(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val e = edges(s, dir)
+    val deg = e.groupBy($"a").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val ewd = e.join(broadcast(deg), "a").localCheckpoint()
+    (ewd, deg.withColumnRenamed("a", "node"))
+  }
+
+  /** One integer-PageRank round over [[edgesWithDeg]]'s edge table:
+    * broadcast the (node, mass) table onto the edge grain, ship each
+    * edge's floor share, sum per receiver, add the restart mass. */
+  private def rankRound(ewd: DataFrame, mass: DataFrame): DataFrame = {
+    import ewd.sparkSession.implicits._
+    ewd.join(broadcast(mass.select($"node".as("a"), $"mass")), "a")
+      .select($"b", expr("(mass * 85) div (100 * deg)").as("c"))
+      .groupBy($"b".as("node"))
+      .agg((lit(150000L) + sum($"c")).as("mass"))
+      .localCheckpoint()
   }
 
   /** 3-round integer PageRank; output the top-10 nodes by final mass
@@ -127,18 +162,9 @@ object GraphQueries {
     * rounds as unrolled CTEs with the identical floor arithmetic. */
   private val graphPagerank: Q = (s, dir) => {
     import s.implicits._
-    val e = edges(s, dir).persist()
-    val deg = e.groupBy($"a").agg(count(lit(1)).as("deg"))
-    var mass = deg.select($"a".as("node"), lit(1000000L).as("mass"))
-    for (_ <- 1 to 3) {
-      val share = mass.join(deg.withColumnRenamed("a", "node"), "node")
-        .select($"node".as("a"), expr("(mass * 85) div (100 * deg)").as("c"))
-      mass = e.join(share, "a")
-        .groupBy($"b".as("node"))
-        .agg((lit(150000L) + sum($"c")).as("mass"))
-        .localCheckpoint()
-    }
-    e.unpersist()
+    val (ewd, deg) = edgesWithDeg(s, dir)
+    var mass = deg.select($"node", lit(1000000L).as("mass"))
+    for (_ <- 1 to 3) mass = rankRound(ewd, mass)
     mass
       .select(when($"node" % 2 === 0, "cust").otherwise("supp").as("kind"),
         $"node", $"mass")
@@ -203,8 +229,14 @@ object GraphQueries {
     * union feeds the same commutative integer aggregate. */
   private val graphPagerankSalted: Q = (s, dir) => {
     import s.implicits._
-    val e = edges(s, dir).persist()
-    val deg = e.groupBy($"a").agg(count(lit(1)).as("deg"))
+    // edges() is checkpointed at the directed half (r17) — the symmetric
+    // union recomputes narrowly from that, so no persist needed here; deg
+    // is checkpointed once instead of re-aggregating the edge list in
+    // every round's share join (the twin keeps the node-grain share ⋈ deg
+    // round shape because SaltedJoin replicates the node-grain share into
+    // salt shards — that shape IS the operator under demonstration).
+    val e = edges(s, dir)
+    val deg = e.groupBy($"a").agg(count(lit(1)).as("deg")).localCheckpoint()
     val st = deg.agg(sum($"deg").as("m"), max($"deg").as("maxd")).head()
     val (m, maxd) = (st.getLong(0), st.getLong(1))
     val parts = s.conf.get("spark.sql.shuffle.partitions").toLong
@@ -233,7 +265,6 @@ object GraphQueries {
         .localCheckpoint()
     }
     if (useSalt) { eHot.unpersist(); eCold.unpersist() }
-    e.unpersist()
     mass
       .select(when($"node" % 2 === 0, "cust").otherwise("supp").as("kind"),
         $"node", $"mass")
