@@ -17,7 +17,8 @@ import scala.collection.mutable
   */
 object StageProbe {
   private case class St(id: Int, name: String, wall: Double, tasks: Int,
-      input: Long, shufRead: Long, shufWrite: Long, spill: Long)
+      input: Long, shufRead: Long, shufWrite: Long, spill: Long,
+      cpu: Double, gc: Double, run: Double)
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: StageProbe <query[,query...]> [sfDir]")
@@ -37,7 +38,8 @@ object StageProbe {
           stages += St(si.stageId, si.name, wall, si.numTasks,
             m.inputMetrics.bytesRead,
             m.shuffleReadMetrics.remoteBytesRead + m.shuffleReadMetrics.localBytesRead,
-            m.shuffleWriteMetrics.bytesWritten, m.diskBytesSpilled)
+            m.shuffleWriteMetrics.bytesWritten, m.diskBytesSpilled,
+            m.executorCpuTime / 1e9, m.jvmGCTime / 1e3, m.executorRunTime / 1e3)
         }
       }
     })
@@ -54,10 +56,10 @@ object StageProbe {
       val snap = stages.synchronized(stages.toVector)
       println(f"== $n: $t%.2f s, ${snap.size} stages "
         + f"(Σ stage wall ${snap.map(_.wall).sum}%.2f s — overlap makes this > key wall)")
-      println("   wall  tasks  input_MB  shuf_r_MB  shuf_w_MB  spill_MB  stage")
+      println("   wall  tasks  input_MB  shuf_r_MB  shuf_w_MB  spill_MB   cpu_s    gc_s   run_s  stage")
       snap.sortBy(-_.wall).take(40).foreach { s =>
         println(f"  ${s.wall}%5.2f  ${s.tasks}%5d  ${mb(s.input)}  ${mb(s.shufRead)}   "
-          + f"${mb(s.shufWrite)}  ${mb(s.spill)}  [${s.id}] ${s.name.take(110)}")
+          + f"${mb(s.shufWrite)}  ${mb(s.spill)}  ${s.cpu}%6.2f  ${s.gc}%6.2f  ${s.run}%6.2f  [${s.id}] ${s.name.take(80)}")
       }
       spark.catalog.clearCache(); System.gc()
     }

@@ -62,9 +62,115 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[FloatDotProduct]]'s twin over two `array<bigint>` columns (r17) — the
+  * KMeans-quantized vector family's dot product. The composable form
+  * (`aggregate(zip_with(cast, cast, *), 0.0, +)`) is a HigherOrderFunction
+  * chain that falls back to interpreted evaluation (CodegenFallback) and
+  * allocates per row pair; in the k-means assign / ADC / pair-verify paths
+  * that is the per-candidate hot loop. Identical long→double widening and
+  * left-to-right summation, so every double is bit-equal to the HOF form
+  * and the DuckDB oracle's list-comprehension fold. */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "long_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        s += x.getLong(i).toDouble * y.getLong(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |    $s += (double) $x.getLong($i) * (double) $y.getLong($i);
+         |  }
+         |}
+         |${ev.value} = $s;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[FloatDotProduct]] over two `array<double>` columns (r17) — the codegen
+  * body behind [[Vectors.dot]]'s general form. Same left-to-right
+  * summation; a no-op cast upstream normalizes float inputs, preserving
+  * the old `cast → zip_with → aggregate` widening exactly. */
+case class DoubleDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "double_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |    $s += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $s;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DoubleDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecExpr {
   /** Column face of [[FloatDotProduct]]. */
   def fdot(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftExprBridge.column(FloatDotProduct(
+      org.apache.spark.sql.GraftExprBridge.expression(a), org.apache.spark.sql.GraftExprBridge.expression(b)))
+
+  /** Column face of [[LongDotProduct]]. */
+  def ldot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExprBridge.column(LongDotProduct(
+      org.apache.spark.sql.GraftExprBridge.expression(a), org.apache.spark.sql.GraftExprBridge.expression(b)))
+
+  /** Column face of [[DoubleDotProduct]]. */
+  def ddot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExprBridge.column(DoubleDotProduct(
       org.apache.spark.sql.GraftExprBridge.expression(a), org.apache.spark.sql.GraftExprBridge.expression(b)))
 }

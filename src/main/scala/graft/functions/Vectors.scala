@@ -16,7 +16,13 @@ object Vectors {
   private def d(c: Column): Column = c.cast("array<double>")
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    // codegen'd since r17 (VecExpr.ddot): the HOF chain
+    // aggregate(zip_with(...)) is CodegenFallback — interpreted per
+    // candidate pair in every full-scan truth side. The double-typed
+    // cast is a no-op for array<double> inputs and reproduces the old
+    // element widening for array<float>; summation order is unchanged,
+    // so every emitted double is bit-identical.
+    VecExpr.ddot(d(a), d(b))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -39,39 +39,79 @@ object KMeans {
 
   /** Sequential-fold double dot product of two array<bigint> columns —
     * the SAME left-to-right order as the oracle's list comprehension, so
-    * both engines produce bit-identical doubles. */
-  def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), _ + _)
+    * both engines produce bit-identical doubles. A native codegen
+    * expression since r17 ([[graft.functions.VecExpr.ldot]]): the old
+    * `aggregate(zip_with(...))` form is a CodegenFallback chain evaluated
+    * interpreted per candidate row — the assign/score hot loop of every
+    * k-means-backed key. Same widening, same summation order, bit-equal
+    * doubles. */
+  def idot(a: Column, b: Column): Column = graft.functions.VecExpr.ldot(a, b)
 
   private def inorm(a: Column): Column = sqrt(idot(a, a))
 
   /** Cosine between integer vectors (scale cancels). */
   def icos(a: Column, b: Column): Column = idot(a, b) / (inorm(a) * inorm(b))
 
+  /** Cosine with the two norms precomputed (r17 hot-path form): callers
+    * hoist `sqrt(idot(v, v))` to a per-ROW projection before the pair
+    * explosion, so each candidate pair pays ONE dot instead of three.
+    * The division's operand order — dot / (normA * normB) — is exactly
+    * [[icos]]'s, evaluated on the identical doubles, so every result is
+    * bit-equal and the oracle replay is untouched. */
+  def icosPrenormed(dot: Column, na: Column, nb: Column): Column =
+    dot / (na * nb)
+
+  /** The argmax tiebreak [[assign]]/[[assignSub]] share: max over
+    * struct(cos, −cent_id) picks the highest cosine and, on ties, the
+    * LOWEST cent_id — the same (cos desc, cent_id asc) order the old
+    * rank-1 window implemented. A hash aggregate replaces the window
+    * (r17, guide §2.3 "aggregate before you shuffle"): the n·k
+    * crossed rows collapse map-side (each id's k rows are consecutive in
+    * the crossJoin output), so the exchange carries n rows instead of
+    * sorting n·k — and the sort the window needed disappears. */
+  private def best(cos: Column, centId: Column): Column =
+    max(struct(cos.as("c"), (-centId).as("nc")))
+
   /** Rank-1 nearest-centroid assignment: (id, cent_id). `cents` must be
     * broadcastable (k rows). */
-  def assign(q: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(col("__cos").desc, col("cent_id"))
-    q.crossJoin(broadcast(cents))
-      .withColumn("__cos", icos(col("qv"), col("cvec")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .select(col("id"), col("cent_id"))
+  def assign(q: DataFrame, cents: DataFrame): DataFrame =
+    assignKeep(q, cents).select(col("id"), col("cent_id"))
+
+  /** [[assign]] keeping the row's `qv` (constant per id, so `first` in
+    * the same aggregate is deterministic) — lets [[fit]]'s update read
+    * member vectors straight off the assignment instead of re-joining
+    * the corpus by id (two exchanges per iteration saved). */
+  private def assignKeep(q: DataFrame, cents: DataFrame): DataFrame = {
+    val qn = q.withColumn("__qn", inorm(col("qv")))
+    val cn = broadcast(cents.select(col("cent_id"), col("cvec"))
+      .withColumn("__cn", inorm(col("cvec"))))
+    qn.crossJoin(cn)
+      .select(col("id"), col("qv"), col("cent_id"),
+        icosPrenormed(idot(col("qv"), col("cvec")), col("__qn"), col("__cn"))
+          .as("__cos"))
+      .groupBy(col("id"))
+      .agg(best(col("__cos"), col("cent_id")).as("__b"), first(col("qv")).as("qv"))
+      .select(col("id"), (-col("__b.nc")).as("cent_id"), col("qv"))
   }
 
   /** Rank-1 nearest-centroid assignment per SUBSPACE: input rows
     * (id, j, qv), centroids (j, cent_id, cvec, ...) — broadcastable
-    * (subspaces × k rows). Returns (id, j, cent_id). The per-(id, j)
-    * window mirrors [[assign]]'s tiebreak exactly. */
-  def assignSub(sub: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id"), col("j"))
-      .orderBy(col("__cos").desc, col("cent_id"))
-    sub.join(broadcast(cents.select(col("j"), col("cent_id"), col("cvec"))), Seq("j"))
-      .withColumn("__cos", icos(col("qv"), col("cvec")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .select(col("id"), col("j"), col("cent_id"))
+    * (subspaces × k rows). Returns (id, j, cent_id). Same hoisted norms
+    * + argmax aggregate as [[assign]], keyed (id, j). */
+  def assignSub(sub: DataFrame, cents: DataFrame): DataFrame =
+    assignSubKeep(sub, cents).select(col("id"), col("j"), col("cent_id"))
+
+  private def assignSubKeep(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val qn = sub.withColumn("__qn", inorm(col("qv")))
+    val cn = broadcast(cents.select(col("j"), col("cent_id"), col("cvec"))
+      .withColumn("__cn", inorm(col("cvec"))))
+    qn.join(cn, Seq("j"))
+      .select(col("id"), col("j"), col("qv"), col("cent_id"),
+        icosPrenormed(idot(col("qv"), col("cvec")), col("__qn"), col("__cn"))
+          .as("__cos"))
+      .groupBy(col("id"), col("j"))
+      .agg(best(col("__cos"), col("cent_id")).as("__b"), first(col("qv")).as("qv"))
+      .select(col("id"), col("j"), (-col("__b.nc")).as("cent_id"), col("qv"))
   }
 
   /** PRODUCT-QUANTIZATION trainer: one independent codebook PER SUBSPACE,
@@ -94,8 +134,12 @@ object KMeans {
       .select(col("j"), col("id").as("cent_id"), col("qv").as("cvec"),
         lit(1L).as("n_members"))
     for (_ <- 1 to iterations) {
-      val assigned = assignSub(sub, cents)
-      val sums = assigned.join(sub, Seq("id", "j"))
+      // assignment carries each member's qv (r17), so the update reads
+      // vectors off the assignment instead of re-joining `sub` by
+      // (id, j) — two exchanges per iteration gone; the localCheckpoint
+      // pins the one assignment pass both consumers (sums, counts) read
+      val assigned = assignSubKeep(sub, cents).localCheckpoint()
+      val sums = assigned
         .select(col("j"), col("cent_id"), posexplode(col("qv")).as(Seq("__pos", "__v")))
         .groupBy(col("j"), col("cent_id"), col("__pos"))
         .agg(sum(col("__v")).as("__s")) // exact BIGINT — order-free
@@ -133,8 +177,8 @@ object KMeans {
       s"KMeans.fit seeds centroids from ids [0, $k) but found only $seeded " +
         s"of $k — the id column must be dense from 0 (re-index or lower k)")
     for (_ <- 1 to iterations) {
-      val sums = assign(q, cents)
-        .join(q, Seq("id"))
+      // the assignment keeps qv (r17): no corpus re-join per iteration
+      val sums = assignKeep(q, cents)
         .select(col("cent_id"), posexplode(col("qv")).as(Seq("__pos", "__v")))
         .groupBy(col("cent_id"), col("__pos"))
         .agg(sum(col("__v")).as("__s")) // exact BIGINT — order-free
