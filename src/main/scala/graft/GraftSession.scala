@@ -30,6 +30,17 @@ object GraftSession {
       // each hashed relation single-threaded, and at cluster scale an
       // oversized broadcast ships to every executor.
       .config("spark.sql.autoBroadcastJoinThreshold", (8 * 1024 * 1024).toString)
+      // ObjectHashAggregate (TypedImperative aggregates: the MG sketches,
+      // the bounded top-k) falls back to SORT-based aggregation past this
+      // many in-memory group keys (default 128) — which would re-introduce
+      // exactly the per-group sort the bounded top-k exists to remove (the
+      // recall paths group by query_id: hundreds of groups per partition).
+      // 64Ki keys of ≤k-entry state is a few MB per task, far under
+      // execution memory, and the fallback still bounds memory on
+      // adversarial group counts past it. Values cannot change: aggregation
+      // strategy is a physical choice, and every collect_list/collect_set
+      // consumer in the repo order-normalizes with array_sort.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // Bound plan-tree stringification (default ~2 GB): Dataset.persist

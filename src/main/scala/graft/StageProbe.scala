@@ -44,15 +44,30 @@ object StageProbe {
       }
     })
     def mb(b: Long): String = f"${b / 1048576.0}%8.1f"
+    // Drain the listener bus until the recorded stage set is STABLE (three
+    // consecutive unchanged polls) instead of a fixed sleep (ADVICE r17):
+    // under bus backlog a fixed sleep could let warm-up events leak into
+    // the timed snapshot or miss late timed-pass events. Bounded at 10 s so
+    // a wedged bus cannot hang the probe.
+    def drain(): Unit = {
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val now = stages.synchronized(stages.size)
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    }
     names.foreach { n =>
       Bench.exec(SparkEntry.queries(n)(spark, sfDir)) // warm-up (codegen/JIT)
       spark.catalog.clearCache(); System.gc()
-      Thread.sleep(500) // drain warm-up listener events
+      drain() // warm-up listener events
       stages.synchronized(stages.clear())
       val t0 = System.nanoTime()
       Bench.exec(SparkEntry.queries(n)(spark, sfDir))
       val t = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(1000) // drain timed-pass listener events
+      drain() // timed-pass listener events
       val snap = stages.synchronized(stages.toVector)
       println(f"== $n: $t%.2f s, ${snap.size} stages "
         + f"(Σ stage wall ${snap.map(_.wall).sum}%.2f s — overlap makes this > key wall)")

@@ -225,12 +225,13 @@ object EcomSchemaTests {
   /** @param stream tables whose derived plans are consumed DIRECTLY by the
     *   fused branches instead of being pre-materialized to parquet first.
     *   The trade is explicit: a streamed table is recomputed once per
-    *   branch that reads it (<= 2 fused scans for a check target, <= 4 as
-    *   a Rel parent) but costs ZERO landing disk — the right side of the
-    *   trade when the table is a cheap projection over raw parquet (the
-    *   src_* tier: streaming also lets the scan prune to just the checked
-    *   columns, which the full-width parquet copy never could) or a leaf
-    *   mart under the [[EcomFixture]] landing fence (the fct_* tier in
+    *   branch that reads it (exactly 1 fused scan as a check target since
+    *   r18's unique/not_null/rel fuse, <= 4 more as a Rel parent) but
+    *   costs ZERO landing disk — the right side of the trade when the
+    *   table is a cheap projection over raw parquet (the src_* tier:
+    *   streaming also lets the scan prune to just the checked columns,
+    *   which the full-width parquet copy never could) or a leaf mart
+    *   under the [[EcomFixture]] landing fence (the fct_* tier in
     *   `qa_schema_tests_stream`, whose inputs stay landed so each rebuild
     *   is one join over flat scans). */
   def frame(spark: SparkSession, tables: Map[String, DataFrame],
@@ -248,19 +249,24 @@ object EcomSchemaTests {
         n -> spark.read.parquet(s"$tmp/$n")
       }
     }.toMap
-    // FUSED execution (VERDICT r5 #7): a naive one-branch-per-check union
-    // scans each table once per check — ~150 scans, and task-launch
-    // overhead dominates the tiny aggregates. Instead each table is
-    // scanned O(1) times:
-    //  - `unique` + every `not_null` on a table share ONE groupBy(key)
-    //    pass (dup-group count and per-column null counts come out of the
-    //    same shuffle);
-    //  - all `relationships` with the same child share ONE scan with a
-    //    left join per parent key set (keys are distinct'd, so join
-    //    multiplicity is 1 and per-row match flags count failures exactly
-    //    like the anti-join);
+    // FUSED execution (VERDICT r5 #7, tightened r18): a naive
+    // one-branch-per-check union scans each table once per check — ~150
+    // scans, and task-launch overhead dominates the tiny aggregates.
+    // Instead each table is scanned ONCE (r18 — VERDICT r17 #2: the old
+    // shape still ran a keyed branch AND a rel branch per table, which
+    // for the stream twin rebuilt every leaf fct mart's join twice):
+    //  - each `relationships` parent's distinct key set left-joins onto
+    //    the child scan (multiplicity 1, so row counts are untouched and
+    //    per-row match flags count failures exactly like the anti-join);
+    //  - `unique` + every `not_null` + every rel-miss flag then share ONE
+    //    groupBy(key) pass over that joined frame (dup-group count,
+    //    per-column null counts, and per-group miss counts come out of
+    //    the same shuffle — summing miss flags per group then globally
+    //    equals the global sum);
+    //  - tables with no unique check take the same frame through one
+    //    map-only aggregate;
     //  - results explode back into one (test_name, severity, failures)
-    //    row per declared test — identical output, ~60 branches not 150.
+    //    row per declared test — identical output, ~40 branches not 150.
     // The check SEMANTICS stay defined by Quality.* (storeFailures runs
     // the unfused versions; both are oracle-replayed).
     import org.apache.spark.sql.Column
@@ -277,47 +283,46 @@ object EcomSchemaTests {
       val notNulls = cs.collect { case n: NotNull => n }
       val rels = cs.collect { case r: Rel => r }
 
-      val keyed: Seq[DataFrame] = uniques match {
+      // one scan of the child with every rel parent's distinct keys
+      // attached; miss flag i = (fk present, no parent match)
+      val joined = rels.zipWithIndex.foldLeft(df) { case (j, (r, i)) =>
+        j.join(flat(r.parent).select(col(r.parentCol).as(s"__p$i")).distinct(),
+          col(r.col) === col(s"__p$i"), "left")
+      }
+      def miss(i: Int): Column = col(rels(i).col).isNotNull && col(s"__p$i").isNull
+
+      val fused: Seq[DataFrame] = uniques match {
         case u +: moreUniques =>
-          val gb = df.groupBy(col(u.col)).agg(
+          val gb = joined.groupBy(col(u.col)).agg(
             count(lit(1)).as("__n"),
             notNulls.zipWithIndex.map { case (n, i) =>
               sum(when(col(n.col).isNull, 1L).otherwise(0L)).as(s"__nn$i")
+            } ++ rels.indices.map { i =>
+              sum(when(miss(i), 1L).otherwise(0L)).as(s"__rm$i")
             }: _*)
           val agg = gb.agg(
             cnt(col("__n") > 1).as("__u"),
             notNulls.indices.map(i =>
-              coalesce(sum(col(s"__nn$i")), lit(0L)).as(s"__f$i")): _*)
-          toRows(agg, (u, "__u") +: notNulls.zipWithIndex.map {
-            case (n, i) => (n: Check, s"__f$i")
-          }) +: moreUniques.map { mu => // >1 unique per table: rare, standalone
+              coalesce(sum(col(s"__nn$i")), lit(0L)).as(s"__f$i")) ++
+            rels.indices.map(i =>
+              coalesce(sum(col(s"__rm$i")), lit(0L)).as(s"__r$i")): _*)
+          toRows(agg, (u, "__u") +:
+            (notNulls.zipWithIndex.map { case (n, i) => (n: Check, s"__f$i") } ++
+              rels.zipWithIndex.map { case (r, i) => (r: Check, s"__r$i") })
+          ) +: moreUniques.map { mu => // >1 unique per table: rare, standalone
             toRows(df.groupBy(col(mu.col)).agg(count(lit(1)).as("__n"))
               .agg(cnt(col("__n") > 1).as("__u")), Seq((mu, "__u")))
           }
-        case _ if notNulls.nonEmpty => // map-only null counts, one scan
-          Seq(toRows(
-            df.agg(cnt(col(notNulls.head.col).isNull).as("__f0"),
-              notNulls.tail.zipWithIndex.map { case (n, i) =>
-                cnt(col(n.col).isNull).as(s"__f${i + 1}")
-              }: _*),
-            notNulls.zipWithIndex.map { case (n, i) => (n: Check, s"__f$i") }))
+        case _ if notNulls.nonEmpty || rels.nonEmpty => // map-only counts, one scan
+          val aggs = notNulls.zipWithIndex.map { case (n, i) =>
+            cnt(col(n.col).isNull).as(s"__f$i")
+          } ++ rels.indices.map(i => cnt(miss(i)).as(s"__r$i"))
+          Seq(toRows(joined.agg(aggs.head, aggs.tail: _*),
+            notNulls.zipWithIndex.map { case (n, i) => (n: Check, s"__f$i") } ++
+              rels.zipWithIndex.map { case (r, i) => (r: Check, s"__r$i") }))
         case _ => Nil
       }
-
-      val relBranch: Seq[DataFrame] = if (rels.isEmpty) Nil else {
-        var j = df.select(rels.map(_.col).distinct.map(col): _*)
-        rels.zipWithIndex.foreach { case (r, i) =>
-          j = j.join(flat(r.parent).select(col(r.parentCol).as(s"__p$i")).distinct(),
-            col(r.col) === col(s"__p$i"), "left")
-        }
-        val agg = j.agg(
-          cnt(col(rels.head.col).isNotNull && col("__p0").isNull).as("__f0"),
-          rels.tail.zipWithIndex.map { case (r, i) =>
-            cnt(col(r.col).isNotNull && col(s"__p${i + 1}").isNull).as(s"__f${i + 1}")
-          }: _*)
-        Seq(toRows(agg, rels.zipWithIndex.map { case (r, i) => (r: Check, s"__f$i") }))
-      }
-      keyed ++ relBranch
+      fused
     }
     branches.reduce(_ unionByName _).orderBy("test_name")
   }

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Fused dot product over two `array<float>` columns as a native Catalyst
   * expression with whole-stage codegen.
@@ -21,8 +21,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * contain them); a null array yields null via BinaryExpression semantics.
   */
 case class FloatDotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
 
@@ -69,10 +71,21 @@ case class FloatDotProduct(left: Expression, right: Expression)
   * allocates per row pair; in the k-means assign / ADC / pair-verify paths
   * that is the per-candidate hot loop. Identical long→double widening and
   * left-to-right summation, so every double is bit-equal to the HOF form
-  * and the DuckDB oracle's list-comprehension fold. */
+  * and the DuckDB oracle's list-comprehension fold.
+  *
+  * NULL/ragged-input caveat (bit-equality's precondition, not its scope):
+  * the HOF form returns NULL when the arrays' lengths differ (`zip_with`
+  * pads with nulls and `+` propagates) or when any element is NULL; this
+  * loop instead truncates to min(n₁,n₂) and skips NULL elements — a silent
+  * partial sum. On this repo's data the cases are unreachable (vectors are
+  * fixed-dimension with non-null elements; the oracle hash compare
+  * certifies it), but a caller feeding ragged or null-holed arrays would
+  * mask an upstream bug that the HOF form surfaced as NULL. */
 case class LongDotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "long_dot"
 
@@ -115,10 +128,15 @@ case class LongDotProduct(left: Expression, right: Expression)
 /** [[FloatDotProduct]] over two `array<double>` columns (r17) — the codegen
   * body behind [[Vectors.dot]]'s general form. Same left-to-right
   * summation; a no-op cast upstream normalizes float inputs, preserving
-  * the old `cast → zip_with → aggregate` widening exactly. */
+  * the old `cast → zip_with → aggregate` widening exactly.
+  * Same NULL/ragged-input caveat as [[LongDotProduct]]: length mismatch
+  * truncates and NULL elements are skipped (partial sum) where the HOF
+  * form returned NULL — unreachable on fixed-dim, non-null vectors. */
 case class DoubleDotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "double_dot"
 

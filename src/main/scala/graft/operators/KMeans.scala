@@ -80,7 +80,15 @@ object KMeans {
   /** [[assign]] keeping the row's `qv` (constant per id, so `first` in
     * the same aggregate is deterministic) — lets [[fit]]'s update read
     * member vectors straight off the assignment instead of re-joining
-    * the corpus by id (two exchanges per iteration saved). */
+    * the corpus by id (two exchanges per iteration saved).
+    *
+    * PRECONDITION: `id` is unique in `q`. The groupBy(id)+first(qv)
+    * collapses duplicate-id rows to one, whereas the old assign-then-
+    * rejoin shape fanned duplicates back into the centroid sums — every
+    * caller here feeds vec_id-unique corpora (and [[fit]]'s dense-id seed
+    * check would already trip on most duplicate-id inputs), but a new
+    * caller with a non-unique id corpus would silently train on
+    * deduplicated vectors. */
   private def assignKeep(q: DataFrame, cents: DataFrame): DataFrame = {
     val qn = q.withColumn("__qn", inorm(col("qv")))
     val cn = broadcast(cents.select(col("cent_id"), col("cvec"))
@@ -121,7 +129,8 @@ object KMeans {
     * there are (8 sequential fits would cost 8× the fixed per-job
     * overhead AND 8 passes over the data; at 100 TB one pass is the only
     * acceptable shape). Input: (id: long, j: int, qv: array<bigint>) —
-    * already-quantized subvectors. Returns (j, cent_id, cvec,
+    * already-quantized subvectors, (id, j) unique (see [[assignKeep]]'s
+    * precondition). Returns (j, cent_id, cvec,
     * n_members), where cvec is the member-SUM vector and n_members the
     * exact member count of the SAME final update — so `cvec/n_members`
     * is the centroid mean, the reconstruction value ADC scoring needs
@@ -136,20 +145,24 @@ object KMeans {
     for (_ <- 1 to iterations) {
       // assignment carries each member's qv (r17), so the update reads
       // vectors off the assignment instead of re-joining `sub` by
-      // (id, j) — two exchanges per iteration gone; the localCheckpoint
-      // pins the one assignment pass both consumers (sums, counts) read
-      val assigned = assignSubKeep(sub, cents).localCheckpoint()
-      val sums = assigned
+      // (id, j). r18: the member COUNT rides the sums aggregation instead
+      // of a second pass — every member vector contributes exactly one
+      // row per __pos (subvectors are fixed-width), so the level-1 group
+      // (j, cent_id, __pos) row count IS n_members, identical for every
+      // __pos of the group; max() just reads it out at level 2. With the
+      // update a single consumer, the per-iteration `assigned`
+      // localCheckpoint barrier (and the counts pass it existed for)
+      // disappears — one aggregation chain per Lloyd step.
+      val sums = assignSubKeep(sub, cents)
         .select(col("j"), col("cent_id"), posexplode(col("qv")).as(Seq("__pos", "__v")))
         .groupBy(col("j"), col("cent_id"), col("__pos"))
-        .agg(sum(col("__v")).as("__s")) // exact BIGINT — order-free
+        .agg(sum(col("__v")).as("__s"), // exact BIGINT — order-free
+          count(lit(1)).as("__n"))
         .groupBy(col("j"), col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__s")))),
-          s => s.getField("__s")).as("__newvec"))
-      val counts = assigned.groupBy(col("j"), col("cent_id"))
-        .agg(count(lit(1)).as("__n"))
+          s => s.getField("__s")).as("__newvec"),
+          max(col("__n")).as("__n"))
       cents = cents.join(sums, Seq("j", "cent_id"), "left")
-        .join(counts, Seq("j", "cent_id"), "left")
         .select(col("j"), col("cent_id"),
           coalesce(col("__newvec"), col("cvec")).as("cvec"), // empty → keep
           coalesce(col("__n"), col("n_members")).as("n_members"))
@@ -161,7 +174,8 @@ object KMeans {
   /** Train k centroids for `iterations` Lloyd steps. Returns
     * (cent_id, cvec: array<bigint>) where cvec is the member-SUM vector
     * (cosine-equivalent to the mean). Empty clusters keep their previous
-    * centroid. Input: (idCol: long, vecCol: array<float|double>). */
+    * centroid. Input: (idCol: long, vecCol: array<float|double>), idCol
+    * unique (see [[assignKeep]]'s precondition). */
   def fit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       iterations: Int): DataFrame = {
     require(k >= 1 && iterations >= 0)

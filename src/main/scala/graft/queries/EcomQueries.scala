@@ -74,8 +74,8 @@ object EcomQueries {
   // oracle's premise), so streaming reads only the checked columns
   // (pruned scans) where the old full-width parquet copies rewrote ~the
   // whole input per run — at skew100 those copies alone were
-  // ~input-sized disk. <= 5 fused scans per streamed table (its keyed
-  // branch + Rel-parent reads). The dim_* Views still pre-materialize:
+  // ~input-sized disk. <= 5 fused scans per streamed table (its one fused
+  // check branch + Rel-parent reads). The dim_* Views still pre-materialize:
   // they are genuine multi-join derivations read as Rel parents up to 5x,
   // and they are small relative to the inputs.
   private val qaSchemaTests: Q = (s, dir) =>

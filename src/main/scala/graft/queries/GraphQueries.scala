@@ -48,12 +48,12 @@ object GraphQueries {
     * to end, so the curve replays exactly through the unrolled CTEs. */
   private val graphPagerankDelta: Q = (s, dir) => {
     import s.implicits._
-    val (ewd, deg) = edgesWithDeg(s, dir)
+    val (ewd, deg, bcast) = edgesWithDeg(s, dir)
     var mass = deg.select($"node", lit(1000000L).as("mass"))
     val rounds = Seq.newBuilder[DataFrame]
     var prev = mass
     for (r <- 1 to 3) {
-      mass = rankRound(ewd, mass)
+      mass = rankRound(ewd, mass, bcast)
       rounds += prev.select($"node", $"mass".as("m_prev"))
         .join(mass.select($"node", $"mass".as("m_cur")), Seq("node"), "full_outer")
         .select(abs(coalesce($"m_cur", lit(150000L))
@@ -117,6 +117,22 @@ object GraphQueries {
     e0.union(e0.select($"b".as("a"), $"a".as("b")))
   }
 
+  /** Node-count gate for the rank loops' node-grain broadcasts (VERDICT
+    * r17 #1): the degree and per-round mass tables are NODE grain — they
+    * grow linearly with the graph, so an unconditional `broadcast()` hint
+    * is a driver/executor OOM at the 100 TB brief (billions of nodes)
+    * that the planner can no longer avoid. Below the gate the hint is a
+    * measured win (the r17 driver verified 2.5–3× on the graph keys);
+    * above it the join is left unhinted so the planner/AQE picks a
+    * scale-safe shuffle join. Default budget: 2²² nodes — a (long, long)
+    * row costs ~50 B in a broadcast HashedRelation, so ~200 MB built, the
+    * guide §3.1 "a few hundred MB is usually fine" regime with 2 decades
+    * of headroom under the 8 GB / 512M-row hard cap. Override per session
+    * via `graft.maxRankBroadcastNodes` (same envelope contract as the
+    * brute-force fences). */
+  private[graft] def rankBroadcastGate(s: SparkSession, nodes: Long): Boolean =
+    nodes <= SimilarityQueries.envelope(s, "graft.maxRankBroadcastNodes", 1L << 22)
+
   /** One-time inputs for the rank loops: the symmetric edge list with the
     * SOURCE's out-degree attached at edge grain, plus the node-grain
     * degree table, both checkpointed. With `deg` riding every edge, a
@@ -128,26 +144,36 @@ object GraphQueries {
     * shared work is hoisted out of the loop entirely). The per-edge
     * share floor((mass·85)/(100·deg)) is byte-identical to the old
     * per-node-then-ship form — same integers, and the DuckDB oracle
-    * already computes it per edge. */
-  private def edgesWithDeg(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    * already computes it per edge. Also returns the [[rankBroadcastGate]]
+    * verdict for this graph's node count (one count over the checkpointed
+    * degree table) so every round's mass join applies the same gate. */
+  private def edgesWithDeg(s: SparkSession, dir: String): (DataFrame, DataFrame, Boolean) = {
     import s.implicits._
     val e = edges(s, dir)
     val deg = e.groupBy($"a").agg(count(lit(1)).as("deg")).localCheckpoint()
-    val ewd = e.join(broadcast(deg), "a").localCheckpoint()
-    (ewd, deg.withColumnRenamed("a", "node"))
+    val bcast = rankBroadcastGate(s, deg.count())
+    val ewd = e.join(if (bcast) broadcast(deg) else deg, "a").localCheckpoint()
+    (ewd, deg.withColumnRenamed("a", "node"), bcast)
   }
 
-  /** One integer-PageRank round over [[edgesWithDeg]]'s edge table:
-    * broadcast the (node, mass) table onto the edge grain, ship each
-    * edge's floor share, sum per receiver, add the restart mass. */
-  private def rankRound(ewd: DataFrame, mass: DataFrame): DataFrame = {
+  /** One integer-PageRank round over [[edgesWithDeg]]'s edge table, before
+    * the lineage cut: join the (node, mass) table onto the edge grain
+    * (broadcast only under [[rankBroadcastGate]]), ship each edge's floor
+    * share, sum per receiver, add the restart mass. Factored from
+    * [[rankRound]] so GraphQueriesSpec can pin the join shape on the
+    * pre-checkpoint plan (broadcast below the gate, exchange above). */
+  private[graft] def rankRoundPlan(ewd: DataFrame, mass: DataFrame,
+      bcast: Boolean): DataFrame = {
     import ewd.sparkSession.implicits._
-    ewd.join(broadcast(mass.select($"node".as("a"), $"mass")), "a")
+    val m = mass.select($"node".as("a"), $"mass")
+    ewd.join(if (bcast) broadcast(m) else m, "a")
       .select($"b", expr("(mass * 85) div (100 * deg)").as("c"))
       .groupBy($"b".as("node"))
       .agg((lit(150000L) + sum($"c")).as("mass"))
-      .localCheckpoint()
   }
+
+  private def rankRound(ewd: DataFrame, mass: DataFrame, bcast: Boolean): DataFrame =
+    rankRoundPlan(ewd, mass, bcast).localCheckpoint()
 
   /** 3-round integer PageRank; output the top-10 nodes by final mass
     * (deterministic boundary: mass desc, node asc).
@@ -162,9 +188,9 @@ object GraphQueries {
     * rounds as unrolled CTEs with the identical floor arithmetic. */
   private val graphPagerank: Q = (s, dir) => {
     import s.implicits._
-    val (ewd, deg) = edgesWithDeg(s, dir)
+    val (ewd, deg, bcast) = edgesWithDeg(s, dir)
     var mass = deg.select($"node", lit(1000000L).as("mass"))
-    for (_ <- 1 to 3) mass = rankRound(ewd, mass)
+    for (_ <- 1 to 3) mass = rankRound(ewd, mass, bcast)
     mass
       .select(when($"node" % 2 === 0, "cust").otherwise("supp").as("kind"),
         $"node", $"mass")

@@ -486,10 +486,26 @@ object RelationalQueries {
 
   // ------------------------------------------------------------ extras ---
   /** P3: TRY_CAST semantics — NULL on failure, never an error
-    * (ref: stg_orders.sql:8,15-16,19). */
+    * (ref: stg_orders.sql:8,15-16,19).
+    *
+    * The projection is spread across the cluster first (r18, guide §1.2
+    * per-task work): two of the casts FAIL on every row ('1-URGENT' →
+    * INT, 'O' → DATE), and Spark's TRY mode pays a caught exception —
+    * message construction included — per failing row. StageProbe measured
+    * the old plan as two single-task CPU-bound stages (2.3 s range-sample
+    * + 1.5 s shuffle-write: orders parquet is one split at this SF, and
+    * the sort's sampling pass re-evaluates the projection), serializing
+    * ~4 s of exception unwinding on one core with a 1.00 8→32-core
+    * scaling ratio. Repartitioning 150 k skinny rows costs ~2 MB of
+    * shuffle; at real scale the source has many splits and the exchange
+    * is noise next to the per-row work it parallelizes (same rationale
+    * as SimilarityQueries.spread). */
   private val p3TryCast: Q = (s, dir) => {
     import s.implicits._
-    Tables(s, dir, "orders").select(
+    Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderstatus", $"o_totalprice")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
       $"o_orderkey",
       expr("try_cast(o_orderpriority AS INT)").as("prio_as_int"),
       expr("try_cast(split_part(o_orderpriority, '-', 1) AS INT)").as("prio_code_int"),
@@ -1117,10 +1133,20 @@ object RelationalQueries {
     * hash compare. */
   private val aApproxDistinct: Q = (s, dir) => {
     import s.implicits._
+    // Dedup to (status, custkey) grain FIRST, then count + sketch the
+    // distinct rows (r18, guide §2.3): the old single groupBy mixed an
+    // exact countDistinct with the HLL, which plans as an Expand (every
+    // input row duplicated per aggregate path) plus a distinct-agg
+    // rewrite — StageProbe measured 4.6 cpu-s in that final aggregate at
+    // sf0.1. HLL is a pure function of the SET of values (a duplicate
+    // cannot raise a register's max rank), so sketching the deduped rows
+    // yields bit-identical registers and the exact count becomes a plain
+    // count(*) — no Expand, both aggregations partial/map-side.
     Tables(s, dir, "orders")
+      .select($"o_orderstatus", $"o_custkey").distinct()
       .groupBy($"o_orderstatus")
       .agg(approx_count_distinct($"o_custkey", 0.01).as("approx"),
-        countDistinct($"o_custkey").as("exact_customers"))
+        count(lit(1)).as("exact_customers"))
       .select($"o_orderstatus", $"exact_customers",
         (abs($"approx" - $"exact_customers").cast("double") / $"exact_customers" <= 0.05)
           .as("within_5pct"))

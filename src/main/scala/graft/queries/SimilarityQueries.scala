@@ -489,12 +489,15 @@ object SimilarityQueries {
       .select($"id".as("doc_id"), $"component".as("component_id"))
     val tc = spread(Tables(s, dir, "documents"))
       .select($"doc_id", Text.tokenCount($"text").as("n_tokens"))
-    val w = Window.partitionBy($"component_id").orderBy($"n_tokens".desc, $"doc_id")
+    // keeper argmax as ONE hash aggregate (r18, guide §2.3): max over
+    // struct(n_tokens, -doc_id) picks most tokens / lowest doc_id on ties —
+    // the exact (n_tokens desc, doc_id asc) order the old rank-1 window
+    // sorted for, now collapsing map-side with no per-group sort
     comp.join(tc, Seq("doc_id"))
-      .withColumn("rn", row_number().over(w))
       .groupBy($"component_id")
       .agg(count(lit(1)).as("n_members"),
-        min(when($"rn" === 1, $"doc_id")).as("keep_doc_id"))
+        (-max(struct($"n_tokens".as("t"), (-$"doc_id").as("nd")))("nd"))
+          .as("keep_doc_id"))
       .orderBy($"component_id")
   }
 
@@ -988,12 +991,15 @@ object SimilarityQueries {
       .select($"id".as("doc_id"), $"component".as("component_id"))
     val tc = spread(Tables(s, dir, "documents"))
       .select($"doc_id", Text.tokenCount($"text").as("n_tokens"))
-    val w = Window.partitionBy($"component_id").orderBy($"n_tokens".desc, $"doc_id")
+    // keeper argmax as ONE hash aggregate (r18, guide §2.3): max over
+    // struct(n_tokens, -doc_id) picks most tokens / lowest doc_id on ties —
+    // the exact (n_tokens desc, doc_id asc) order the old rank-1 window
+    // sorted for, now collapsing map-side with no per-group sort
     comp.join(tc, Seq("doc_id"))
-      .withColumn("rn", row_number().over(w))
       .groupBy($"component_id")
       .agg(count(lit(1)).as("n_members"),
-        min(when($"rn" === 1, $"doc_id")).as("keep_doc_id"))
+        (-max(struct($"n_tokens".as("t"), (-$"doc_id").as("nd")))("nd"))
+          .as("keep_doc_id"))
       .orderBy($"component_id")
   }
 
@@ -1092,13 +1098,10 @@ object SimilarityQueries {
         Vectors.fnorm($"embedding").as("qn"))
     val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"),
       Vectors.fnorm($"embedding").as("nn"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-    broadcast(q).join(n, $"query_id" =!= $"neighbor_id")
-      .withColumn("cos",
-        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= AnnK)
-      .select($"query_id", $"rank", $"neighbor_id")
+    topKRanked(broadcast(q).join(n, $"query_id" =!= $"neighbor_id")
+      .select($"query_id",
+        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn").as("cos"),
+        $"neighbor_id"), "cos", AnnK)
       .orderBy($"query_id", $"rank")
   }
 
@@ -1113,14 +1116,11 @@ object SimilarityQueries {
     val q = emb.filter($"vec_id" < 50)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket", $"nrm".as("qn"))
     val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"bucket", $"nrm".as("nn"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-    broadcast(q).join(n, Seq("bucket"))
+    topKRanked(broadcast(q).join(n, Seq("bucket"))
       .filter($"query_id" =!= $"neighbor_id")
-      .withColumn("cos",
-        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"query_id", $"rank", $"neighbor_id")
+      .select($"query_id",
+        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn").as("cos"),
+        $"neighbor_id"), "cos", 3)
       .orderBy($"query_id", $"rank")
   }
 
@@ -1149,14 +1149,11 @@ object SimilarityQueries {
           .as("bucket"))
     val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"),
       $"bucket", $"nrm".as("nn"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-    broadcast(q).join(n, Seq("bucket"))
+    topKRanked(broadcast(q).join(n, Seq("bucket"))
       .filter($"query_id" =!= $"neighbor_id")
-      .withColumn("cos",
-        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"query_id", $"rank", $"neighbor_id")
+      .select($"query_id",
+        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn").as("cos"),
+        $"neighbor_id"), "cos", 3)
       .orderBy($"query_id", $"rank")
   }
 
@@ -1197,19 +1194,13 @@ object SimilarityQueries {
       explode(array($"bucket" +: (0 until bits).map(flip($"bucket", _)): _*))
         .as("bucket"))
     val n = emb.select($"vec_id".as("neighbor_id"), $"sv".as("ne"), $"bucket")
-    val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id")
-    val approx = broadcast(q).join(n, Seq("bucket"))
+    val approx = top3ByCos(broadcast(q).join(n, Seq("bucket"))
       .filter($"query_id" =!= $"neighbor_id")
-      .withColumn("dot", Vectors.dot($"qe", $"ne"))
-      .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
-      .select($"query_id", $"neighbor_id")
-    val wT = Window.partitionBy($"query_id").orderBy($"tdot".desc, $"neighbor_id")
-    val truth = broadcast(q0.select($"vec_id".as("query_id"), $"sv".as("qe")))
+      .select($"query_id", Vectors.dot($"qe", $"ne").as("cos"), $"neighbor_id"))
+    val truth = top3ByCos(broadcast(q0.select($"vec_id".as("query_id"), $"sv".as("qe")))
       .join(emb.select($"vec_id".as("neighbor_id"), $"sv".as("ne")),
         $"query_id" =!= $"neighbor_id")
-      .withColumn("tdot", Vectors.dot($"qe", $"ne"))
-      .withColumn("rank", row_number().over(wT)).filter($"rank" <= 3)
-      .select($"query_id", $"neighbor_id")
+      .select($"query_id", Vectors.dot($"qe", $"ne").as("cos"), $"neighbor_id"))
     truth.join(approx.withColumn("hit", lit(1)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy($"query_id")
@@ -1263,21 +1254,15 @@ object SimilarityQueries {
       .withColumn("qb", bucketOf(qAug))
       .select($"vec_id".as("query_id"), $"sv".as("qe"),
         explode(array($"qb" +: (0 until bits).map(flip($"qb", _)): _*)).as("bucket"))
-    val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id")
-    val approx = broadcast(q).join(n, Seq("bucket"))
+    val approx = top3ByCos(broadcast(q).join(n, Seq("bucket"))
       .filter($"query_id" =!= $"neighbor_id")
-      .withColumn("dot", Vectors.dot($"qe", $"ne"))
-      .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
-      .select($"query_id", $"neighbor_id")
+      .select($"query_id", Vectors.dot($"qe", $"ne").as("cos"), $"neighbor_id"))
     val emb = base.select($"vec_id", $"sv")
-    val wT = Window.partitionBy($"query_id").orderBy($"tdot".desc, $"neighbor_id")
-    val truth = broadcast(emb.filter($"vec_id" < 50)
+    val truth = top3ByCos(broadcast(emb.filter($"vec_id" < 50)
         .select($"vec_id".as("query_id"), $"sv".as("qe")))
       .join(emb.select($"vec_id".as("neighbor_id"), $"sv".as("ne")),
         $"query_id" =!= $"neighbor_id")
-      .withColumn("tdot", Vectors.dot($"qe", $"ne"))
-      .withColumn("rank", row_number().over(wT)).filter($"rank" <= 3)
-      .select($"query_id", $"neighbor_id")
+      .select($"query_id", Vectors.dot($"qe", $"ne").as("cos"), $"neighbor_id"))
     truth.join(approx.withColumn("hit", lit(1)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy($"query_id")
@@ -1314,17 +1299,14 @@ object SimilarityQueries {
           .as("bucket"))
     val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"),
       $"bucket", $"nrm".as("nn"), $"label".as("nl"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-    broadcast(q).join(n, Seq("bucket"))
+    topKRanked(broadcast(q).join(n, Seq("bucket"))
       // equi-predicate on both sides: Catalyst folds it into the hash
       // join keys, so label filtering happens AT the join, not after
       .filter($"ql" === $"nl")
       .filter($"query_id" =!= $"neighbor_id")
-      .withColumn("cos",
-        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"query_id", $"rank", $"neighbor_id")
+      .select($"query_id",
+        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn").as("cos"),
+        $"neighbor_id"), "cos", 3)
       .orderBy($"query_id", $"rank")
   }
 
@@ -1353,21 +1335,26 @@ object SimilarityQueries {
           .as("bucket"))
     val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"),
       $"bucket", $"nrm".as("nn"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-    val approx = broadcast(q).join(n, Seq("bucket"))
+    val approx = top3ByCos(broadcast(q).join(n, Seq("bucket"))
       .filter($"query_id" =!= $"neighbor_id")
-      .withColumn("cos",
-        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"query_id", $"neighbor_id")
+      .select($"query_id",
+        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn").as("cos"),
+        $"neighbor_id"))
     hitsAt3(approx, exactTruthTop3(s, dir, col("vec_id") < 50))
   }
 
   /** Exact cosine top-3 ground truth for queries matching `pred` — THE
     * truth side of every recall gate, factored so all gates share one
     * tiebreak/rank-cutoff contract. O(queries · n) full scan → callers
-    * must fence it like the other exact baselines. */
+    * must fence it like the other exact baselines.
+    *
+    * The rank-3 cutoff is a bounded top-k aggregate, not a window (r18,
+    * guide §2.3): the window shuffled and sorted ALL queries·corpus
+    * scored pairs — the data-proportional term of every recall key at
+    * 100 TB — where the aggregate collapses each map partition to ≤3
+    * entries per query before the exchange. [[graft.functions.TopKAgg]]
+    * reproduces the window's (cos desc, neighbor_id asc) order
+    * bit-for-bit, so the emitted truth set is identical. */
   private def exactTruthTop3(s: SparkSession, dir: String,
       pred: org.apache.spark.sql.Column): DataFrame = {
     import s.implicits._
@@ -1376,13 +1363,36 @@ object SimilarityQueries {
     val q = emb.filter(pred)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
     val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"nrm".as("nn"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
     broadcast(q).join(n, $"query_id" =!= $"neighbor_id")
-      .withColumn("cos",
-        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"query_id", $"neighbor_id", lit(1).as("hit"))
+      .select($"query_id",
+        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn").as("cos"),
+        $"neighbor_id")
+      .groupBy($"query_id")
+      .agg(graft.functions.TopKAgg.byScore($"cos", $"neighbor_id", 3).as("__top"))
+      .select($"query_id", explode(col("__top")("id")).as("neighbor_id"),
+        lit(1).as("hit"))
+  }
+
+  /** rank-≤3 cutoff by (cos desc, neighbor_id asc) over a scored
+    * (query_id, cos, neighbor_id) frame, as the bounded top-k aggregate —
+    * shared by the recall rungs (r18, guide §2.3; ordering contract in
+    * [[exactTruthTop3]]'s doc). */
+  private def top3ByCos(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
+    scored.groupBy($"query_id")
+      .agg(graft.functions.TopKAgg.byScore($"cos", $"neighbor_id", 3).as("__top"))
+      .select($"query_id", explode(col("__top")("id")).as("neighbor_id"))
+  }
+
+  /** rank-≤k rows by (`score` desc, neighbor_id asc) emitted as
+    * (query_id, rank, neighbor_id) — [[top3ByCos]]'s window-with-rank
+    * twin (rank i = array position i−1 of the bounded top-k state). */
+  private def topKRanked(scored: DataFrame, score: String, k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
+    scored.groupBy($"query_id")
+      .agg(graft.functions.TopKAgg.byScore(col(score), $"neighbor_id", k).as("__top"))
+      .select($"query_id", posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select($"query_id", ($"__r" + 1).as("rank"), $"__t.id".as("neighbor_id"))
   }
 
   /** hits@3 of an approx (query_id, neighbor_id) set against a truth set. */
@@ -1421,17 +1431,14 @@ object SimilarityQueries {
       .filter($"query_id" =!= $"neighbor_id")
       .select($"query_id", $"neighbor_id").distinct()
     val vecs = emb.select($"vec_id", $"embedding", $"nrm")
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-    val approx = cand
+    val approx = top3ByCos(cand
       .join(vecs.select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn")),
         Seq("query_id"))
       .join(vecs.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"nrm".as("nn")),
         Seq("neighbor_id"))
-      .withColumn("cos",
-        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"query_id", $"neighbor_id")
+      .select($"query_id",
+        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn").as("cos"),
+        $"neighbor_id"))
     hitsAt3(approx, exactTruthTop3(s, dir, col("vec_id") < 50))
   }
 
@@ -1459,16 +1466,19 @@ object SimilarityQueries {
       .select($"vec_id", $"embedding", Vectors.fnorm($"embedding").as("nrm"))
     val cents = emb.filter($"vec_id" < IvfCentroids)
       .select($"vec_id".as("cent_id"), $"embedding".as("ce"), $"nrm".as("cn"))
+    // nearest-cell pick as the bounded top-k aggregate (r18, guide §2.3;
+    // order contract in exactTruthTop3's doc) — the n·centroids crossed
+    // rows collapse map-side instead of shuffling+sorting per vector
     def nearestCents(df: DataFrame, idCol: String, vecCol: String,
-        nCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy($"ccos".desc, $"cent_id")
+        nCol: String, keep: Int): DataFrame =
       df.join(broadcast(cents), col(idCol) =!= lit(-1))
-        .withColumn("ccos",
-          Vectors.cosinePrenormed(Vectors.fdot(col(vecCol), $"ce"), col(nCol), $"cn"))
-        .withColumn("crank", row_number().over(w))
-        .filter($"crank" <= keep)
-        .select(col(idCol), $"cent_id")
-    }
+        .select(col(idCol),
+          Vectors.cosinePrenormed(Vectors.fdot(col(vecCol), $"ce"), col(nCol), $"cn")
+            .as("ccos"),
+          $"cent_id")
+        .groupBy(col(idCol))
+        .agg(graft.functions.TopKAgg.byScore($"ccos", $"cent_id", keep).as("__top"))
+        .select(col(idCol), explode(col("__top")("id")).as("cent_id"))
     val assigned = nearestCents(emb, "vec_id", "embedding", "nrm", 1)
     val q = emb.filter($"vec_id" >= IvfQLo && $"vec_id" < IvfQHi)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
@@ -1481,13 +1491,14 @@ object SimilarityQueries {
         Seq("neighbor_id"))
       .join(q.select($"query_id", $"qe", $"qn"), Seq("query_id"))
       .filter($"query_id" =!= $"neighbor_id")
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
     cand
-      .withColumn("cos",
-        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"query_id", $"rank", $"neighbor_id")
+      .select($"query_id",
+        Vectors.cosinePrenormed(Vectors.fdot($"qe", $"ne"), $"qn", $"nn").as("cos"),
+        $"neighbor_id")
+      .groupBy($"query_id")
+      .agg(graft.functions.TopKAgg.byScore($"cos", $"neighbor_id", 3).as("__top"))
+      .select($"query_id", posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select($"query_id", ($"__r" + 1).as("rank"), $"__t.id".as("neighbor_id"))
       .orderBy($"query_id", $"rank")
   }
 
@@ -1513,22 +1524,25 @@ object SimilarityQueries {
     val assigned = KMeans.assign(q, cents)
     val queries = q.filter(queriesPred)
       .select($"id".as("query_id"), $"qv".as("qq"))
-    val wp = Window.partitionBy($"query_id").orderBy($"pcos".desc, $"cent_id")
+    // probe pick and final rank are bounded top-k aggregates, not windows
+    // (r18, guide §2.3 — same order contract as exactTruthTop3): the
+    // candidate rows collapse map-side instead of shuffling+sorting per
+    // query
     val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("pcos", KMeans.icos($"qq", $"cvec"))
-      .withColumn("pr", row_number().over(wp))
-      .filter($"pr" <= IvfProbe)
-      .select($"query_id", $"cent_id")
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+      .select($"query_id", KMeans.icos($"qq", $"cvec").as("pcos"), $"cent_id")
+      .groupBy($"query_id")
+      .agg(graft.functions.TopKAgg.byScore($"pcos", $"cent_id", IvfProbe).as("__top"))
+      .select($"query_id", explode(col("__top")("id")).as("cent_id"))
     probes
       .join(assigned.select($"id".as("neighbor_id"), $"cent_id"), Seq("cent_id"))
       .join(q.select($"id".as("neighbor_id"), $"qv".as("nq")), Seq("neighbor_id"))
       .join(queries, Seq("query_id"))
       .filter($"query_id" =!= $"neighbor_id")
-      .withColumn("cos", KMeans.icos($"qq", $"nq"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"query_id", $"rank", $"neighbor_id")
+      .select($"query_id", KMeans.icos($"qq", $"nq").as("cos"), $"neighbor_id")
+      .groupBy($"query_id")
+      .agg(graft.functions.TopKAgg.byScore($"cos", $"neighbor_id", 3).as("__top"))
+      .select($"query_id", posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select($"query_id", ($"__r" + 1).as("rank"), $"__t.id".as("neighbor_id"))
   }
 
   private val annIvfTrained: Q = (s, dir) => {
@@ -1666,11 +1680,7 @@ object SimilarityQueries {
     import s.implicits._
     import org.apache.spark.sql.Column
     fenceBruteForce("ann_matryoshka_recall", s, dir)
-    def top3(scored: DataFrame): DataFrame = {
-      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-      scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
-        .select($"query_id", $"neighbor_id")
-    }
+    def top3(scored: DataFrame): DataFrame = top3ByCos(scored)
     val emb = spread(Tables(s, dir, "embeddings")).select($"vec_id",
       transform($"embedding", x => x.cast("double")).as("fe"))
     def scored(dim: Option[Int]): DataFrame = {
@@ -1696,11 +1706,7 @@ object SimilarityQueries {
     import s.implicits._
     import org.apache.spark.sql.Column
     fenceBruteForce("ann_q8_recall", s, dir) // both sides scan the corpus per query
-    def top3(scored: DataFrame): DataFrame = {
-      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-      scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
-        .select($"query_id", $"neighbor_id")
-    }
+    def top3(scored: DataFrame): DataFrame = top3ByCos(scored)
     val emb = spread(Tables(s, dir, "embeddings")).select($"vec_id",
       transform($"embedding", x => x.cast("double")).as("fe"))
     // a REAL array<tinyint> roundtrip — the stored form is bytes, not a
@@ -1775,21 +1781,28 @@ object SimilarityQueries {
 
   /** ADC score: sequential left-to-right fold over the candidate's codes
     * against the query's LUT — identical fold order to the oracle's
-    * list_sum comprehension, so doubles match bit-for-bit. */
+    * list_sum comprehension, so doubles match bit-for-bit.
+    * UNROLLED over the constant 0..PqSub-1 range (r18, guide §4/codegen):
+    * the `aggregate(sequence(...))` HOF form is CodegenFallback —
+    * interpreted per candidate row, the ADC hot loop at index scale. A
+    * static 8-term sum is whole-stage-codegen-friendly and associates
+    * left-to-right exactly like the fold: ((((0.0+t₀)+t₁)+…)+t₇). */
   private def adcScore(codes: org.apache.spark.sql.Column,
       lut: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(sequence(lit(0), lit(PqSub - 1)), lit(0.0),
-      (acc, j) => acc + element_at(lut,
-        (j * PqK + element_at(codes, j + 1).cast("int") + 1)))
+    (0 until PqSub).foldLeft(lit(0.0)) { (acc, j) =>
+      acc + element_at(lut,
+        (lit(j * PqK) + element_at(codes, j + 1).cast("int") + 1))
+    }
 
   private def pqHitsAt3(s: SparkSession, dir: String,
       scored: DataFrame): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id")
+    // bounded top-k aggregate, not a window (r18, guide §2.3; order
+    // contract in exactTruthTop3's doc)
     scored
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"query_id", $"neighbor_id")
+      .groupBy($"query_id")
+      .agg(graft.functions.TopKAgg.byScore($"score", $"neighbor_id", 3).as("__top"))
+      .select($"query_id", explode(col("__top")("id")).as("neighbor_id"))
       .join(exactTruthTop3(s, dir, col("vec_id") < 10),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy($"query_id")
@@ -1832,12 +1845,12 @@ object SimilarityQueries {
     val coarse = KMeans.fit(emb, "vec_id", "embedding", IvfCentroids, IvfTrainIters)
     val assigned = KMeans.assign(q, coarse)
     val queries = q.filter($"id" < 10).select($"id".as("query_id"), $"qv".as("qq"))
-    val wp = Window.partitionBy($"query_id").orderBy($"pcos".desc, $"cent_id")
+    // probe pick via the bounded top-k aggregate (r18, guide §2.3)
     val probes = queries.crossJoin(broadcast(coarse))
-      .withColumn("pcos", KMeans.icos($"qq", $"cvec"))
-      .withColumn("pr", row_number().over(wp))
-      .filter($"pr" <= IvfProbe)
-      .select($"query_id", $"cent_id")
+      .select($"query_id", KMeans.icos($"qq", $"cvec").as("pcos"), $"cent_id")
+      .groupBy($"query_id")
+      .agg(graft.functions.TopKAgg.byScore($"pcos", $"cent_id", IvfProbe).as("__top"))
+      .select($"query_id", explode(col("__top")("id")).as("cent_id"))
     val (codesArr, lutArr) = pqParts(s, q)
     val scored = probes
       .join(assigned.select($"id".as("neighbor_id"), $"cent_id"), Seq("cent_id"))

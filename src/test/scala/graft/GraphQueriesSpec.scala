@@ -68,6 +68,42 @@ class GraphQueriesSpec extends SparkSpec {
       "planted hub did not clear the salting trigger — test lost its point")
   }
 
+  test("rank-round broadcast gate: broadcast below, exchange above a forced-low threshold") {
+    // Isolated session with auto-broadcast OFF, so the ONLY way the mass
+    // join can broadcast is GraphQueries' explicit hint — which the gate
+    // must grant below the node budget and withhold above it (VERDICT r17
+    // #1: node-grain broadcasts must not be unconditional at 100 TB).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s.implicits._
+    val ewd = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("a", "b", "deg")
+    val mass = Seq((1L, 1000000L), (2L, 1000000L)).toDF("node", "mass")
+    def shape(bcast: Boolean): String =
+      GraphQueries.rankRoundPlan(ewd, mass, bcast)
+        .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val below = shape(bcast = true)
+    assert(below.contains("BroadcastHashJoin"),
+      s"gated-in round lost its broadcast join:\n$below")
+    val above = shape(bcast = false)
+    assert(!above.contains("BroadcastExchange"),
+      s"gated-out round still broadcasts the node-grain mass table:\n$above")
+    assert(above.contains("Exchange"),
+      s"gated-out round shows no exchange at all — not a shuffle join:\n$above")
+    // the gate itself honors the session envelope
+    assert(GraphQueries.rankBroadcastGate(s, 100L))
+    s.conf.set("graft.maxRankBroadcastNodes", "99")
+    assert(!GraphQueries.rankBroadcastGate(s, 100L))
+    // end-to-end: a session forced above the gate (shuffle-join rounds)
+    // produces bit-identical ranks — the gate is a physical choice only
+    val forced = spark.newSession()
+    forced.conf.set("graft.maxRankBroadcastNodes", "1")
+    val plain = GraphQueries.queries("graph_pagerank")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val gatedOut = GraphQueries.queries("graph_pagerank")(forced, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(gatedOut == plain, "shuffle-join rounds diverged from broadcast rounds")
+  }
+
   test("graph_triangles equals a brute-force count on the collected edge set") {
     val got = GraphQueries.queries("graph_triangles")(spark, sfDir)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_triangles")).toMap
