@@ -88,7 +88,12 @@ object GraphQueries {
         .join(visited, Seq("node"), "left_anti")
         .localCheckpoint()
       counts += ((hop, frontier.count()))
-      visited = visited.unionByName(frontier).localCheckpoint()
+      // no checkpoint on visited (r18): it is a union of ALREADY
+      // checkpointed frontiers — plan depth O(hops), not geometric — and
+      // the per-hop eager materialization was one more barrier in a key
+      // StageProbe measured as barrier-bound (Σ stage wall 2.7 s inside a
+      // 3.9 s key)
+      visited = visited.unionByName(frontier)
     }
     e.unpersist()
     counts.result().toDF("hop", "n_nodes").orderBy($"hop")

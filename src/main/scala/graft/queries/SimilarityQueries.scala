@@ -357,8 +357,10 @@ object SimilarityQueries {
     * compute-heavy projection would run in one task. Spread rows across
     * the cluster before per-row-expensive work; at real scale the source
     * has many splits and this shuffle is a no-op cost-wise relative to the
-    * projection it parallelizes. */
-  private def spread(df: DataFrame): DataFrame =
+    * projection it parallelizes. (Shared with the text/training packs —
+    * r18 StageProbe found the same single-task disease on their heavy
+    * per-row keys.) */
+  private[queries] def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   private def shingled(s: SparkSession, dir: String): DataFrame = {

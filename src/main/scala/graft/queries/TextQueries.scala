@@ -135,10 +135,15 @@ object TextQueries {
   }
 
   /** Deterministic fingerprints: order-insensitive md5 of normalized text
-    * plus the order-sensitive polynomial rolling hash. */
+    * plus the order-sensitive polynomial rolling hash.
+    * Spread first (r18): StageProbe measured the old plan as two
+    * single-task CPU stages (1.8 s + 1.5 s at sf0.1 — one parquet split,
+    * and the output sort's range-sampling pass re-evaluates the
+    * projection), i.e. the per-doc hashing ran twice on one core. Pure
+    * per-row projection, so the repartition cannot move any value. */
   private val textFingerprint: Q = (s, dir) => {
     import s.implicits._
-    Tables(s, dir, "documents").select(
+    SimilarityQueries.spread(Tables(s, dir, "documents")).select(
         $"doc_id",
         Text.fingerprint($"text").as("fingerprint"),
         Text.rollingHash($"text").as("rolling_hash"))
@@ -167,7 +172,10 @@ object TextQueries {
   private val textLangidTrained: Q = (s, dir) => {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
-    val grams = docs
+    // spread the trigram fan-out (r18): StageProbe measured it as ONE
+    // 2.4 s single-task CPU stage at sf0.1 (single parquet split); the
+    // profile/score aggregates are order-free integer counts
+    val grams = SimilarityQueries.spread(docs)
       .withColumn("norm", Text.normalized($"text"))
       .select($"doc_id", $"lang", explode(array_distinct(expr(
         "transform(sequence(1, greatest(length(norm) - 2, 1))," +
@@ -285,7 +293,10 @@ object TextQueries {
       }
     }
     }
-    Tables(s, dir, "documents")
+    // spread the digest projection (r18): StageProbe measured two ~1 s
+    // single-task CPU stages at sf0.1 (single parquet split + the output
+    // sort's sampling pass); pure per-row work, values can't move
+    SimilarityQueries.spread(Tables(s, dir, "documents"))
       .withColumn("d", digest)
       .select($"doc_id", $"d.n_grams", $"d.n_fingerprints",
         $"d.min_fp", $"d.max_fp", $"d.xor_fp")
@@ -385,7 +396,11 @@ object TextQueries {
     * in SQL — the sketch is deterministic, so every cell hash-matches. */
   private val textCmsFreq: Q = (s, dir) => {
     import s.implicits._
-    val toks = Tables(s, dir, "documents")
+    // spread the tokenize fan-out (r18): StageProbe measured three ~1.25 s
+    // single-task CPU stages (the sketch pass, the exact pass, and the
+    // output sort's sampling pass each re-run the projection over the one
+    // parquet split); counts are order-free
+    val toks = SimilarityQueries.spread(Tables(s, dir, "documents"))
       .select(explode(Text.tokens(Text.normalized($"text"))).as("tok"))
     def bucket(i: Int, tok: org.apache.spark.sql.Column) =
       pmod(Vectors.hash60(concat(lit(s"cms${i}_"), tok)), lit(CmsW.toLong))

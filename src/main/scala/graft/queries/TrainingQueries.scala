@@ -70,7 +70,10 @@ object TrainingQueries {
     val bigrams = zip_with(
       slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
       (a, b) => concat_ws(" ", a, b))
-    Tables(s, dir, "documents")
+    // spread (r18): StageProbe measured two single-task CPU stages
+    // (0.96 s + 0.61 s at sf0.1) — pure per-row projection over the one
+    // parquet split, re-run by the output sort's sampling pass
+    SimilarityQueries.spread(Tables(s, dir, "documents"))
       .select($"doc_id",
         size(t).as("n_words"),
         size(array_distinct(t)).as("n_distinct_words"),
@@ -746,7 +749,11 @@ object TrainingQueries {
     * regime is the same plan over the new batch only. */
   private val sampleDsir: Q = (s, dir) => {
     import s.implicits._
-    val toks = Tables(s, dir, "documents")
+    // spread the tokenize+bigram+hash fan-out (r18): StageProbe measured
+    // it as three ~1.2 s single-task CPU stages at sf0.1 (single parquet
+    // split, two consumers + the output sort's sampling pass); every
+    // downstream aggregate is an order-free integer sum
+    val toks = SimilarityQueries.spread(Tables(s, dir, "documents"))
       .select($"doc_id", Text.tokens(Text.normalized($"text")).as("t"))
     // distinct hashed buckets per doc, computed inside the array before
     // the explode — presence semantics with no per-doc dedup shuffle
