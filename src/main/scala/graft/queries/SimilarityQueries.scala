@@ -1375,6 +1375,21 @@ object SimilarityQueries {
         lit(1).as("hit"))
   }
 
+  /** Run two INDEPENDENT eager-pipeline builders on concurrent driver
+    * threads (r18, guide §2.6 "overlap independent jobs"): each k-means
+    * training is a chain of small barrier jobs (per-iteration
+    * localCheckpoints), so overlapping two chains back-fills the executor
+    * slots the other chain's barriers leave idle. The computations share
+    * no state — concurrency cannot change any value. */
+  private def concurrently[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fa = Future(a)
+    val fb = Future(b)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
+
   /** rank-≤3 cutoff by (cos desc, neighbor_id asc) over a scored
     * (query_id, cos, neighbor_id) frame, as the bounded top-k aggregate —
     * shared by the recall rungs (r18, guide §2.3; ordering contract in
@@ -1585,9 +1600,12 @@ object SimilarityQueries {
     val split = 3L * corpusCount(s, dir) / 4L
     val emb = spread(Tables(s, dir, "embeddings"))
     val q = emb.select($"vec_id".as("id"), KMeans.quantize($"embedding").as("qv"))
-    val frozen = KMeans.fit(emb.filter($"vec_id" < split), "vec_id", "embedding",
-      IvfCentroids, IvfTrainIters)
-    val fresh = KMeans.fit(emb, "vec_id", "embedding", IvfCentroids, IvfTrainIters)
+    // the two trainings are independent — overlap their barrier chains
+    // (r18, guide §2.6 via concurrently)
+    val (frozen, fresh) = concurrently(
+      KMeans.fit(emb.filter($"vec_id" < split), "vec_id", "embedding",
+        IvfCentroids, IvfTrainIters),
+      KMeans.fit(emb, "vec_id", "embedding", IvfCentroids, IvfTrainIters))
     val pred = $"id" >= split && $"id" < split + DriftQ
     val approx =
       trainedProbeTop3(s, q, frozen, pred).withColumn("method", lit("frozen"))
@@ -1844,7 +1862,12 @@ object SimilarityQueries {
     fenceBruteForce("ann_ivfpq_recall", s, dir) // truth side full-scans per query
     val emb = spread(Tables(s, dir, "embeddings"))
     val q = emb.select($"vec_id".as("id"), KMeans.quantize($"embedding").as("qv"))
-    val coarse = KMeans.fit(emb, "vec_id", "embedding", IvfCentroids, IvfTrainIters)
+    // the coarse quantizer and the 8 subspace codebooks train
+    // independently — overlap their barrier chains (r18, guide §2.6)
+    val (coarse, pq) = concurrently(
+      KMeans.fit(emb, "vec_id", "embedding", IvfCentroids, IvfTrainIters),
+      pqParts(s, q))
+    val (codesArr, lutArr) = pq
     val assigned = KMeans.assign(q, coarse)
     val queries = q.filter($"id" < 10).select($"id".as("query_id"), $"qv".as("qq"))
     // probe pick via the bounded top-k aggregate (r18, guide §2.3)
@@ -1853,7 +1876,6 @@ object SimilarityQueries {
       .groupBy($"query_id")
       .agg(graft.functions.TopKAgg.byScore($"pcos", $"cent_id", IvfProbe).as("__top"))
       .select($"query_id", explode(col("__top")("id")).as("cent_id"))
-    val (codesArr, lutArr) = pqParts(s, q)
     val scored = probes
       .join(assigned.select($"id".as("neighbor_id"), $"cent_id"), Seq("cent_id"))
       .join(codesArr.select($"id".as("neighbor_id"), $"codes"), Seq("neighbor_id"))
